@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full plan runs,
+no driver-side result transfer skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: ETL semantics + heavy analytics + LLM ops
+BENCH_QUERIES = [
+    "incremental_window_scan",
+    "window_count_scan",
+    "checkpoint_latest_success",
+    "broadcast_lookup_join",
+    "grouped_cost_rollup",
+    "revenue_by_nation",
+    "top10_orders_by_value",
+    "window_running_total",
+    "sessionization_gap30m",
+    "pivot_event_counts",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_cosine_neardup",
+    "text_quality_scores",
+    "text_langid",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    from bigquery_cross_environment_etl_pipeline_spark import queries_catalog
+    from bigquery_cross_environment_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = queries_catalog.spark_queries()
+
+    # JVM/codegen warmup on a tiny table
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

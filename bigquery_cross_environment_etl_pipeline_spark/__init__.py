@@ -1,0 +1,40 @@
+"""PySpark-native analytics/ETL engine.
+
+A from-scratch re-expression of the query and data-processing
+capabilities of chirag876/BigQuery-Cross-Environment-ETL-Pipeline
+(incremental time-windowed extraction, checkpoint/watermark management,
+config-driven multi-tenant routing, nested-schema handling, batched
+append-loading with partial-failure accounting, catalog DDL), built
+Spark-first on the DataFrame/SQL/Catalyst stack and extended with
+large-scale training-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal column plumbing).
+
+Layout
+------
+- ``session``    : SparkSession factory tuned for the target cluster
+- ``schemas``    : explicit StructType schemas (billing export, messages,
+                   checkpoint, config)
+- ``sources``    : table registry over parquet, pub/sub message decoding
+- ``operators``  : extract / load / checkpoint / config / catalog /
+                   dedup / similarity / text / multimodal
+- ``functions``  : scalar helpers (name mangling, iso formatting, ...)
+- ``plans``      : named analytic query plans (rollups, joins, windows)
+- ``streaming``  : Structured Streaming variant of the incremental path
+- ``pipeline``   : the end-to-end ETL job (extract -> transform -> load
+                   -> checkpoint) with retry/commit protocol
+"""
+
+__version__ = "0.1.0"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

@@ -1,0 +1,59 @@
+"""Scalar function surface (F1-F8 in SURVEY.md §2.8).
+
+All engine-side (JVM, whole-stage codegen) — no Python UDFs. Each helper
+returns a Column so it composes inside any plan.
+
+Reference semantics:
+- ISO-8601 formatting at the JSON boundary
+  (reference core/services/billing_etl.py:35-40, core/utility/return_type.py:9-16)
+- epoch default for a missing watermark (billing_etl.py:138-139)
+- ``project.dataset.table`` identifier assembly
+  (core/utility/dataset_utils.py:344-348)
+- ``org_{id}_standard_export[_table]`` name mangling
+  (core/utility/dataset_utils.py:127, 141; billing_etl.py:117)
+- JSON serialization of records (core/utility/return_type.py:19-28)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+EPOCH_LIT = "1970-01-01 00:00:00"
+
+
+def iso_format(col: str | Column, fmt: str = ISO_FMT) -> Column:
+    """F2: timestamp -> ISO-8601 string (JSON-boundary only; stays a
+    native timestamp everywhere else)."""
+    return F.date_format(col, fmt)
+
+
+def epoch_default(col: str | Column) -> Column:
+    """F3: COALESCE(watermark, epoch)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(EPOCH_LIT).cast("timestamp"))
+
+
+def fully_qualified_table_id(project: str | Column, dataset: str | Column, table: str | Column) -> Column:
+    """F6: ``project.dataset.table``."""
+    to_col = lambda x: F.lit(x) if isinstance(x, str) else x  # noqa: E731
+    return F.concat_ws(".", to_col(project), to_col(dataset), to_col(table))
+
+
+def org_dataset_name(org_id: str | Column) -> Column:
+    """F7: ``org_{org_id}_standard_export``."""
+    c = F.lit(org_id) if isinstance(org_id, str) else org_id
+    return F.format_string("org_%s_standard_export", c.cast("string"))
+
+
+def org_table_name(org_id: str | Column) -> Column:
+    """F7: ``org_{org_id}_standard_export_table``."""
+    c = F.lit(org_id) if isinstance(org_id, str) else org_id
+    return F.format_string("org_%s_standard_export_table", c.cast("string"))
+
+
+def to_json_payload(*cols: str | Column) -> Column:
+    """F8: record -> JSON string (timestamps rendered ISO-8601 by Spark's
+    writer, matching the reference's custom encoder semantics)."""
+    return F.to_json(F.struct(*cols))

@@ -1,0 +1,292 @@
+"""Deduplication operators (north-star: exact, MinHash+LSH, SimHash,
+n-gram Jaccard).
+
+Scale design
+------------
+- **Exact**: hash-groupBy on a content digest — one shuffle on a short
+  key (never on the raw text). At 100 TB the digest (16 bytes) is the
+  only thing that moves.
+- **MinHash signatures** are computed WITHOUT exploding shingles:
+  ``array_min(transform(shingles, hash_i))`` evaluates per row inside
+  the scan stage — zero shuffles until the candidate join.
+- **LSH banding**: signatures are split into bands; docs sharing a band
+  key become candidates via a self-equi-join on (band_idx, band_key).
+  The join key is a small int pair, so the shuffle volume is
+  O(docs * n_bands * 16 bytes) regardless of document size — this is
+  the property that makes MinHash+LSH viable at 100 TB where the naive
+  O(n^2) pair comparison is not.
+- **SimHash**: token explode -> 16 conditional sums -> bit-pack; one
+  shuffle on doc_id (already the natural partitioning).
+- **n-gram Jaccard**: exact verification on *blocked* candidate pairs
+  (same source + similar length), never all-pairs.
+
+``pyspark.ml.feature.MinHashLSH`` offers the same banding on sparse
+vectors; this implementation keeps the hash family cross-engine
+reproducible (hash48) so the DuckDB oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash48, tokens
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 hashes each
+SHINGLE_N = 3
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content digest, keep min id as the keeper."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str | Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as an array column (no explode).
+
+    Built by zipping the word array with its shifted slices and
+    concatenating per struct — every outer expression (the split, the
+    slices) is evaluated once per ROW. The naive alternative
+    (``transform(sequence(...), i -> element_at(words, i+k))``) re-runs
+    the split per element, making shingling O(words^2) per document.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = tokens(c)
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shifted = [
+        F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        ).alias(f"w{k}")
+        for k in range(n)
+    ]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, n_sh)
+    return F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"w{k}"] for k in range(n)])
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = N_MINHASH) -> list[Column]:
+    """MinHash signature: for seed j, min over shingles of
+    hash48(shingle || '#j'). Returns one Column per hash (callers alias
+    them h0..h{k-1}). Empty shingle sets get NULL mins -> coalesced to a
+    sentinel so empty docs never collide with real signatures."""
+    sentinel = F.lit(2**48)
+
+    def seeded_hash(j: int):
+        # NOTE: single-parameter lambda — a 2-arg lambda would make
+        # PySpark pass (element, index) and silently corrupt the seed.
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 12), 16, 10
+        ).cast("bigint")
+
+    return [
+        F.coalesce(
+            F.array_min(F.transform(shingle_col, seeded_hash(j))),
+            sentinel,
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(id, h0..h{k-1}) via explode -> per-shingle hashes -> grouped MIN.
+
+    The explode materializes each shingle string exactly once (outer
+    expressions inside higher-order-function lambdas are re-evaluated
+    per element, which made the pure-array form O(shingles * text_len)
+    per seed); the grouped MIN is map-side partial, so the shuffle
+    carries only (id, k mins) per partition — scale-safe.
+
+    Docs with no shingles (< n words) get the sentinel signature.
+    """
+    sentinel = F.lit(2**48)
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("_s"))
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_s"), F.lit(f"#{j}"))), 1, 12),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"h{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
+    )
+    # re-attach empty-shingle docs with the sentinel signature
+    return df.select(id_col).join(sig, id_col, "left").select(
+        F.col(id_col),
+        *[F.coalesce(F.col(f"h{j}"), sentinel).alias(f"h{j}") for j in range(n_hashes)],
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair; est_similarity = fraction of matching hashes.
+
+    Returns (doc_a, doc_b, est_similarity), doc_a < doc_b, distinct.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                *[
+                    F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig_cols = [f"h{j}" for j in range(n_hashes)]
+    exploded = signatures.select(
+        F.col(id_col), *sig_cols, F.explode(bands).alias("band")
+    ).select(id_col, *sig_cols, "band.*")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    band_keys = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
+    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_keys] + [
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ]
+    matches = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (matches.cast("double") / F.lit(float(n_hashes))).alias("est_similarity"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    len_col: str = "n_chars",
+    max_len_delta: int = 50,
+    threshold: float = 0.0,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked candidate pairs.
+
+    Blocking (same ``block_col``, |len delta| <= ``max_len_delta``) keeps
+    the pair count linear-ish; the Jaccard itself is
+    |A ∩ B| / |A ∪ B| over distinct shingle sets — array_intersect /
+    array_union are engine-side.
+    """
+    # repartition on the block key = an exchange barrier that materializes
+    # the shingle arrays exactly once (instead of re-deriving them from
+    # raw text on each side of the self-join), and co-partitions the
+    # pair-generation join.
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(len_col),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    ).repartition(F.col(block_col))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.abs(F.col(f"a.{len_col}") - F.col(f"b.{len_col}"))
+                <= max_len_delta
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash: per doc, bit i of the fingerprint = sign of the sum of
+    (+1/-1) votes from each distinct token's hash bit i.
+
+    Explode -> one grouped aggregation with ``bits`` conditional sums ->
+    bit-pack. Integer-only arithmetic (oracle-exact).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("w")
+    ).withColumn("h", hash48("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    packed = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidate generation joins on simhash bytes (any-equal-half blocking)
+    then verifies hamming via bit_count — avoids all-pairs at scale.
+    """
+    lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("b_lo")
+    hi = (F.shiftright(F.col("simhash"), 8)).alias("b_hi")
+    fp = fingerprints.select(id_col, "simhash", lo, hi)
+    a, b = fp.alias("a"), fp.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    pair_filter = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        hamming <= max_hamming
+    )
+    lo_match = a.join(
+        b, (F.col("a.b_lo") == F.col("b.b_lo")) & pair_filter
+    )
+    hi_match = a.join(
+        b, (F.col("a.b_hi") == F.col("b.b_hi")) & pair_filter
+    )
+    pick = lambda d: d.select(  # noqa: E731
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        hamming.alias("hamming"),
+    )
+    return pick(lo_match).union(pick(hi_match)).distinct()

@@ -1,0 +1,89 @@
+"""Incremental time-windowed extraction (S1/S2/P4/A1/A2).
+
+Semantics from the reference's extract path
+(reference core/services/billing_etl.py:251-298):
+- half-open interval ``ts in [start, end)`` — the boundary rule that makes
+  adjacent windows partition the stream with no duplicates or gaps
+  (billing_etl.py:280-281)
+- a counting scan with the same predicate (billing_etl.py:253-257)
+- watermark derivation ``max(ts)`` over the extracted batch
+  (billing_etl.py:167)
+
+Architecture divergence (deliberate, SURVEY.md §7.4.3): the reference
+paginates with ``LIMIT n OFFSET k`` and no ORDER BY — O(pages * scan)
+server work and nondeterministic page boundaries. Here the window is ONE
+declarative filter on the scan; Catalyst pushes it into the parquet
+reader (row-group min/max skipping), executors read only matching data in
+parallel, and results are deterministic. At 100 TB with a time-partitioned
+layout this prunes whole partitions before any IO.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TimeLike = dt.datetime | str
+
+
+def half_open_interval(ts_col: str | Column, start: TimeLike, end: TimeLike) -> Column:
+    """``start <= ts < end`` — the reference's core incremental predicate."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (c >= F.lit(start).cast("timestamp")) & (c < F.lit(end).cast("timestamp"))
+
+
+def window_scan(
+    source: DataFrame,
+    ts_col: str,
+    start: TimeLike,
+    end: TimeLike,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S1: SELECT * (or a projection) restricted to ``[start, end)``.
+
+    The filter is attached before the projection so it pushes down to the
+    scan regardless of which columns the caller keeps.
+    """
+    out = source.filter(half_open_interval(ts_col, start, end))
+    if columns:
+        out = out.select(*columns)
+    return out
+
+
+def count_in_window(source: DataFrame, ts_col: str, start: TimeLike, end: TimeLike) -> int:
+    """S2: COUNT(*) with the same interval predicate.
+
+    The reference used this to pre-size pagination; kept as an exposed
+    operator (it is a metadata-only parquet scan after pushdown).
+    """
+    return source.filter(half_open_interval(ts_col, start, end)).count()
+
+
+def batch_watermark(batch: DataFrame, ts_col: str) -> dt.datetime | None:
+    """A2/T2: new watermark = max(ts) of the extracted batch (None if empty).
+
+    Computed engine-side as an aggregate — the reference's driver-side
+    ``max(row[...] for row in rows)`` (billing_etl.py:167) would require
+    collecting the batch.
+    """
+    return batch.agg(F.max(ts_col).alias("wm")).first()["wm"]
+
+
+def extract_incremental(
+    source: DataFrame,
+    ts_col: str,
+    watermark: dt.datetime | None,
+    now: dt.datetime,
+    epoch: dt.datetime = dt.datetime(1970, 1, 1),
+) -> tuple[DataFrame, dt.datetime, dt.datetime]:
+    """The full S1+T1 extract step: window = [watermark or epoch, now).
+
+    ``now`` is pinned once by the caller (the reference calls
+    ``datetime.now()`` inside the loop, billing_etl.py:152 — a
+    reproducibility bug we do not inherit, SURVEY.md §7.4.4).
+    Returns (batch, start, end).
+    """
+    start = watermark if watermark is not None else epoch
+    return window_scan(source, ts_col, start, now), start, now

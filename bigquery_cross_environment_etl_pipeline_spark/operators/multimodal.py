@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (north-star).
+
+Images/audio/video are opaque ``binary`` payload columns with typed
+metadata (schemas.MULTIMODAL_ASSET_SCHEMA). The Spark-side plumbing —
+schema, partitioning, Arrow batch shape, UDF signatures — is real and
+tested; the actual media decode is STUBBED (image/audio libraries are
+not in this container): ``decode_image`` raises NotImplementedError and
+``extract_features`` substitutes a deterministic fake featurizer with
+the exact shape a real one would have.
+
+Scale notes: payloads ride through ``mapInPandas`` as Arrow record
+batches — the decode stage is embarrassingly parallel and IO-bound, so
+the right partitioning is by input file (no shuffle at all); metadata-
+only transformations (filtering by mime/size, sampling) stay pure
+column ops and never deserialize the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def synthesize_assets(documents: DataFrame) -> DataFrame:
+    """Build a deterministic multimodal asset table from ``documents``
+    (payload = utf-8 bytes of the text standing in for media bytes)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real deployments decode with PIL/libvips here. The Spark
+    plumbing around this function (Arrow batching, schema, partitioning)
+    is the tested surface."""
+    raise NotImplementedError(
+        "media decode requires an image library not present in this "
+        "container; wire PIL.Image.open(io.BytesIO(payload)) here"
+    )
+
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, modality string, n_bytes bigint, feature_hash bigint"
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Featurize payloads via mapInPandas (Arrow-batched).
+
+    The stub feature is deterministic (payload length + 48-bit content
+    hash) so tests can assert exact values; a real featurizer returns an
+    embedding array in the same batch shape.
+    """
+    import hashlib
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "feature_hash": payloads.map(
+                        lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:12], 16)
+                    ).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explode (asset_id, frame_ts) rows for
+    a downstream decoder — pure column ops; the decode itself is the
+    stubbed stage."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .withColumn("duration_ms", F.length("payload").cast("bigint") * 10)
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (north-star).
+
+Two paths:
+- **Brute-force cosine top-k** — the exact baseline. The dot product is
+  an unrolled sum of per-dimension products (generated expression, pure
+  codegen — no UDF, no Python). Top-k is ``orderBy().limit(k)`` which
+  Spark plans as TakeOrderedAndProject: per-partition heaps + driver
+  merge, O(n) not O(n log n), no full sort shuffle even at 10^9 vectors.
+- **LSH-bucketed ANN** (random hyperplanes) — the scale path: vectors
+  hash to sign-pattern buckets; only same-bucket pairs are scored. The
+  hyperplanes are derived deterministically from hash48, so results are
+  reproducible run-to-run (required for the test oracle and for
+  re-running a 100 TB job idempotently).
+
+The unrolled-sum form is chosen over ``F.aggregate``/``zip_with`` folds
+because a fixed left-associated chain produces bitwise-identical doubles
+in any engine that evaluates IEEE ops in order — that is what lets the
+DuckDB oracle hash-match the Spark result exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def dot_expr(a: str, b: str, dim: int = DIM) -> Column:
+    """Unrolled dot product of two array<float> columns, accumulated
+    left-to-right in double."""
+    terms = None
+    for i in range(1, dim + 1):
+        t = F.element_at(F.col(a), i).cast("double") * F.element_at(
+            F.col(b), i
+        ).cast("double")
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def cosine_expr(a: str, b: str, dim: int = DIM) -> Column:
+    return dot_expr(a, b, dim) / (
+        F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Exact top-k neighbors of one stored vector by cosine.
+
+    The 1-row query side is broadcast; the corpus scans once.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    joined = embeddings.filter(F.col(id_col) != query_id).crossJoin(F.broadcast(q))
+    cos = cosine_expr(vec_col, "_qvec", dim)
+    return (
+        joined.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking buckets.
+
+    Blocking on ``block_col`` bounds the pair count; the join shuffles
+    both sides on the block key only (co-partitioned pair generation).
+    """
+    e = embeddings.select(id_col, block_col, vec_col)
+    a = e.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("va"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vb"),
+    )
+    cos = cosine_expr("va", "vb", dim)
+    return (
+        a.join(b, (a.block == b.block) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )
+
+
+# --- LSH-bucketed ANN (scale path) -----------------------------------------
+
+
+def _hyperplane(seed: int, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: components in [-1, 1)
+    derived from md5 — reproducible across runs/engines/languages."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"hp-{seed}-{j}-{i}".encode()).hexdigest()[:12], 16)
+        out.append(h / float(2**47) - 1.0)
+    return out
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = 8, dim: int = DIM, seed: int = 42) -> Column:
+    """Sign-pattern bucket id: bit j = (vec . hyperplane_j) >= 0."""
+    bucket = None
+    for j in range(n_planes):
+        plane = _hyperplane(seed, j, dim)
+        dot = None
+        for i in range(1, dim + 1):
+            t = F.element_at(F.col(vec_col), i).cast("double") * F.lit(plane[i - 1])
+            dot = t if dot is None else dot + t
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    With n_planes sign bits the corpus shrinks ~2^n_planes-fold before
+    any distance math; recall is tunable by n_planes (fewer planes =
+    bigger bucket = higher recall). At 100 TB the bucket id would be a
+    partition column so a query touches one partition.
+    """
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(vec_col, n_planes, dim))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket")
+    )
+    cand = bucketed.crossJoin(F.broadcast(q)).filter(
+        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_id)
+    )
+    cos = cosine_expr(vec_col, "_qvec", dim)
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

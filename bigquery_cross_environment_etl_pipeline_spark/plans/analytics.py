@@ -1,0 +1,321 @@
+"""Generalized analytic surface (SURVEY.md §2.4-2.7, §2.12).
+
+The grouped/window/set-op queries the reference's schema is built for
+but executes only implicitly inside BigQuery. All pure DataFrame ops —
+exact-decimal aggregation keeps values bitwise-reproducible against the
+DuckDB oracle (see queries_catalog docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
+from ..sources.registry import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _money(col, alias: str) -> F.Column:
+    return F.round(F.sum(col), 2).cast("double").alias(alias)
+
+
+# --- grouped aggregation (TPC-H Q1 shape: the cost-rollup analog) ------------
+@register(
+    "grouped_cost_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def grouped_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-series generalized: grouped rollup over the volume table
+    (the cost-by-service/sku/month analog of the billing schema,
+    SURVEY.md §2.4). Partial aggregation (map-side combine) is automatic;
+    decimal math keeps the oracle comparison exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty, price, disc, tax = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _dec("l_discount"),
+        _dec("l_tax"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money(qty, "sum_qty"),
+        _money(price, "sum_base_price"),
+        _money(price * (F.lit(1) - disc), "sum_disc_price"),
+        _money(price * (F.lit(1) - disc) * (F.lit(1) + tax), "sum_charge"),
+        (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- multi-join rollup ---------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join rollup (TPC-H Q5 shape). Join order: fact tables first
+    (lineitem ⋈ orders shuffles on the shared key), then the small dims
+    join broadcast — at 100 TB the only shuffles are the two fact keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            _money(price * (F.lit(1) - disc), "revenue"),
+        )
+    )
+
+
+# --- top-k -----------------------------------------------------------------------
+@register(
+    "top10_orders_by_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top10_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 generalized: top-k — Spark plans TakeOrderedAndProject (per-
+    partition heap + driver merge; no full sort even at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- window: running total ----------------------------------------------------
+@register(
+    "window_running_total",
+    oracle=f"""
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 generalized: running aggregate per key (decimal-exact)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# --- window: sessionization -----------------------------------------------------
+@register(
+    "sessionization_gap30m",
+    oracle="""
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min -> cumulative session ids — the
+    batch equivalent of streaming session_window."""
+    events = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(order).cast("long")
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").cast("bigint").alias("n_sessions"))
+    )
+
+
+# --- set operations ---------------------------------------------------------------
+@register(
+    "set_union_active_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_union_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: UNION (distinct)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "view").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT (set semantics), not exceptAll (bag)
+
+
+# --- distinct ----------------------------------------------------------------------
+@register(
+    "distinct_user_event_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as hash aggregate."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# --- cube / grouping sets -----------------------------------------------------------
+@register(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (CUBE) — superset of the reference's scalar aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+    )
+
+
+# --- pivot ----------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-discovery
+    pass — required at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("bigint"))
+    return out
+
+
+# --- per-group stats -------------------------------------------------------------------
+@register(
+    "event_type_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max/avg/count-distinct profile per group."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,383 @@
+"""Training-data-pipeline queries (north-star): dedup, similarity
+search, text analysis, multimodal — over ``documents`` / ``embeddings``.
+
+Oracle strategy: the DuckDB SQL strings are *generated* (hash
+polynomials, unrolled dot products, minhash/simhash expansions) so that
+both engines execute bit-identical arithmetic — md5-derived 48-bit
+integer hashes, exact integer votes, and fixed-order double chains. Only
+the hyperplane-ANN variant is approximate-by-design and therefore
+checked rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..operators.multimodal import extract_features, synthesize_assets
+from ..queries_catalog import register
+from ..sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB expression generators (mirrors of operators.text / .dedup /
+# .similarity arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _duck_hash48(e: str) -> str:
+    """int(md5(e)[:12], 16) — exact integer arithmetic."""
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', substr(md5(" + e + "), i, 1)) - 1)"
+        " * (1::BIGINT << (4*(12-i))) for i in generate_series(1,12)]) AS BIGINT)"
+    )
+
+
+_DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_SHINGLES = (
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]"
+)
+
+
+def _duck_dot(a: str, b: str, dim: int = similarity.DIM) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def _duck_stop_filter(words_expr: str, stopwords: tuple[str, ...]) -> str:
+    cond = " OR ".join(f"x = '{w}'" for w in stopwords)
+    return f"len(list_filter({words_expr}, x -> {cond}))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy — the only thing shuffled
+    is the 16-byte digest, never the document body."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    k, bands, rpb = dedup.N_MINHASH, dedup.N_BANDS, dedup.N_MINHASH // dedup.N_BANDS
+    seeds = ", ".join(str(j) for j in range(k))
+    hcols = ", ".join(
+        f"MIN(CASE WHEN j = {j} THEN h END) AS h{j}" for j in range(k)
+    )
+    band_conds = []
+    for b in range(bands):
+        cols = [f"h{b * rpb + r}" for r in range(rpb)]
+        band_conds.append(" AND ".join(f"a.{c} = b.{c}" for c in cols))
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({cond})"
+        for cond in band_conds
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, s FROM words, UNNEST({_DUCK_SHINGLES}) AS t(s)
+    ),
+    hashed AS (
+      SELECT doc_id, j, {_duck_hash48("s || '#' || j")} AS h
+      FROM sh, UNNEST([{seeds}]) AS u(j)
+    ),
+    sig AS (
+      SELECT doc_id, {hcols} FROM (SELECT doc_id, j, MIN(h) AS h
+                                   FROM hashed GROUP BY doc_id, j)
+      GROUP BY doc_id
+    ),
+    cand AS (
+{cand_union}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({matches}) AS DOUBLE) / {float(k)} AS est_similarity
+    FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands of 2) candidate pairs with estimated
+    similarity. Signatures form inside the scan (array_min over
+    transform, no explode); only (band_idx, band_key) shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    bits = dedup.SIMHASH_BITS
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM documents, UNNEST({_DUCK_WORDS}) AS t(w)
+    ),
+    hashed AS (SELECT doc_id, {_duck_hash48('w')} AS h FROM tok),
+    v AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("dedup_simhash_fingerprints", oracle=_simhash_oracle())
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) fingerprints — integer vote arithmetic, exact in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs)
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH fp AS ({_simhash_oracle()}),
+    ext AS (
+      SELECT doc_id, simhash, simhash & 255 AS b_lo, simhash >> 8 AS b_hi FROM fp
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ext a JOIN ext b
+      ON a.doc_id < b.doc_id
+     AND (a.b_lo = b.b_lo OR a.b_hi = b.b_hi)
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash_near_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: half-fingerprint blocking + hamming
+    verification (hamming <= 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(docs)
+    return dedup.simhash_near_pairs(fps)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, source, n_chars, {_DUCK_WORDS} AS w FROM documents)
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 50
+    ) WHERE jaccard > 0.0
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked pairs (same source, length
+    delta <= 50). Blocking keeps the candidate count linear-ish — the
+    exact-verify stage of a MinHash pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, b)}) / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_cosine('a.embedding', 'q.qv')} AS cosine
+    FROM embeddings a, q WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector — the exact ANN
+    baseline. Unrolled codegen dot product, TakeOrderedAndProject top-k
+    (per-partition heaps, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_id=0, k=10)
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_cosine('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine > 0.3
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cosine > 0.3) —
+    pair generation co-partitioned on the block key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.3)
+
+
+@register("ann_topk_lsh")  # approximate by design -> rows-only check
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-k (the 100 TB scale path: bucket first,
+    score one bucket). Approximate — verified rows-only here and by
+    recall tests against the brute-force baseline in tests/."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, query_id=0, k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (regex-run) token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        text.subword_count("text").cast("bigint").alias("n_subwords"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS avg_token_len,
+           CAST({_duck_stop_filter(_DUCK_WORDS, text.STOPWORDS)} AS DOUBLE)
+             / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: char/token lengths, average token length,
+    stopword ratio — all engine-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text.LANG_LEXICON)
+    hits = {
+        lang: _duck_stop_filter("w", text.LANG_LEXICON[lang]) for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} >= {hits[o]}" for o in langs if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unk' END"
+    return f"""
+    SELECT doc_id, {case} AS lang_guess
+    FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language-ID heuristic (argmax with fixed CASE
+    order — deterministic; a model UDF plugs into the same shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.langid_guess("text").alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_duck_hash48('text')} AS feature_hash
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: binary payload column + mapInPandas
+    featurization (Arrow-batched). The featurizer is the deterministic
+    stub (media libs absent) — the oracle reproduces it exactly, proving
+    the Spark-side plumbing end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_assets(docs))

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference delegates all execution to BigQuery/MySQL servers
+(reference: core/bigquery/client.py:29-31, core/database/database_class.py:40-47);
+here the "server" is Spark itself, so the session carries the engine
+configuration: AQE for runtime re-planning (skew joins, partition
+coalescing), UTC session time so results are reproducible across hosts,
+Arrow for every Python boundary, and shuffle parallelism sized to the
+actual cores rather than the 200-partition default.
+
+Scale notes (100 TB / 1000 executors): everything configured here is
+cluster-size-agnostic — AQE coalesces the 32-partition local shuffle the
+same way it would coalesce a 2000-partition cluster shuffle; the only
+local-mode-specific knob is the master URL, which production deployments
+override via ``spark.master`` submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "bqxe-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — with AQE
+    partition coalescing enabled, this is an upper bound that AQE shrinks
+    for small shuffles; on a real cluster it should be ~2-3x total cores.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/root/repo/.spark-warehouse"),
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,116 @@
+"""LLM-pipeline operator semantics beyond the oracle gate: dedup recall
+on planted duplicates, ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_cross_environment_etl_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def docs_with_dups(spark):
+    """documents + planted exact and near duplicates."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    exact = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs_with_dups):
+    stats = dedup.exact_dedup_stats(docs_with_dups)
+    dup = stats.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["keeper_id"] == 3 and dup[0]["n_copies"] == 2
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs_with_dups):
+    sigs = dedup.minhash_signatures(docs_with_dups)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    hits = {
+        (r["doc_a"], r["doc_b"]): r["est_similarity"] for r in pairs.collect()
+    }
+    assert hits.get((3, 100003)) == 1.0, "exact dup must hash identically"
+    assert (5, 200005) in hits, "near dup must share at least one band"
+    assert hits[(5, 200005)] >= 0.5
+
+
+def test_ngram_jaccard_scores_planted_near_dup(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    hits = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert hits.get((3, 100003)) == 1.0
+    assert 0.8 < hits.get((5, 200005), 0.0) < 1.0
+
+
+def test_simhash_near_pairs_find_planted_near_dup(spark, docs_with_dups):
+    fps = dedup.simhash_fingerprints(docs_with_dups)
+    by_id = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert by_id[3] == by_id[100003], "identical text -> identical simhash"
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (3, 100003) in got
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = set(
+        r["vec_id"] for r in similarity.cosine_topk(emb, query_id=0, k=10).collect()
+    )
+    approx = similarity.ann_topk_lsh(emb, query_id=0, k=10, n_planes=2)
+    got = set(r["vec_id"] for r in approx.collect())
+    # 2 hyperplanes -> ~1/4 of the corpus scanned; require nontrivial recall
+    assert len(got) == 10
+    assert len(exact & got) >= 2, f"LSH recall too low: {exact & got}"
+    # every approx neighbor must carry a correct cosine (subset of exact math)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(emb, query_id=0, k=10**6).collect()
+    }
+    for r in approx.collect():
+        assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-12
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    assets = multimodal.synthesize_assets(docs)
+    assert dict(assets.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 50
+    by_id = {r["asset_id"]: r for r in feats}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import hashlib
+
+    for i, row in by_id.items():
+        assert row["n_bytes"] == len(src[i].encode())
+        assert row["feature_hash"] == int(
+            hashlib.md5(src[i].encode()).hexdigest()[:12], 16
+        )
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    assets = multimodal.synthesize_assets(docs)
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000)
+    rows = plan.collect()
+    assert rows, "video assets must produce frame rows"
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)

@@ -1,0 +1,83 @@
+"""Mirror of the driver's correctness gate: every query with an oracle
+must match DuckDB exactly (row count + column names + order-insensitive
+values, floats compared bitwise).
+
+Runs at sf0.001 by default for speed; set PARITY_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from bigquery_cross_environment_etl_pipeline_spark import queries_catalog
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _key(row):
+    return tuple(repr(_norm(v)) for v in row)
+
+
+QUERIES = queries_catalog.spark_queries()
+ORACLES = queries_catalog.oracle_queries()
+WITH_ORACLE = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.sql(ORACLES[name])
+    duck_cols_raw = list(res.columns)
+    assert sorted(duck_cols_raw) == spark_cols, (
+        f"{name}: column mismatch spark={spark_cols} duck={sorted(duck_cols_raw)}"
+    )
+    order = [duck_cols_raw.index(c) for c in spark_cols]
+    duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_sorted = sorted((_key(r) for r in spark_rows))
+    d_sorted = sorted((_key(r) for r in duck_rows))
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_all_queries_have_entries():
+    assert len(QUERIES) >= 20
+    missing_oracle = sorted(set(QUERIES) - set(ORACLES))
+    # approximate / protocol ops are allowed rows-only
+    assert all(
+        q.startswith(("ann_", "etl_", "streaming_")) for q in missing_oracle
+    ), f"unexpected rows-only queries: {missing_oracle}"
