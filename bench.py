@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "text_langid",
     "multimodal_features",
+    "asof_join_latest_order",
+    "range_join_events_5min",
+    "json_props_extract",
+    "token_topk",
+    "grouped_median_applyinpandas",
 ]
 
 

@@ -1,0 +1,368 @@
+"""Batch-2 query coverage: as-of / range joins, JSON extraction, word
+count, Pandas-UDF hooks, rollup, dedup-keep-first, protocol round-trip.
+
+Same oracle conventions as the rest of the catalog (see
+queries_catalog docstring).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.joins import asof_join, range_join
+from ..operators.text import tokens
+from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
+from ..sources.registry import load_table
+
+
+# --- as-of join (point-in-time lookup) --------------------------------------
+@register(
+    "asof_join_latest_order",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts_str,
+           o.o_orderkey,
+           strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS order_date_str
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event picks the customer's latest order at or
+    before the event time. Spark lacks the operator; composed as
+    union + last(ignorenulls) window — one shuffle on the key
+    (operators/joins.py). Orders pre-deduped to one per (cust, date) so
+    ties are deterministic in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+        how="left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_date_str"),
+    )
+
+
+# --- range (interval) join ----------------------------------------------------
+@register(
+    "range_join_events_5min",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def range_join_events_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs of the same user within 5 minutes
+    — equi key (user_id) bounds the shuffle; the range predicate filters
+    co-partitioned groups (operators/joins.py)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = events.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    out = range_join(
+        a,
+        b,
+        on=[a.user_id == b.user_b, F.col("event_a") < F.col("event_b")],
+        range_cond=(F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return out.select(
+        "event_a",
+        "event_b",
+        "user_id",
+        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_seconds"),
+    )
+
+
+# --- semi-structured (JSON) extraction -----------------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON column: extract ``$.k`` from the props string
+    and aggregate — stays in codegen via get_json_object."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- word count / vocabulary top-k ----------------------------------------------
+@register(
+    "token_topk",
+    oracle="""
+    SELECT w AS token, COUNT(*) AS n
+    FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    GROUP BY w ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode -> count -> TakeOrdered. The
+    grouped count is map-side partial, so the shuffle carries one row
+    per distinct token per partition — the canonical 100 TB word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# --- U1 transform hook as a vectorized Pandas UDF ---------------------------------
+@register(
+    "pandas_udf_transform_hook",
+    oracle="""
+    SELECT event_id, value * 1.1 AS value_scaled
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def pandas_udf_transform_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the reference's per-record custom-transform hook
+    (billing_etl.py:301-303, README.md:274-288) as an Arrow-vectorized
+    Pandas UDF — batch-at-a-time in pandas, never row-at-a-time."""
+
+    @F.pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 1.1
+
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", scale("value").alias("value_scaled")
+    )
+
+
+# --- grouped-map UDAF via applyInPandas ---------------------------------------------
+@register(
+    "grouped_median_applyinpandas",
+    oracle="""
+    SELECT user_id, median(value) AS median_value
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (median) via applyInPandas — the UDAF
+    extension shape: per-group pandas frame in, one row out."""
+
+    def median_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "median_value": [pdf["value"].median()]}
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
+        median_of, "user_id bigint, median_value double"
+    )
+
+
+# --- rollup (hierarchical grouping sets) ----------------------------------------------
+@register(
+    "rollup_order_year_priority",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM orders GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def rollup_order_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: year -> priority -> grand total in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- exact dedup, keep-first row --------------------------------------------------------
+@register(
+    "dedup_exact_kept_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep lowest doc_id per content hash — the
+    'materialize the deduped corpus' form (vs the stats form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# --- exact percentiles ---------------------------------------------------------------------
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (the approximate
+    variant — percentile_approx/t-digest — is the 100 TB path; exact is
+    the oracle-checkable baseline)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+# --- generic SQL execution surface (S6/S7) --------------------------------------------------
+@register(
+    "sql_passthrough_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+    """,
+)
+def sql_passthrough_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7: the reference's 'SQL string in, relation out' execution
+    layer (core/bigquery/client.py:29-31, database_class.py:40-47) —
+    here the string goes through Catalyst (parse/analyze/optimize
+    locally) over registered views instead of a remote service."""
+    from ..sources.registry import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_price
+        FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+        """
+    )
+
+
+# --- streaming windowed aggregation (rows-only: Structured Streaming) -----------------------
+@register("streaming_windowed_counts")
+def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3/T6 as a real Structured Streaming query: events flow through
+    a file stream -> watermark -> tumbling 1-day windows -> memory sink
+    (AvailableNow drains the backlog synchronously). Rows-only: the
+    driver can't express a streaming query in one oracle SQL statement,
+    but tests/test_streaming.py asserts window-for-window equality with
+    the batch computation."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"win_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_src_") as tmp:
+        src = f"{tmp}/src"
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        agg = stream_windowed_counts(
+            read_stream(spark, src, schema), window_size="1 day"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT window_start, event_type, n_events, total_value FROM {name}"
+    ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
+
+
+# --- protocol round-trip (rows-only: stateful, not SQL-expressible) -----------------------
+@register("etl_checkpoint_roundtrip")
+def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint protocol (T1-T4) driven end-to-end in temp space:
+    two incremental runs over events; returns the status log (org_id,
+    status, window rows). Rows-only check: stateful, not expressible as
+    one SQL query."""
+    import datetime as dt
+    import tempfile
+
+    from ..operators.checkpoint import CheckpointLog
+    from ..pipeline import process_etl_job
+
+    events = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="etl_roundtrip_") as tmp:
+        ckpt = CheckpointLog(spark, f"{tmp}/ckpt")
+        dest = f"{tmp}/dest"
+        r1 = process_etl_job(
+            spark, 1, events, "ts", dest, ckpt, now=dt.datetime(2024, 1, 15)
+        )
+        r2 = process_etl_job(
+            spark, 1, events, "ts", dest, ckpt, now=dt.datetime(2024, 2, 1)
+        )
+        log = ckpt.read().select("org_id", "project_id", "status").collect()
+    rows = [
+        (r1.org_id, "run1", r1.status, r1.rows_loaded),
+        (r2.org_id, "run2", r2.status, r2.rows_loaded),
+        (1, "log_statuses", "+".join(sorted(r["status"] for r in log)), len(log)),
+    ]
+    return spark.createDataFrame(
+        rows, "org_id long, step string, status string, n long"
+    )

@@ -45,6 +45,10 @@ QUERIES = queries_catalog.spark_queries()
 ORACLES = queries_catalog.oracle_queries()
 WITH_ORACLE = sorted(ORACLES)
 
+ONLY = os.environ.get("PARITY_ONLY")
+if ONLY:
+    WITH_ORACLE = [q for q in WITH_ORACLE if q in ONLY.split(",")]
+
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, name):
@@ -77,7 +81,14 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_have_entries():
     assert len(QUERIES) >= 20
     missing_oracle = sorted(set(QUERIES) - set(ORACLES))
-    # approximate / protocol ops are allowed rows-only
+    # approximate / stateful-protocol / streaming ops are allowed rows-only
     assert all(
-        q.startswith(("ann_", "etl_", "streaming_")) for q in missing_oracle
+        q.startswith(("ann_", "etl_", "streaming_", "approx_")) for q in missing_oracle
     ), f"unexpected rows-only queries: {missing_oracle}"
+
+
+def test_rows_only_queries_execute(spark):
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    for name in rows_only:
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() > 0, f"{name} returned no rows"
