@@ -200,15 +200,22 @@ def ngram_jaccard_pairs(
     |A ∩ B| / |A ∪ B| over distinct shingle sets — array_intersect /
     array_union are engine-side.
     """
-    # repartition on the block key = an exchange barrier that materializes
-    # the shingle arrays exactly once (instead of re-deriving them from
-    # raw text on each side of the self-join), and co-partitions the
-    # pair-generation join.
+    # Shingles are hashed to 48-bit ints BEFORE the pair join: the
+    # intersect/union then compares fixed-width integers instead of
+    # ~20-byte strings (3-4x cheaper), and the shuffled arrays are 8
+    # bytes/element. Same Jaccard value modulo 2^-48 collisions — and the
+    # oracle applies the identical hash, so parity is exact either way.
+    # The repartition on the block key is the exchange barrier that
+    # materializes the arrays once and co-partitions the self-join.
+    hashed = F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+    )
     sh = df.select(
         F.col(id_col),
         F.col(block_col),
         F.col(len_col),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
+        F.array_distinct(hashed).alias("sh"),
     ).repartition(F.col(block_col))
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(

@@ -298,6 +298,155 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- full outer join -----------------------------------------------------------------
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_customers, s.n_suppliers
+    FROM (SELECT c_nationkey, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations having customers, suppliers, or both —
+    aggregate-then-join keeps the outer join on tiny grouped inputs."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    s = supplier.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+# --- correlated-subquery shape: rows above their group average -------------------------
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    ) WHERE o_totalprice > cust_avg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders above their customer's
+    average) decorrelated into one window pass — no per-customer
+    re-scan. Average via decimal sum / count for oracle-exact doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- ranking windows ---------------------------------------------------------------------
+@register(
+    "order_value_ranks",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile per customer (total order via orderkey
+    tie-break keeps ntile deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# --- calendar rollup -----------------------------------------------------------------------
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY order_year, order_month
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: the cost-by-invoice-month analog of the
+    billing schema (invoice.month, dataset_utils.py:320-323)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- string function surface ------------------------------------------------------------------
+@register(
+    "string_functions_showcase",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS segment_replaced,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_building
+    FROM customer
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: case, substring, length, replace, pad,
+    edit distance — all codegen'd."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias(
+            "segment_replaced"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING"))
+        .cast("int")
+        .alias("lev_building"),
+    )
+
+
 # --- per-group stats -------------------------------------------------------------------
 @register(
     "event_type_stats",

@@ -194,8 +194,10 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
-      FROM (SELECT doc_id, source, n_chars, {_DUCK_WORDS} AS w FROM documents)
+      SELECT doc_id, source, n_chars, list(DISTINCT {_duck_hash48('s')}) AS sh
+      FROM (SELECT doc_id, source, n_chars, {_DUCK_WORDS} AS w FROM documents),
+           UNNEST({_DUCK_SHINGLES}) AS t(s)
+      GROUP BY doc_id, source, n_chars
     )
     SELECT * FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
