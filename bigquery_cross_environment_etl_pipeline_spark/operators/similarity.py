@@ -125,6 +125,88 @@ def cosine_neardup_pairs(
     )
 
 
+# --- IVF ANN (inverted-file index: the other scale path) --------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a deterministic IVF index: centroids = the ``n_centroids``
+    lowest-id vectors (reproducible seed choice — a production build
+    would run k-means|| here, same dataflow shape), then every vector is
+    assigned to its max-cosine centroid.
+
+    Returns (assigned, centroids): ``assigned`` adds a ``_cid`` column.
+    Assignment = broadcast the centroids, one pass over the corpus,
+    argmax via ``max_by`` on a (vec x centroid) explode — shuffle volume
+    O(n), never O(n^2). At 100 TB ``_cid`` becomes the partition column
+    so a query touches nprobe partitions.
+    """
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            norm_expr(vec_col, dim).alias("_cnrm"),
+        )
+    )
+    with_norm = embeddings.withColumn("_nrm", norm_expr(vec_col, dim))
+    scored = with_norm.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot_expr(vec_col, "_cvec", dim) / (F.col("_nrm") * F.col("_cnrm"))
+    )
+    assigned = scored.groupBy(id_col).agg(F.max_by("_cid", "_sim").alias("_cid"))
+    return (
+        embeddings.join(assigned, id_col),
+        centroids,
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the
+    ``nprobe`` centroids nearest the query — corpus scanned once for
+    assignment (amortized across queries when the index is persisted),
+    then ~nprobe/n_centroids of the data is distance-scored."""
+    assigned, centroids = ivf_assign(embeddings, n_centroids, id_col, vec_col, dim)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), norm_expr(vec_col, dim).alias("_qnrm")
+    )
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn(
+            "_sim", dot_expr("_cvec", "_qvec", dim) / (F.col("_cnrm") * F.col("_qnrm"))
+        )
+        .orderBy(F.desc("_sim"), F.asc("_cid"))
+        .limit(nprobe)
+        .select("_cid")
+    )
+    cand = assigned.join(F.broadcast(probe_cids), "_cid").filter(
+        F.col(id_col) != query_id
+    )
+    cos = dot_expr(vec_col, "_qvec", dim) / (
+        norm_expr(vec_col, dim) * F.col("_qnrm")
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -----------------------------------------
 
 

@@ -1,0 +1,77 @@
+"""Multi-tenant job orchestration (entry point 1 end-to-end, SURVEY.md §3.1).
+
+The reference handles ONE Pub/Sub message per invocation (main.py:11-52
+-> process_etl_job); this orchestrator takes a *batch* of envelopes and
+fans out: decode+validate (S5/U2) -> broadcast-join tenant config (J1) ->
+provision missing destinations (D7) -> run the incremental job per
+tenant (T1-T7).
+
+The driver loop iterates TENANTS (dozens), never rows — each job's data
+path is fully distributed; at 100 TB per tenant the loop body is the
+same partitioned scan/append as the single-tenant pipeline. Tenants
+could also run concurrently from a thread pool sharing the
+SparkSession's scheduler pools; kept sequential here for deterministic
+tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.checkpoint import CheckpointLog
+from .operators.config import ConfigStore, attach_config
+from .pipeline import JobResult, identity_transform, process_etl_job
+from .sources.pubsub import decode_envelopes, rejected_messages, valid_messages
+
+
+@dataclasses.dataclass
+class OrchestratorResult:
+    jobs: list[JobResult]
+    rejected_messages: int
+    unknown_orgs: list[int]
+
+
+def run_jobs_for_messages(
+    spark: SparkSession,
+    envelopes: DataFrame,
+    config: ConfigStore,
+    source: DataFrame,
+    ts_col: str,
+    dest_root: str,
+    checkpoints: CheckpointLog,
+    now: dt.datetime | None = None,
+    transform=identity_transform,
+) -> OrchestratorResult:
+    """Decode a batch of Pub/Sub envelopes and run one incremental ETL
+    job per distinct valid org (reference: one HTTP 400 per bad message,
+    main.py:33-38 — here bad messages are counted, good ones fan out)."""
+    now = now or dt.datetime.now()
+    decoded = decode_envelopes(envelopes)
+    n_rejected = rejected_messages(decoded).count()
+    msgs = valid_messages(decoded).select("org_id").distinct()
+    routed = attach_config(msgs, config.read(), "left")
+
+    jobs: list[JobResult] = []
+    unknown: list[int] = []
+    for row in sorted(routed.collect(), key=lambda r: r["org_id"]):
+        org_id = row["org_id"]
+        if row["projectid"] is None:
+            unknown.append(org_id)  # reference returns 404-ish per org
+            continue
+        jobs.append(
+            process_etl_job(
+                spark,
+                org_id,
+                source,
+                ts_col,
+                f"{dest_root}/org_{org_id}",
+                checkpoints,
+                project_id=row["projectid"],
+                transform=transform,
+                now=now,
+            )
+        )
+    return OrchestratorResult(jobs=jobs, rejected_messages=n_rejected, unknown_orgs=unknown)

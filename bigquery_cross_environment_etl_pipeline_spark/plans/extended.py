@@ -268,6 +268,94 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- merge / upsert (MERGE INTO emulation) --------------------------------------------------
+@register(
+    "merge_upsert_config",
+    oracle="""
+    SELECT k, name, v FROM (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS v
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+      UNION ALL
+      SELECT c_custkey AS k, upper(c_name) AS name, c_acctbal + 1000 AS v
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    """,
+)
+def merge_upsert_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped upsert (the reference's S11/S12 point UPDATEs
+    generalized): updates win per key, unmatched rows survive —
+    ``updates ∪ (target ⟕anti updates)`` (operators/upsert.py)."""
+    from ..operators.upsert import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("v"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") + 1000).alias("v"),
+    )
+    return merge_upsert(target, updates, ["k"])
+
+
+# --- salted join (skew mitigation must be result-invisible) ---------------------------------
+@register(
+    "salted_join_rollup",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: the salted join (operators/skew.py) must be
+    bit-identical to the plain join — the oracle IS the unsalted SQL."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(orders, customer, "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- approximate aggregates (rows-only: sketch-based by design) ------------------------------
+@register("approx_distinct_and_quantiles")
+def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + t-digest quantiles per event type — the
+    100 TB forms of COUNT(DISTINCT)/percentile (single pass, bounded
+    memory). Approximate by design -> rows-only here; tolerance vs exact
+    is asserted in tests/test_scale_ops.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
+    )
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (deterministic centroid seeds,
+    max_by assignment, nprobe probing) — the inverted-file scale path
+    beside the hyperplane-LSH one. Approximate -> rows-only; recall vs
+    brute force asserted in tests/test_scale_ops.py."""
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, query_id=7, k=10, n_centroids=8, nprobe=4)
+
+
 # --- generic SQL execution surface (S6/S7) --------------------------------------------------
 @register(
     "sql_passthrough_rollup",

@@ -1,0 +1,79 @@
+"""Scale-path operators: IVF ANN recall, salted join equivalence,
+merge upsert, approximate aggregates vs exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
+from bigquery_cross_environment_etl_pipeline_spark.operators.skew import salted_join
+from bigquery_cross_environment_etl_pipeline_spark.operators.upsert import merge_upsert
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, query_id=7, k=10).collect()
+    ]
+    approx = similarity.ann_topk_ivf(
+        emb, query_id=7, k=10, n_centroids=8, nprobe=4
+    ).collect()
+    got = [r["vec_id"] for r in approx]
+    assert len(got) == 10
+    # nprobe=4 of 8 centroids scans ~half the corpus -> decent recall
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.3, f"IVF recall too low: {recall} ({set(exact) & set(got)})"
+    # returned cosines must be exact for the vectors returned
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(emb, query_id=7, k=10**6).collect()
+    }
+    for r in approx:
+        assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-12
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(customer, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(orders, customer, "c_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_merge_upsert_last_write_wins(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    merged = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert merged == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_approx_aggregates_close_to_exact(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    exact = events.agg(
+        F.countDistinct("user_id").alias("d"),
+        F.percentile("value", 0.9).alias("p90"),
+    ).first()
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("d"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+    ).first()
+    assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.1
+    assert abs(approx["p90"] - exact["p90"]) / exact["p90"] < 0.05
