@@ -75,6 +75,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .plans import analytics, etl, extended, llm  # noqa: F401
+    from .plans import analytics, etl, extended, llm, nested  # noqa: F401
 
     _LOADED = True
