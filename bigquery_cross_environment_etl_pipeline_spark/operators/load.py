@@ -46,6 +46,7 @@ def load_append(
     batch_id: str,
     validate: Column | None = None,
     reject_path: str | None = None,
+    time_partition_col: str | None = None,
 ) -> LoadResult:
     """S8: append ``df`` to ``dest_path``, quarantining invalid rows.
 
@@ -54,8 +55,18 @@ def load_append(
     follows the reference's mapping (billing_etl.py:329-334):
     all good -> SUCCESS(200); some good -> PARTIAL_SUCCESS(206);
     none good -> FAILED(500).
+
+    ``time_partition_col``: a timestamp column to ALSO partition the
+    destination by date — the layout that lets the next incremental
+    window scan prune whole directories (the reference created its
+    destination unpartitioned, dataset_utils.py:334-338; SURVEY.md §4
+    flags time partitioning as the added optimization).
     """
     stamped = df.withColumn("_batch_id", F.lit(batch_id))
+    partition_cols = ["_batch_id"]
+    if time_partition_col:
+        stamped = stamped.withColumn("_dt", F.to_date(F.col(time_partition_col)))
+        partition_cols.append("_dt")
     ok = validate if validate is not None else F.lit(True)
     obs = Observation("load_accounting")
     observed = stamped.observe(
@@ -64,10 +75,10 @@ def load_append(
         F.sum(F.when(ok, 1).otherwise(0)).alias("good"),
     )
     good_rows = observed.filter(ok)
-    # Idempotent re-run: replace only this batch_id's partition.
+    # Idempotent re-run: replace only this batch's partitions.
     (
         good_rows.write.mode("overwrite")
-        .partitionBy("_batch_id")
+        .partitionBy(*partition_cols)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(dest_path)
     )

@@ -447,6 +447,29 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unpivot (stack) ----------------------------------------------------------------------
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot -> stack round-trip: wide per-type counts unpivoted back to
+    long form (zero-count combinations dropped to match the grouped
+    oracle) — proves pivot/unpivot are lossless inverses."""
+    wide = pivot_event_counts(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "user_id",
+            f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
 # --- per-group stats -------------------------------------------------------------------
 @register(
     "event_type_stats",
