@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "json_props_extract",
     "token_topk",
     "grouped_median_applyinpandas",
+    "shipping_priority_top10",
+    "returned_item_customers",
 ]
 
 
