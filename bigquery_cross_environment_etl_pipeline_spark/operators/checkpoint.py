@@ -27,9 +27,16 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Concurrent tenant jobs append to one status log; Spark's file commit
+#: protocol shares a _temporary dir per output path, so parallel appends
+#: to the SAME path must be serialized in-process. (On a cluster the log
+#: would be a transactional table and this lock disappears.)
+_APPEND_LOCK = threading.Lock()
 
 from ..schemas import CHECKPOINT_SCHEMA, STATUS_SUCCESS, VALID_STATUSES
 
@@ -65,7 +72,8 @@ class CheckpointLog:
             raise ValueError(f"invalid status {status!r}; expected one of {sorted(VALID_STATUSES)}")
         row = [(int(org_id), str(project_id), status, end_date_time, now or dt.datetime.now())]
         df = self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        with _APPEND_LOCK:
+            df.coalesce(1).write.mode("append").parquet(self.path)
 
     def last_success_watermark(self, org_id: int, project_id: str) -> dt.datetime | None:
         """S4: latest SUCCESS end_date_time for one tenant (T1)."""

@@ -44,6 +44,7 @@ def run_jobs_for_messages(
     checkpoints: CheckpointLog,
     now: dt.datetime | None = None,
     transform=identity_transform,
+    max_concurrency: int = 1,
 ) -> OrchestratorResult:
     """Decode a batch of Pub/Sub envelopes and run one incremental ETL
     job per distinct valid org (reference: one HTTP 400 per bad message,
@@ -56,22 +57,36 @@ def run_jobs_for_messages(
 
     jobs: list[JobResult] = []
     unknown: list[int] = []
+    runnable = []
     for row in sorted(routed.collect(), key=lambda r: r["org_id"]):
-        org_id = row["org_id"]
         if row["projectid"] is None:
-            unknown.append(org_id)  # reference returns 404-ish per org
-            continue
-        jobs.append(
-            process_etl_job(
-                spark,
-                org_id,
-                source,
-                ts_col,
-                f"{dest_root}/org_{org_id}",
-                checkpoints,
-                project_id=row["projectid"],
-                transform=transform,
-                now=now,
-            )
+            unknown.append(row["org_id"])  # reference returns 404-ish per org
+        else:
+            runnable.append(row)
+
+    def run_one(row) -> JobResult:
+        return process_etl_job(
+            spark,
+            row["org_id"],
+            source,
+            ts_col,
+            f"{dest_root}/org_{row['org_id']}",
+            checkpoints,
+            project_id=row["projectid"],
+            transform=transform,
+            now=now,
         )
+
+    if max_concurrency > 1 and len(runnable) > 1:
+        # Tenant jobs are independent DAGs — submit them from a thread
+        # pool so Spark's scheduler interleaves their stages (FAIR mode
+        # recommended on a shared cluster). The checkpoint log is
+        # append-only, so concurrent per-tenant status writes don't
+        # conflict.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            jobs = list(pool.map(run_one, runnable))
+    else:
+        jobs = [run_one(row) for row in runnable]
     return OrchestratorResult(jobs=jobs, rejected_messages=n_rejected, unknown_orgs=unknown)
