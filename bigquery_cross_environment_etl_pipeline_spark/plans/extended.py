@@ -329,6 +329,73 @@ def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- data-quality profiling --------------------------------------------------------------------
+@register(
+    "profile_events_columns",
+    oracle="""
+    SELECT 'event_type' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT event_type) AS n_distinct,
+           MIN(CAST(event_type AS VARCHAR)) AS min_str,
+           MAX(CAST(event_type AS VARCHAR)) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT user_id),
+           MIN(CAST(user_id AS VARCHAR)), MAX(CAST(user_id AS VARCHAR))
+    FROM events
+    """,
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the reference's aspirational validation,
+    README.md:349, made real): per-column completeness/cardinality/range
+    in ONE aggregation pass (operators/quality.py)."""
+    from ..operators.quality import profile
+
+    events = load_table(spark, sf_dir, "events")
+    return profile(events, ["event_type", "user_id"])
+
+
+@register(
+    "validated_events_split",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE value >= 0 AND event_type IN ('click','error','purchase','signup','view')
+      AND user_id IS NOT NULL
+    """,
+)
+def validated_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule check: the valid-rows side of check_rules — the
+    generalized load-validation predicate (S8's row accounting)."""
+    from ..operators.quality import check_rules
+
+    events = load_table(spark, sf_dir, "events")
+    valid, _violations = check_rules(
+        events,
+        {
+            "non_negative_value": F.col("value") >= 0,
+            "known_event_type": F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            ),
+            "user_present": F.col("user_id").isNotNull(),
+        },
+    )
+    return valid.select("event_id", "event_type", "value")
+
+
+# --- stratified sampling (rows-only: sampling is engine-seeded) --------------------------------
+@register("stratified_sample_by_type")
+def stratified_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling per event_type (sampleBy with per-stratum
+    fractions, fixed seed) — the training-data subsampling op. Sampling
+    RNG is engine-specific -> rows-only; fraction tolerances asserted in
+    tests/test_quality_ops.py."""
+    events = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.0}
+    return events.sampleBy("event_type", fractions, seed=42)
+
+
 # --- approximate aggregates (rows-only: sketch-based by design) ------------------------------
 @register("approx_distinct_and_quantiles")
 def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

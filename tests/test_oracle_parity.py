@@ -83,7 +83,8 @@ def test_all_queries_have_entries():
     missing_oracle = sorted(set(QUERIES) - set(ORACLES))
     # approximate / stateful-protocol / streaming ops are allowed rows-only
     assert all(
-        q.startswith(("ann_", "etl_", "streaming_", "approx_")) for q in missing_oracle
+        q.startswith(("ann_", "etl_", "streaming_", "approx_", "stratified_"))
+        for q in missing_oracle
     ), f"unexpected rows-only queries: {missing_oracle}"
 
 
