@@ -128,6 +128,42 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs)
 
 
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_similarity >= 0.5),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM strong
+            UNION SELECT doc_b, doc_a FROM strong),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    ),
+    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@register("dedup_minhash_clusters", oracle=_clusters_oracle())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup finisher: MinHash candidate pairs (est >= 0.5) ->
+    connected components -> one cluster id (= keeper) per document,
+    singletons keeping their own id. Iterative min-label propagation on
+    DataFrames (operators/components.py); the oracle computes the same
+    transitive closure with a recursive CTE."""
+    from ..operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_similarity") >= 0.5
+    )
+    return dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash
 # ---------------------------------------------------------------------------
@@ -216,6 +252,56 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify stage of a MinHash pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term weighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_style_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w AS token
+      FROM documents, UNNEST({_DUCK_WORDS}) AS t(w)
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY doc_id, token),
+    doclen AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.n AS DOUBLE) / doclen.len AS tf_ratio,
+           CAST(total.n_docs AS DOUBLE) / df.df AS idf_ratio
+    FROM tf
+    JOIN doclen ON tf.doc_id = doclen.doc_id
+    JOIN df ON tf.token = df.token
+    CROSS JOIN total
+    WHERE df.df >= 100
+    """,
+)
+def tfidf_style_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped term weighting: term frequency ratio per doc x
+    inverse document-frequency ratio (ratio form, not log — JVM and
+    libm log() differ in the last ulp, so the oracle-exact variant keeps
+    pure divisions; a production scorer applies log at the consumer).
+    Restricted to common tokens (df >= 100) to bound output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df_counts = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    return (
+        tf.join(doclen, "doc_id")
+        .join(df_counts.filter(F.col("df") >= 100), "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("n").cast("double") / F.col("len")).alias("tf_ratio"),
+            (F.lit(float(n_docs)) / F.col("df")).alias("idf_ratio"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
