@@ -329,6 +329,25 @@ def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- referential-integrity check -----------------------------------------------------------------
+@register(
+    "integrity_orphan_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def integrity_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders whose customer is missing —
+    a left-anti join that SHOULD return zero rows on consistent data
+    (the empty result is itself the assertion, and the oracle agrees)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
 # --- data-quality profiling --------------------------------------------------------------------
 @register(
     "profile_events_columns",
