@@ -329,6 +329,48 @@ def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- continuously-maintained rollup (hypertable continuous-aggregate shape) ----------------------
+@register(
+    "rollup_continuous_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_str,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY bucket_str, event_type
+    """,
+)
+def rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly rollup built from
+    TWO incremental batch updates (split at mid-month) must equal the
+    one-shot SQL aggregate — count/sum/min/max partials merge exactly
+    (operators/rollup.py). This is the pattern that serves dashboard
+    queries at 100 TB without rescanning history."""
+    import datetime as dt
+    import tempfile
+
+    from ..operators.rollup import RollupTable
+
+    events = load_table(spark, sf_dir, "events")
+    mid = dt.datetime(2024, 1, 15)
+    with tempfile.TemporaryDirectory(prefix="rollup_") as tmp:
+        table = RollupTable(spark, f"{tmp}/rollup")
+        table.update(events.filter(F.col("ts") < F.lit(mid)))
+        table.update(events.filter(F.col("ts") >= F.lit(mid)))
+        out = table.read()
+        rows = out.collect()
+    materialized = spark.createDataFrame(rows, out.schema)
+    return materialized.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 # --- referential-integrity check -----------------------------------------------------------------
 @register(
     "integrity_orphan_orders",
