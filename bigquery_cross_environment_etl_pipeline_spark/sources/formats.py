@@ -1,0 +1,92 @@
+"""Source/sink format connectors.
+
+The reference's endpoints are BigQuery (columnar service) and MySQL
+(JDBC): here parquet is the primary columnar store and this module adds
+the interchange formats a pipeline meets at its edges — CSV / JSON /
+ORC with explicit schemas (schema inference is disabled by design: at
+100 TB an inference pass is a full extra scan, and inferred types
+drift between runs), plus the JDBC reader shape for real MySQL parity.
+
+Scale notes: CSV/JSON are row-oriented text — fine as ingestion edges,
+never as the analytical store; the write helpers exist mostly to feed
+external consumers. ORC/parquet carry column pruning + predicate
+pushdown. JDBC reads are partitioned on a numeric column so one table
+read fans out across executors instead of one connection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TEXT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TEXT_TS_FMT)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", TEXT_TS_FMT)
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampFormat", TEXT_TS_FMT).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema).option("timestampFormat", TEXT_TS_FMT).json(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """Configured JDBC read (the reference's MySQL side, reference
+    core/database/database_class.py:12-38). Returns the reader so
+    callers can `.load()` when a server is reachable; partitioned on a
+    numeric column so the scan parallelizes. Requires the JDBC driver
+    jar on the classpath (not bundled in this image — the ETL tests use
+    the parquet-backed stores instead)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    return reader

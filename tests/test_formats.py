@@ -1,0 +1,65 @@
+"""Interchange-format round-trips: CSV / JSON / ORC with explicit
+schemas must preserve the events table exactly (µs timestamps incl.)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquery_cross_environment_etl_pipeline_spark.sources import formats
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_csv_roundtrip(spark, tmp_path, events):
+    path = str(tmp_path / "csv")
+    formats.write_csv(events, path)
+    back = formats.read_csv(spark, path, events.schema)
+    assert back.schema == events.schema
+    assert _canon(back) == _canon(events)
+
+
+def test_json_roundtrip(spark, tmp_path, events):
+    path = str(tmp_path / "json")
+    formats.write_json(events, path)
+    back = formats.read_json(spark, path, events.schema)
+    assert _canon(back) == _canon(events)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, events):
+    path = str(tmp_path / "orc")
+    formats.write_orc(events, path)
+    back = formats.read_orc(spark, path)
+    assert _canon(back) == _canon(events)
+    plan = (
+        back.filter("event_id < 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_id" in plan.split("PushedFilters")[-1]
+
+
+def test_jdbc_reader_is_configured_not_loaded(spark):
+    reader = formats.jdbc_reader(
+        spark,
+        url="jdbc:mysql://localhost:3306/pulse",
+        table="billing_alerts_setting",
+        user="u",
+        password="p",
+        partition_column="org_id",
+    )
+    # no MySQL server / driver jar in this environment: the reader is a
+    # configured handle; loading must fail with a driver/connection
+    # error, not a config error
+    with pytest.raises(Exception):
+        reader.load()
