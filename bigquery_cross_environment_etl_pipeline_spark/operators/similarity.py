@@ -128,23 +128,84 @@ def cosine_neardup_pairs(
 # --- IVF ANN (inverted-file index: the other scale path) --------------------
 
 
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """(vec_id, _cid) argmax-cosine assignment: broadcast the centroid
+    table, one corpus pass, ``max_by`` aggregation — shuffle volume
+    O(n), never O(n^2)."""
+    with_norm = embeddings.withColumn("_nrm", norm_expr(vec_col, dim))
+    scored = with_norm.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot_expr(vec_col, "_cvec", dim) / (F.col("_nrm") * F.col("_cnrm"))
+    )
+    return scored.groupBy(id_col).agg(F.max_by("_cid", "_sim").alias("_cid"))
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Lloyd refinement of IVF centroids, pure DataFrame ops (the
+    dataflow shape of k-means||'s final Lloyd phase).
+
+    Each iteration is two stages: (1) assignment — broadcast centroids,
+    one corpus pass, ``max_by`` argmax; (2) update — element-wise mean
+    of each cluster's members as ``dim`` independent ``avg`` aggregates,
+    which Spark partial-aggregates map-side, so the shuffle carries
+    #partitions x #centroids rows regardless of corpus size. A centroid
+    that loses all members keeps its previous position (coalesce), so
+    the index never silently shrinks. Deterministic given deterministic
+    seeds: means are exact per-cluster aggregates, no RNG.
+    """
+    for _ in range(n_iters):
+        assigned = _assign_to_centroids(embeddings, centroids, id_col, vec_col, dim)
+        members = embeddings.join(assigned, id_col)
+        means = members.groupBy("_cid").agg(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"_m{i}")
+                for i in range(dim)
+            ]
+        )
+        new_vec = F.array(*[F.col(f"_m{i}") for i in range(dim)])
+        refreshed = (
+            centroids.select("_cid", F.col("_cvec").alias("_old"))
+            .join(means, "_cid", "left")
+            .select(
+                "_cid",
+                F.coalesce(new_vec, F.col("_old").cast("array<double>")).alias("_cvec"),
+            )
+            .withColumn("_cnrm", norm_expr("_cvec", dim))
+        )
+        # Materialize each iteration: Lloyd is inherently iterative and
+        # re-deriving N rounds lazily would replay the whole lineage.
+        centroids = refreshed.localCheckpoint(eager=True)
+    return centroids
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
 ) -> tuple[DataFrame, DataFrame]:
-    """Build a deterministic IVF index: centroids = the ``n_centroids``
-    lowest-id vectors (reproducible seed choice — a production build
-    would run k-means|| here, same dataflow shape), then every vector is
-    assigned to its max-cosine centroid.
+    """Build a deterministic IVF index: seed centroids = the
+    ``n_centroids`` lowest-id vectors (reproducible), optionally refined
+    with ``refine_iters`` Lloyd iterations (``kmeans_refine``), then
+    every vector is assigned to its max-cosine centroid.
 
     Returns (assigned, centroids): ``assigned`` adds a ``_cid`` column.
-    Assignment = broadcast the centroids, one pass over the corpus,
-    argmax via ``max_by`` on a (vec x centroid) explode — shuffle volume
-    O(n), never O(n^2). At 100 TB ``_cid`` becomes the partition column
-    so a query touches nprobe partitions.
+    At 100 TB ``_cid`` becomes the partition column so a query touches
+    nprobe partitions.
     """
     centroids = (
         embeddings.orderBy(id_col)
@@ -155,11 +216,11 @@ def ivf_assign(
             norm_expr(vec_col, dim).alias("_cnrm"),
         )
     )
-    with_norm = embeddings.withColumn("_nrm", norm_expr(vec_col, dim))
-    scored = with_norm.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", dot_expr(vec_col, "_cvec", dim) / (F.col("_nrm") * F.col("_cnrm"))
-    )
-    assigned = scored.groupBy(id_col).agg(F.max_by("_cid", "_sim").alias("_cid"))
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            embeddings, centroids, refine_iters, id_col, vec_col, dim
+        )
+    assigned = _assign_to_centroids(embeddings, centroids, id_col, vec_col, dim)
     return (
         embeddings.join(assigned, id_col),
         centroids,
@@ -172,6 +233,7 @@ def ann_topk_ivf(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
@@ -180,7 +242,9 @@ def ann_topk_ivf(
     ``nprobe`` centroids nearest the query — corpus scanned once for
     assignment (amortized across queries when the index is persisted),
     then ~nprobe/n_centroids of the data is distance-scored."""
-    assigned, centroids = ivf_assign(embeddings, n_centroids, id_col, vec_col, dim)
+    assigned, centroids = ivf_assign(
+        embeddings, n_centroids, refine_iters, id_col, vec_col, dim
+    )
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec"), norm_expr(vec_col, dim).alias("_qnrm")
     )

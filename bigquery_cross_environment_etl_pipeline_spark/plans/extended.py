@@ -484,6 +484,21 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, query_id=7, k=10, n_centroids=8, nprobe=4)
 
 
+@register("ann_topk_ivf_kmeans")
+def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with 2 Lloyd iterations refining the seed centroids
+    (operators/similarity.kmeans_refine): assignment + element-wise-mean
+    update, both pure DataFrame aggregations. Better-balanced cells ->
+    better recall per probed fraction. Approximate -> rows-only; recall
+    asserted in tests/test_scale_ops.py."""
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, query_id=7, k=10, n_centroids=8, nprobe=4, refine_iters=2
+    )
+
+
 # --- generic SQL execution surface (S6/S7) --------------------------------------------------
 @register(
     "sql_passthrough_rollup",

@@ -53,3 +53,66 @@ def stream_user_totals_with_state(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------------
+#
+# The successor API to applyInPandasWithState: state is declared as named,
+# typed handles (value/list/map state) on a processor object instead of one
+# opaque tuple, and the runtime requires the RocksDB state store (state
+# spills to disk — the 100 TB-safe configuration, where per-key state no
+# longer has to fit in executor heap).
+
+try:  # Spark >= 4.0 only; engine degrades gracefully on 3.x
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        """Same running (count, sum) semantics as ``_update_user_totals``
+        — intentionally, so tests can assert both APIs converge to the
+        identical batch answer — but held in a named ValueState handle."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def stream_user_totals_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas``.
+
+    Requires the session to run the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set it on the
+    writeStream's session before starting the query. The streaming
+    Python driver worker also imports ``google.protobuf`` at runtime
+    (state-server wire protocol) — a standard cluster dependency.
+    """
+    if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -36,6 +36,44 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
         assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-12
 
 
+def test_kmeans_refined_ivf_recall_and_exact_cosines(spark):
+    """Lloyd-refined centroids must keep the index complete (every
+    vector assigned, centroid count preserved) and produce recall at
+    least as usable as the seeded index, with exact cosines for
+    whatever it returns."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centroids = similarity.ivf_assign(emb, n_centroids=8, refine_iters=2)
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()
+    # refined centroids moved off the seed vectors (means, not members)
+    seed_ids = {r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()}
+    seed_vecs = {
+        tuple(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    moved = [
+        tuple(r["_cvec"]) not in seed_vecs for r in centroids.collect()
+    ]
+    assert any(moved), "Lloyd iterations changed no centroid"
+
+    exact = [
+        r["vec_id"] for r in similarity.cosine_topk(emb, query_id=7, k=10).collect()
+    ]
+    approx = similarity.ann_topk_ivf(
+        emb, query_id=7, k=10, n_centroids=8, nprobe=4, refine_iters=2
+    ).collect()
+    got = [r["vec_id"] for r in approx]
+    assert len(got) == 10
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.3, f"refined-IVF recall too low: {recall}"
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(emb, query_id=7, k=10**6).collect()
+    }
+    for r in approx:
+        assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-12
+
+
 def test_salted_join_equals_plain_join(spark):
     orders = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
         "o_custkey", "c_custkey"
