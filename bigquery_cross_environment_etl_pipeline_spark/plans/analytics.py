@@ -576,3 +576,74 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- lead/lag + first/last analytic frame ---------------------------------------------
+@register(
+    "user_event_deltas",
+    oracle=f"""
+    SELECT user_id, event_id,
+           value - lag(value)  OVER w AS delta_prev,
+           lead(value)         OVER w - value AS delta_next,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offsets and first/last_value frames per user timeline —
+    the remaining analytic-window forms beside rank/ntile/running sums.
+    Single IEEE subtractions, so the oracle matches bitwise; last_value
+    needs the unbounded-following frame on BOTH engines (the default
+    frame ends at CURRENT ROW). One shuffle on user_id serves all five
+    expressions (same window spec -> one Window physical node)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+# --- explicit GROUPING SETS + grouping_id ---------------------------------------------
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus)  AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup): per-priority,
+    per-status, and grand-total groups in ONE pass over orders — Spark
+    expands the sets and aggregates once, vs three scans if issued
+    separately. grouping() markers disambiguate the NULLs produced by
+    set expansion from genuine NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus)  AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_value
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

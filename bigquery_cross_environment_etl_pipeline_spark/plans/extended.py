@@ -128,6 +128,43 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via VariantType (Spark 4): ``parse_json`` once
+    into the binary variant encoding, then ``variant_get`` path
+    extraction — at 100 TB the parse cost is paid once (variant columns
+    persist shredded in parquet) instead of per ``get_json_object``
+    call, and extraction is a binary offset lookup, not a string scan.
+    Same relational answer as the string-path query, so the DuckDB JSON
+    oracle checks it bitwise."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- word count / vocabulary top-k ----------------------------------------------
 @register(
     "token_topk",
