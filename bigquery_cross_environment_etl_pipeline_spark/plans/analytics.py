@@ -84,22 +84,30 @@ def grouped_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join rollup (TPC-H Q5 shape). Join order: fact tables first
-    (lineitem ⋈ orders shuffles on the shared key), then the small dims
-    join broadcast — at 100 TB the only shuffles are the two fact keys."""
+    """Multi-join rollup (TPC-H Q5 shape), with the revenue aggregation
+    *pushed below the join*: lineitem is pre-aggregated per orderkey
+    before meeting orders, so the orderkey shuffle carries one row per
+    order instead of one per lineitem (~4x fewer rows at TPC-H ratios).
+    Decimal partial sums re-sum exactly, so the answer is bitwise
+    identical to the single-level form. Small dims then join broadcast
+    — at 100 TB the only shuffles are the two fact keys."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(price * (F.lit(1) - disc)).alias("_rev"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            _money(price * (F.lit(1) - disc), "revenue"),
+            F.sum("_n").cast("bigint").alias("n_lineitems"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
         )
     )
 
