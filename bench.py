@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "grouped_median_applyinpandas",
     "shipping_priority_top10",
     "returned_item_customers",
+    "corpus_token_budget_curation",
 ]
 
 

@@ -1,0 +1,146 @@
+"""End-to-end training-corpus curation (north-star composite).
+
+Composes the text-analysis and dedup primitives into the canonical
+LLM-data-pipeline shape: quality filter -> language filter -> exact
+dedup -> deterministic token-budget cut. The reference has no analog
+(its transform hook is identity, billing_etl.py:301-303); this is the
+"what you'd actually run at 100 TB" composition of this engine's ops.
+
+The budget cut needs a GLOBAL running sum in a stable order. A naive
+``Window.orderBy(doc_id)`` with no partition key moves the entire
+corpus through ONE task — correct at test scale, fatal at 100 TB. So
+``global_running_sum`` implements the classic two-phase distributed
+prefix sum instead:
+
+1. pick range boundaries ONCE on the driver (approxQuantile — a cheap
+   single-column pass) and assign each row a bucket id as a pure
+   column expression over those literal boundaries. NOT
+   ``repartitionByRange`` + ``spark_partition_id()``: range partitioner
+   boundaries are re-SAMPLED per job, so two actions over the same
+   lineage can disagree on who owns which row;
+2. per-bucket running sums in parallel (window partitioned by the
+   bucket id);
+3. aggregate one subtotal per bucket — a #buckets-row relation —
+   collect it, prefix-sum it on the driver, and broadcast-join the
+   exclusive offsets back.
+
+Total data movement: one hash exchange on the bucket id + a
+#buckets-row side table, vs. the naive plan's everything-to-one-task.
+The result is independent of the boundary placement (the prefix
+arithmetic is exact integers), so the same answer comes out at any
+parallelism — which is what lets a single-partition DuckDB oracle
+check it bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import dedup  # noqa: F401  (re-exported pipeline stage)
+from .text import langid_guess, quality_features
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``weight_col`` in ``order_col``
+    order, without a single-partition window (see module docstring).
+
+    ``order_col`` must be unique and numeric (it defines the global
+    order; approxQuantile picks the bucket boundaries). The weight is
+    summed as bigint — exact, so boundary placement cannot perturb the
+    result.
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    boundaries: list[float] = []
+    if n_parts > 1:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        # driver-side constants: every later job sees the SAME buckets
+        boundaries = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    ranged = df.withColumn("_pid", bucket.cast("int")).repartition(
+        len(boundaries) + 1, "_pid"
+    )
+    local = ranged.withColumn(
+        "_local_sum",
+        F.sum(F.col(weight_col).cast("bigint")).over(
+            W.partitionBy("_pid").orderBy(order_col)
+        ),
+    )
+    # one row per bucket; collect is O(#buckets), never O(rows)
+    subtotals = {
+        r["_pid"]: r["_tot"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("_tot"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(offsets, "_pid int, _offset bigint")
+    return (
+        local.join(F.broadcast(offset_df), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_sum")).cast("bigint"))
+        .drop("_pid", "_local_sum", "_offset")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    token_budget: int,
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality -> language -> exact-dedup -> token-budget curation.
+
+    Stages (each a pure DataFrame op, all fused by Catalyst where
+    possible):
+    - quality features + language guess inside the scan stage;
+    - exact dedup keeps the min-id copy per content digest (the digest
+      is the only thing shuffled, never the text);
+    - the token budget admits documents in ``id_col`` order while the
+      inclusive running total stays within ``token_budget``.
+
+    Returns the admitted documents with their features and the running
+    total, ordered by ``id_col``.
+    """
+    feats = quality_features(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        langid_guess(text_col).alias("lang"),
+    )
+    keeper = W.partitionBy(F.md5(F.col(text_col)))
+    deduped = (
+        scored.withColumn("_keeper_id", F.min(id_col).over(keeper))
+        .filter(F.col(id_col) == F.col("_keeper_id"))
+        .drop("_keeper_id")
+    )
+    filtered = deduped.filter(
+        (F.col("lang") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    with_running = global_running_sum(
+        filtered, order_col=id_col, weight_col="n_tokens", out_col="cum_tokens"
+    )
+    return (
+        with_running.filter(F.col("cum_tokens") <= token_budget)
+        .select(id_col, "n_tokens", "stopword_ratio", "lang", "cum_tokens")
+        .orderBy(id_col)
+    )

@@ -469,3 +469,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark-side plumbing end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(synthesize_assets(docs))
+
+
+# ---------------------------------------------------------------------------
+# Composite curation pipeline (quality -> lang -> dedup -> token budget)
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle(
+    budget: int, lang: str, min_tokens: int, min_stop_ratio: float
+) -> str:
+    langs = sorted(text.LANG_LEXICON)
+    hits = {l: _duck_stop_filter("w", text.LANG_LEXICON[l]) for l in langs}
+    whens = []
+    for l in langs:
+        conds = [f"{hits[l]} > 0"] + [
+            f"{hits[l]} >= {hits[o]}" for o in langs if o != l
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    lang_case = "CASE " + " ".join(whens) + " ELSE 'unk' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST({_duck_stop_filter('w', text.STOPWORDS)} AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+             {lang_case} AS lang
+      FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _keeper
+        FROM scored
+      ) WHERE doc_id = _keeper
+    ),
+    filtered AS (
+      SELECT doc_id, n_tokens, stopword_ratio, lang FROM deduped
+      WHERE lang = '{lang}' AND n_tokens >= {min_tokens}
+        AND stopword_ratio >= {min_stop_ratio}
+    ),
+    admitted AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      FROM filtered
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, lang, cum_tokens
+    FROM admitted WHERE cum_tokens <= {budget} ORDER BY doc_id
+    """
+
+
+@register(
+    "corpus_token_budget_curation",
+    oracle=_curation_oracle(budget=5000, lang="en", min_tokens=5, min_stop_ratio=0.05),
+)
+def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation composite
+    (operators/curation.py): quality features + language-ID in the scan
+    stage, exact dedup on content digest, then a deterministic global
+    token-budget cut via a two-phase distributed prefix sum — no
+    single-partition window anywhere, so the same plan holds at 100 TB.
+    The oracle's single-partition running sum checks it bitwise."""
+    from ..operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, token_budget=5000, lang="en", min_tokens=5, min_stopword_ratio=0.05
+    )

@@ -1,0 +1,63 @@
+"""Curation composite: the two-phase distributed prefix sum must equal
+the naive single-partition window at any parallelism, and the budget cut
+must be tight (admits a prefix; the next doc would exceed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from bigquery_cross_environment_etl_pipeline_spark.operators.curation import (
+    curate_corpus,
+    global_running_sum,
+)
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+BUDGET = 5000
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", F.col("user_id").alias("w")
+    )
+    naive = {
+        r["event_id"]: r["cum"]
+        for r in events.withColumn(
+            "cum", F.sum(F.col("w").cast("bigint")).over(W.orderBy("event_id"))
+        ).collect()
+    }
+    for n_parts in (1, 3, 8):
+        got = {
+            r["event_id"]: r["running_total"]
+            for r in global_running_sum(
+                events, "event_id", "w", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == naive, f"two-phase prefix sum diverged at {n_parts} partitions"
+
+
+def test_curation_budget_is_tight_prefix(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = curate_corpus(docs, token_budget=BUDGET).collect()
+    assert out, "curation admitted nothing"
+    # inclusive running total stays within budget and is a true prefix:
+    # monotone doc_id order, cum_tokens = running sum of n_tokens
+    cum = 0
+    last_id = -1
+    for r in out:
+        assert r["doc_id"] > last_id
+        last_id = r["doc_id"]
+        cum += r["n_tokens"]
+        assert cum == r["cum_tokens"]
+        assert cum <= BUDGET
+    # tightness: re-running with a budget one token below the last
+    # admitted total must drop the last doc
+    smaller = curate_corpus(docs, token_budget=out[-1]["cum_tokens"] - 1).collect()
+    assert [r["doc_id"] for r in smaller] == [r["doc_id"] for r in out[:-1]]
+    # every admitted doc passes the filters it was admitted under
+    for r in out:
+        assert r["lang"] == "en"
+        assert r["n_tokens"] >= 5
+        assert r["stopword_ratio"] >= 0.05
