@@ -534,3 +534,26 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         docs, token_budget=5000, lang="en", min_tokens=5, min_stopword_ratio=0.05
     )
+
+
+@register(
+    "multimodal_features_arrow",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_duck_hash48('text')} AS feature_hash
+    FROM documents
+    """,
+)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow (zero-copy) variant of multimodal featurization:
+    payload bytes stay in Arrow buffers end-to-end — no per-row pandas
+    object copy, which dominates cost for multi-MB media payloads. Same
+    oracle as the pandas path because the output is bit-identical."""
+    from ..operators.multimodal import extract_features_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features_arrow(synthesize_assets(docs))

@@ -102,6 +102,17 @@ def test_multimodal_feature_plumbing(spark):
         )
 
 
+def test_multimodal_arrow_path_matches_pandas_path(spark):
+    """mapInArrow featurizer must be bit-identical to the mapInPandas
+    one (same hash, same lengths) — the zero-copy path changes the
+    transport, never the answer."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    assets = multimodal.synthesize_assets(docs)
+    via_pandas = sorted(map(tuple, multimodal.extract_features(assets).collect()))
+    via_arrow = sorted(map(tuple, multimodal.extract_features_arrow(assets).collect()))
+    assert via_pandas == via_arrow
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
