@@ -136,6 +136,14 @@ def curate_corpus(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     )
+    # The budget stage runs three jobs (quantile probe, bucket
+    # subtotals, final cut). Materialize the admitted METADATA once —
+    # id + three numbers per doc, the text column dropped — so the
+    # expensive score/dedup lineage over the full corpus isn't replayed
+    # per job. At 100 TB this relation is ~10^-5 of the corpus.
+    filtered = filtered.select(
+        id_col, "n_tokens", "stopword_ratio", "lang"
+    ).localCheckpoint(eager=True)
     with_running = global_running_sum(
         filtered, order_col=id_col, weight_col="n_tokens", out_col="cum_tokens"
     )
