@@ -691,3 +691,34 @@ def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- array functions showcase ----------------------------------------------------------
+@register(
+    "array_functions_user_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
+           list_has_any(list(DISTINCT event_type), ['purchase']) AS has_purchase,
+           list_sort(list_intersect(list(DISTINCT event_type),
+                                    ['purchase', 'signup'])) AS conversion_types
+    FROM events WHERE user_id < 100 GROUP BY user_id
+    """,
+)
+def array_functions_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed aggregation + array functions (collect_set,
+    array_sort, array_contains, array_intersect): per-user event-type
+    profiles as first-class array values. collect_set partial-aggregates
+    map-side (sets union associatively), so the shuffle carries distinct
+    types per user per partition, never raw events."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    types = F.array_sort(F.collect_set("event_type"))
+    return events.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+        F.array_sort(
+            F.array_intersect(types, F.array(F.lit("purchase"), F.lit("signup")))
+        ).alias("conversion_types"),
+    )

@@ -58,6 +58,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions
+    the footers of every file, so batches written before a column was
+    added surface it as NULL instead of failing the read. The merge
+    touches footers only (no data scan); at 100 TB the steady-state
+    alternative — declaring the current schema explicitly with
+    ``.schema(...)`` — skips even that, so this reader is for the
+    evolving-ingest edge, not the hot path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def jdbc_reader(
     spark: SparkSession,
     url: str,
