@@ -722,3 +722,35 @@ def array_functions_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_intersect(types, F.array(F.lit("purchase"), F.lit("signup")))
         ).alias("conversion_types"),
     )
+
+
+# --- top-k per group -------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rn
+      FROM orders WHERE o_custkey < 500
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (vs the global TakeOrdered of
+    top10_orders_by_value): row_number window + rank filter. One
+    shuffle on the group key; the rank filter collapses each group to
+    k rows before anything downstream, so the post-window relation is
+    O(groups x k) no matter how large the fact table."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
