@@ -61,3 +61,37 @@ def test_curation_budget_is_tight_prefix(spark):
         assert r["lang"] == "en"
         assert r["n_tokens"] >= 5
         assert r["stopword_ratio"] >= 0.05
+
+
+# --- property: prefix sum == sorted cumulative sum on arbitrary frames ------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 1_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],  # order key must be unique
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_global_running_sum_property(spark, rows):
+    df = spark.createDataFrame(rows, "k long, w long")
+    expect = {}
+    acc = 0
+    for k, w in sorted(rows):
+        acc += w
+        expect[k] = acc
+    for n_parts in (1, 4):
+        got = {
+            r["k"]: r["running_total"]
+            for r in global_running_sum(df, "k", "w", num_partitions=n_parts).collect()
+        }
+        assert got == expect
