@@ -36,6 +36,27 @@ N_MINHASH = 8
 N_BANDS = 4  # bands of 2 hashes each
 SHINGLE_N = 3
 
+#: one md5 per shingle, then per-seed AFFINE rehash over exact int64:
+#: h_j = (a_j * hash48(s) + b_j) mod 2^48. a_j is odd and < 2^13 so the
+#: product stays < 2^61 (no int64 overflow in either engine); b_j < 2^48.
+#: 8x fewer md5 evaluations than hashing (shingle || seed) per seed, and
+#: the integer form is reproducible bitwise by the SQL oracle.
+MINHASH_MOD = 1 << 48
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(n_hashes):
+        a = (int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:3], 16) << 1) | 1
+        b = int(hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:12], 16)
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _minhash_coeffs(N_MINHASH)
+
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content digest, keep min id as the keeper."""
@@ -73,18 +94,24 @@ def shingles(text_col: str | Column, n: int = SHINGLE_N) -> Column:
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = N_MINHASH) -> list[Column]:
-    """MinHash signature: for seed j, min over shingles of
-    hash48(shingle || '#j'). Returns one Column per hash (callers alias
-    them h0..h{k-1}). Empty shingle sets get NULL mins -> coalesced to a
-    sentinel so empty docs never collide with real signatures."""
-    sentinel = F.lit(2**48)
+    """MinHash signature columns (pure-array form; prefer
+    ``minhash_signatures`` in hot paths — this variant recomputes the
+    base hashes once per seed because a higher-order-function argument
+    is re-evaluated per enclosing transform). Same affine family and
+    same values as ``minhash_signatures``. Empty shingle sets get NULL
+    mins -> coalesced to a sentinel so empty docs never collide with
+    real signatures."""
+    sentinel = F.lit(MINHASH_MOD)
 
     def seeded_hash(j: int):
+        a, b = MINHASH_COEFFS[j]
         # NOTE: single-parameter lambda — a 2-arg lambda would make
         # PySpark pass (element, index) and silently corrupt the seed.
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 12), 16, 10
-        ).cast("bigint")
+        return lambda s: (
+            F.lit(a)
+            * F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint")
+            + F.lit(b)
+        ) % F.lit(MINHASH_MOD)
 
     return [
         F.coalesce(
@@ -108,19 +135,17 @@ def minhash_signatures(
 
     Docs with no shingles (< n words) get the sentinel signature.
     """
-    sentinel = F.lit(2**48)
+    sentinel = F.lit(MINHASH_MOD)
     sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("_s"))
+    base = F.conv(F.substring(F.md5(F.col("_s")), 1, 12), 16, 10).cast("bigint")
     hashed = sh.select(
         F.col(id_col),
+        base.alias("_h0"),
+    ).select(
+        F.col(id_col),
         *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("_s"), F.lit(f"#{j}"))), 1, 12),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias(f"h{j}")
-            for j in range(n_hashes)
+            ((F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
         ],
     )
     sig = hashed.groupBy(id_col).agg(

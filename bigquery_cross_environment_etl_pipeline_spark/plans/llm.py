@@ -78,6 +78,8 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     k, bands, rpb = dedup.N_MINHASH, dedup.N_BANDS, dedup.N_MINHASH // dedup.N_BANDS
     seeds = ", ".join(str(j) for j in range(k))
+    a_list = ", ".join(str(a) for a, _ in dedup.MINHASH_COEFFS[:k])
+    b_list = ", ".join(str(b) for _, b in dedup.MINHASH_COEFFS[:k])
     hcols = ", ".join(
         f"MIN(CASE WHEN j = {j} THEN h END) AS h{j}" for j in range(k)
     )
@@ -100,9 +102,14 @@ def _minhash_oracle() -> str:
     sh AS (
       SELECT doc_id, s FROM words, UNNEST({_DUCK_SHINGLES}) AS t(s)
     ),
+    based AS (
+      SELECT doc_id, {_duck_hash48('s')} AS h0 FROM sh
+    ),
     hashed AS (
-      SELECT doc_id, j, {_duck_hash48("s || '#' || j")} AS h
-      FROM sh, UNNEST([{seeds}]) AS u(j)
+      SELECT doc_id, j,
+             (list_extract([{a_list}], j + 1) * h0
+              + list_extract([{b_list}], j + 1)) % {dedup.MINHASH_MOD} AS h
+      FROM based, UNNEST([{seeds}]) AS u(j)
     ),
     sig AS (
       SELECT doc_id, {hcols} FROM (SELECT doc_id, j, MIN(h) AS h
@@ -121,8 +128,9 @@ def _minhash_oracle() -> str:
 @register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands of 2) candidate pairs with estimated
-    similarity. Signatures form inside the scan (array_min over
-    transform, no explode); only (band_idx, band_key) shuffles."""
+    similarity. One md5 per shingle + per-seed affine rehash (exact
+    int64), grouped MIN map-side partial; only (doc_id, 8 mins) and
+    then (band_idx, band_key) shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs)
     return dedup.lsh_candidate_pairs(sigs)
