@@ -251,14 +251,20 @@ def ngram_jaccard_pairs(
         F.col(len_col),
         bucket.alias("_bkt"),
         F.array_distinct(hashed).alias("sh"),
-    ).repartition(F.col(block_col))
+    ).withColumn("_nsh", F.size("sh")).repartition(F.col(block_col))
     a = sh.withColumn(
         "_probe", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1))
     ).alias("a")
     b = sh.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: one per-pair array op (intersect)
+    # instead of two — union would allocate a merged array per pair just
+    # to take its size. Set sizes are precomputed per DOC (not per
+    # pair); integer operands are identical, so the double division is
+    # bitwise-unchanged and the oracle's list_union form still matches.
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / (
+        F.col("a._nsh") + F.col("b._nsh") - inter
+    ).cast("double")
     return (
         a.join(
             b,
