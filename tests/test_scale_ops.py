@@ -115,3 +115,29 @@ def test_approx_aggregates_close_to_exact(spark):
     ).first()
     assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.1
     assert abs(approx["p90"] - exact["p90"]) / exact["p90"] < 0.05
+
+
+def test_ivf_index_persists_partitioned_and_prunes(spark, tmp_path):
+    """The IVF scale story end-to-end: persist assignments partitioned
+    by centroid id, then a probe query filtered to nprobe centroids
+    must (a) prune partitions in the scan and (b) return exactly the
+    persisted members of those centroids."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, _ = similarity.ivf_assign(emb, n_centroids=8, refine_iters=1)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("_cid").parquet(path)
+
+    index = spark.read.parquet(path)
+    probe = index.filter(F.col("_cid").isin([0, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "_cid" in plan.split("PartitionFilters")[-1]
+    ), "centroid filter must prune partitions, not scan the corpus"
+
+    expect = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("_cid").isin([0, 3])).collect()
+    }
+    got = {r["vec_id"] for r in probe.collect()}
+    assert got == expect and got, "pruned read must return the probed cells exactly"
