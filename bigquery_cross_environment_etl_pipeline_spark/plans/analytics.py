@@ -754,3 +754,59 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# --- statistical aggregates from exact sums --------------------------------------------
+@register(
+    "value_stats_exact",
+    oracle="""
+    SELECT event_type, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_value,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_value_user
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,4))
+                      * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))
+                      * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    """,
+)
+def value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation computed from EXACT decimal sums
+    (n, Σx, Σx², Σy, Σy², Σxy) and then a fixed tree of single IEEE
+    ops — bitwise-reproducible across engines, unlike the built-in
+    `stddev`/`corr` whose parallel Welford merges reassociate floats
+    differently per partitioning. Same one-pass, map-side-partial cost
+    class as the built-ins."""
+    events = load_table(spark, sf_dir, "events")
+    x, y = _dec("value"), F.col("user_id").cast("decimal(18,4)")
+    sums = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        corr.alias("corr_value_user"),
+    )

@@ -141,3 +141,31 @@ def test_ivf_index_persists_partitioned_and_prunes(spark, tmp_path):
     }
     got = {r["vec_id"] for r in probe.collect()}
     assert got == expect and got, "pruned read must return the probed cells exactly"
+
+
+def test_exact_sum_stats_agree_with_builtins(spark):
+    """The decimal-sum variance/correlation must agree with Spark's
+    built-in stddev_samp/corr to float tolerance (the exact form exists
+    for cross-engine bitwise parity, not different math)."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.analytics import (
+        value_stats_exact,
+    )
+
+    ours = {
+        r["event_type"]: (r["stddev_value"], r["corr_value_user"])
+        for r in value_stats_exact(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    builtin = {
+        r["event_type"]: (r["sd"], r["c"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sd"),
+            F.corr("value", F.col("user_id").cast("double")).alias("c"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(builtin)
+    for et, (sd, c) in builtin.items():
+        assert abs(ours[et][0] - sd) < 1e-6 * max(1.0, abs(sd))
+        assert abs(ours[et][1] - c) < 1e-6
