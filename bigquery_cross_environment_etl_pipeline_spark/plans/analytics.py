@@ -810,3 +810,66 @@ def value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("stddev_value"),
         corr.alias("corr_value_user"),
     )
+
+
+# --- gaps-and-islands / SCD2-style attribute history -----------------------------------
+@register(
+    "user_type_history_scd2",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, event_type, island,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '{TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from, island),
+                    '{TS_FMT_DUCK}') AS valid_to,
+           n_events
+    FROM spans
+    """,
+)
+def user_type_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands -> SCD2 history: consecutive same-type events
+    collapse into validity intervals [valid_from, valid_to), the
+    current interval open (NULL valid_to) — the reference's in-place
+    config UPDATE (S11) generalized to a full change history. One
+    shuffle on user_id serves the lag, the island cumsum, the grouped
+    span, and the lead — four logical windows, one exchange."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    islands = events.select(
+        "user_id", "event_type", "ts",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("island"),
+    )
+    spans = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_spans = W.partitionBy("user_id").orderBy("valid_from", "island")
+    return spans.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w_spans), TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+    )
