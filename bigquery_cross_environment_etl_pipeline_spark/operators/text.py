@@ -103,6 +103,44 @@ def langid_guess(col: str | Column) -> Column:
     return best.otherwise("unk")
 
 
+#: characteristic character-trigram profiles (with word-boundary
+#: spaces) for the char-n-gram language-ID variant — deterministic
+#: constants; a real deployment learns these from a corpus, same shape.
+LANG_TRIGRAMS = {
+    "en": (" th", "the", "he ", " an", "nd "),
+    "es": (" el", "el ", " la", "que", " de"),
+    "de": ("der", "die", "das", "und", "ich"),
+    "fr": (" le", "les", " et", "que", " qu"),
+}
+
+
+def langid_ngram_guess(col: str | Column) -> Column:
+    """Char-n-gram language ID: argmax over languages of how many of
+    the language's characteristic trigrams occur in the text (padded
+    with spaces so boundary grams match at the edges). Ties and
+    zero-hit rows resolve by the fixed CASE order / 'unk' —
+    deterministic, same rule as the lexicon variant."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+    def present_counter(grams: tuple[str, ...]):
+        arr = F.array(*[F.lit(g) for g in grams])
+        return F.size(F.filter(arr, lambda g: padded.contains(g)))
+
+    hits = {
+        lang: present_counter(grams) for lang, grams in LANG_TRIGRAMS.items()
+    }
+    langs = sorted(LANG_TRIGRAMS)
+    best = None
+    for lang in langs:
+        cond = hits[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("unk")
+
+
 def fingerprint(col: str | Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (the rolling-hash analog; content-defined, order-sensitive)."""

@@ -565,3 +565,33 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features_arrow(synthesize_assets(docs))
+
+
+def _langid_ngram_oracle() -> str:
+    langs = sorted(text.LANG_TRIGRAMS)
+    padded = "(' ' || lower(text) || ' ')"
+
+    def hits(lang: str) -> str:
+        grams = ", ".join("'" + g + "'" for g in text.LANG_TRIGRAMS[lang])
+        return f"len(list_filter([{grams}], t -> contains({padded}, t)))"
+
+    whens = []
+    for lang in langs:
+        conds = [f"{hits(lang)} > 0"] + [
+            f"{hits(lang)} >= {hits(o)}" for o in langs if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unk' END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM documents"
+
+
+@register("text_langid_ngram", oracle=_langid_ngram_oracle())
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (the n-gram heuristic proper, beside the
+    stopword-lexicon variant): presence counts of per-language
+    characteristic trigrams, argmax with a fixed deterministic
+    tie-break. Pure column expressions in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.langid_ngram_guess("text").alias("lang_guess")
+    )
