@@ -116,6 +116,43 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
     return assets.mapInArrow(featurize, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id bigint, modality string, target_w int, target_h int, "
+    "payload binary, n_bytes_out bigint"
+)
+
+
+def resize_images(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage for image payloads via mapInPandas — the Arrow
+    plumbing (binary in, binary out, metadata columns alongside) is
+    real; the pixel work is the deterministic STUB (no image libs in
+    this container): output payload = the first ``target_w * target_h
+    // 64`` bytes of the input, standing in for a real
+    ``PIL.Image.resize`` whose output would flow through the identical
+    batch shape. Image-only rows are filtered BEFORE the UDF, so
+    non-image payloads never cross the Arrow boundary."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(target_w * target_h // 64, 1)
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": out,
+                    "n_bytes_out": out.map(len).astype("int64"),
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .mapInPandas(do_resize, RESIZE_SCHEMA)
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode (asset_id, frame_ts) rows for
     a downstream decoder — pure column ops; the decode itself is the

@@ -595,3 +595,36 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.langid_ngram_guess("text").alias("lang_guess")
     )
+
+
+_ROLL_B = 31
+_ROLL_MOD = 1 << 48
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, [{_duck_hash48('w')} for w in {_DUCK_WORDS}]),
+             (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_MOD}
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True rolling (polynomial) fingerprint over the token stream:
+    H = fold(acc*B + hash48(w)) mod 2^48 — order-SENSITIVE (unlike the
+    md5-of-normalized-text fingerprint), so shared prefixes/suffixes
+    produce different prints but the same doc always folds to the same
+    value. Exact int64 arithmetic (acc*31 + h < 2^54, no overflow), so
+    the DuckDB list_reduce reproduces it bitwise. Evaluates inside the
+    scan stage; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.transform(text.tokens("text"), lambda w: text.hash48(w))
+    roll = F.aggregate(
+        h,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _ROLL_B + x) % F.lit(_ROLL_MOD),
+    )
+    return docs.select("doc_id", roll.alias("rolling_hash"))

@@ -125,3 +125,22 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert rows, "video assets must produce frame rows"
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+
+
+def test_multimodal_resize_stage_plumbing(spark):
+    """Resize stage: image-only rows cross the Arrow boundary, output
+    payloads are capped at the stub's byte budget, metadata rides
+    alongside the binary column."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    assets = multimodal.synthesize_assets(docs)
+    resized = multimodal.resize_images(assets, target_w=32, target_h=32)
+    rows = resized.collect()
+    n_images = assets.filter("modality = 'image'").count()
+    assert len(rows) == n_images and rows
+    budget = 32 * 32 // 64
+    src = {r["asset_id"]: r["payload"] for r in assets.collect()}
+    for r in rows:
+        assert r["modality"] == "image"
+        assert (r["target_w"], r["target_h"]) == (32, 32)
+        assert r["n_bytes_out"] == len(r["payload"]) <= budget
+        assert bytes(r["payload"]) == bytes(src[r["asset_id"]])[:budget]
