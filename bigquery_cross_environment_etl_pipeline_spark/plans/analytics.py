@@ -873,3 +873,174 @@ def user_type_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("valid_from").over(w_spans), TS_FMT_SPARK).alias("valid_to"),
         "n_events",
     )
+
+
+# --- scan-dominant filter+agg (TPC-H Q6 shape) ------------------------------------------
+@register(
+    "discounted_revenue_window",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS promo_discount_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discounted_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-dominant filter + scalar aggregate (TPC-H Q6 shape): the
+    forecast-revenue-change analog of the reference's windowed count
+    scan (S2 generalized with value predicates). All four predicates
+    reach the parquet scan as PushedFilters; at 100 TB the query is a
+    single embarrassingly-parallel scan stage with a 1-row partial-agg
+    merge — no shuffle of data rows at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _money(price * disc, "promo_discount_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --- conditional-ratio aggregate over a dim join (TPC-H Q14 shape) ----------------------
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregate over a dimension join (TPC-H Q14
+    shape). `part` broadcasts (it is a per-SKU dim — small even at
+    100 TB fact scale), so the fact side never shuffles; the CASE
+    arithmetic runs in decimal for exact sums and the final percentage
+    is two IEEE ops (mul, div) written identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    rev = price * (F.lit(1) - disc)
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo_rev), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+# --- having-filtered aggregate feeding joins (TPC-H Q18 shape) --------------------------
+@register(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+           o.o_totalprice,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate feeding joins (TPC-H Q18 shape): the
+    per-order quantity rollup runs BEFORE the joins, so the orderkey
+    shuffle carries one row per qualifying order — the aggregate acts
+    as its own filter (exact decimal comparison against the threshold).
+    customer is a broadcast dim; orders joins on the shuffled key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --- distribution windows: ntile / percent_rank / cume_dist -----------------------------
+@register(
+    "order_value_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER w AS INT) AS value_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per priority class — the quantile-bucketing shape used to tier
+    customers or size-stratify training data. percent_rank and
+    cume_dist are single IEEE divisions of exact integer counts, so
+    they hash-match the oracle; o_orderkey breaks ties
+    deterministically. One exchange on the partition key serves all
+    three windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("value_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_d"),
+    )

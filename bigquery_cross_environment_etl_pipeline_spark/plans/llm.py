@@ -413,6 +413,53 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
 
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_ratio
+    FROM tok GROUP BY doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters): distinct-
+    token ratio and most-frequent-token mass per document. Implemented
+    as explode -> (doc, token) count -> per-doc agg: all three metrics
+    (total, distinct, max frequency) fall out of the second-level
+    aggregation, so there is no self-join — two shuffles total, both
+    with map-side partial aggregation. At 100 TB the (doc_id, token)
+    key is high-cardinality and uniform, so the shuffle is skew-free.
+    Ratios are single IEEE divisions of exact counts (hash-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        F.max("c").cast("bigint").alias("top_token_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
 def _langid_oracle() -> str:
     langs = sorted(text.LANG_LEXICON)
     hits = {
