@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "shipping_priority_top10",
     "returned_item_customers",
     "corpus_token_budget_curation",
+    "discounted_revenue_window",
+    "promo_revenue_ratio",
+    "large_volume_customers",
+    "order_value_distribution_ranks",
+    "text_repetition_quality",
+    "grouped_median_builtin",
 ]
 
 
