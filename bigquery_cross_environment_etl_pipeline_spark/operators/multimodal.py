@@ -39,6 +39,54 @@ def synthesize_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+#: extension -> (modality, mime) for file-based asset ingest
+_EXT_MODALITY = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+}
+
+
+def ingest_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest media files as opaque binary assets via Spark's built-in
+    ``binaryFile`` source — the real-world on-ramp for image/audio/video
+    at scale: each file becomes one row (path, modificationTime, length,
+    content) with NO decode, read in parallel across executors, one
+    task per file group. Modality/mime derive from the extension;
+    ``asset_id`` is the 48-bit path hash (stable across re-runs, so
+    downstream dedup/joins key on it deterministically).
+
+    The ``length`` metadata column comes from the file system, so
+    size-based filtering (e.g. skip >100 MB payloads) can prune BEFORE
+    content is materialized — push such filters on ``n_bytes`` here,
+    not after a decode stage."""
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.lit(None).cast("string")
+    mime = F.lit("application/octet-stream")
+    for e, (m, mt) in sorted(_EXT_MODALITY.items()):
+        modality = F.when(ext == e, m).otherwise(modality)
+        mime = F.when(ext == e, mt).otherwise(mime)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.conv(F.substring(F.md5(F.col("path")), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("asset_id"),
+            modality.alias("modality"),
+            F.col("content").alias("payload"),
+            mime.alias("mime_type"),
+            F.col("path").alias("source_path"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
 def decode_image(payload: bytes) -> object:
     """STUB: real deployments decode with PIL/libvips here. The Spark
     plumbing around this function (Arrow batching, schema, partitioning)

@@ -84,3 +84,50 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path, events):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("pipeline_tag").isNull()).count() == n
     assert merged.filter(F.col("pipeline_tag") == "enriched").count() == n
+
+
+def test_binaryfile_asset_ingest(spark, tmp_path):
+    """binaryFile source -> typed asset table: one row per file, payload
+    bytes intact, modality/mime from extension, metadata length column
+    usable for pre-decode filtering; features flow straight through the
+    Arrow featurizer."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators import multimodal
+
+    files = {
+        "a.jpg": b"\xff\xd8fakejpegbytes",
+        "b.wav": b"RIFFfakewav",
+        "c.mp4": b"\x00\x00fakemp4",
+        "notes.txt": b"not media",
+    }
+    for name, data in files.items():
+        (tmp_path / name).write_bytes(data)
+
+    assets = multimodal.ingest_binary_assets(spark, str(tmp_path))
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert set(rows) == set(files)
+    assert rows["a.jpg"]["modality"] == "image"
+    assert rows["a.jpg"]["mime_type"] == "image/jpeg"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["c.mp4"]["modality"] == "video"
+    assert rows["notes.txt"]["modality"] is None
+    for name, data in files.items():
+        assert bytes(rows[name]["payload"]) == data
+        assert rows[name]["n_bytes"] == len(data)
+    # asset_id is the stable 48-bit path hash -> re-ingest gives same ids
+    again = {
+        r["source_path"]: r["asset_id"]
+        for r in multimodal.ingest_binary_assets(spark, str(tmp_path)).collect()
+    }
+    assert all(again[r["source_path"]] == r["asset_id"] for r in rows.values())
+
+    # media-only featurization: filter on metadata BEFORE the payload
+    # crosses the Arrow boundary
+    from pyspark.sql import functions as F
+
+    feats = multimodal.extract_features(
+        assets.filter(F.col("modality").isNotNull())
+    ).collect()
+    assert {f["asset_id"] for f in feats} == {
+        r["asset_id"] for n, r in rows.items() if n != "notes.txt"
+    }
+    assert all(f["n_bytes"] > 0 for f in feats)
