@@ -169,3 +169,88 @@ def test_exact_sum_stats_agree_with_builtins(spark):
     for et, (sd, c) in builtin.items():
         assert abs(ours[et][0] - sd) < 1e-6 * max(1.0, abs(sd))
         assert abs(ours[et][1] - c) < 1e-6
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a hot key whose partition dwarfs the median gets
+    split at runtime (skew=true in the executed plan) — the built-in
+    complement to the manual salted_join for pathological keys."""
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # thresholds low enough that the hot key's partition counts as
+        # skewed at test scale; broadcast off so the join shuffles
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # 200k rows on one hot key + a sprinkle of uniform keys
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(1_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionAll(cold)
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("dim_val")
+        )
+
+        joined = left.join(right, "k")
+        # collect the SAME DataFrame whose execution we inspect: AQE
+        # finalizes the plan per QueryExecution, and count() would spawn
+        # a different one
+        assert len(joined.collect()) == 201_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"no skew split in plan:\n{plan[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark):
+    """Runtime bloom-filter join pruning: with a selective dim filter,
+    Catalyst injects might_contain(bloom_filter_agg(dim keys)) on the
+    fact side, discarding non-matching rows BEFORE the join shuffle.
+    The application-side threshold defaults to 10GB — met trivially by
+    any real fact table; lowered here to demonstrate at test scale."""
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1500]
+        # and the result is unaffected by the filter's presence
+        n_with = j.count()
+        spark.conf.unset(keys[0])
+        n_without = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        )
+        assert n_with == n_without
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
