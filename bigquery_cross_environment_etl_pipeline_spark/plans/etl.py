@@ -251,6 +251,46 @@ def pubsub_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("org_id").agg(F.count(F.lit(1)).alias("n_messages"))
 
 
+# --- S5 via the custom Python DataSource ----------------------------------------
+@register(
+    "pubsub_source_decode",
+    oracle=f"""
+    SELECT i AS message_id,
+           CAST(i % 100 + 1 AS BIGINT) AS org_id,
+           strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i),
+                    '{TS_FMT_DUCK}') AS publish_time_str
+    FROM range(0, 300) t(i)
+    """,
+)
+def pubsub_source_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end through the custom Python DataSource: read 300
+    deterministic Pub/Sub envelopes from ``format("pubsub_sim")``
+    (sources/pubsub_datasource.py — partitioned backlog replay), decode
+    and validate them with the standard expression pipeline, and emit
+    (message_id, org_id, publish_time). The oracle regenerates the same
+    messages arithmetically — proving the source's envelopes round-trip
+    the reference's frame format (main.py:18-31) losslessly."""
+    from ..sources import pubsub_datasource
+    from ..sources.pubsub import decode_envelopes
+
+    pubsub_datasource.register(spark)
+    # same UTC pin load_table applies: the driver's session may run on a
+    # TZ-shifted host, and publish_time renders through the session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.read.format("pubsub_sim")
+        .option("numMessages", 300)
+        .option("numPartitions", 4)
+        .load()
+    )
+    decoded = decode_envelopes(raw.withColumnRenamed("envelope", "body"))
+    return decoded.filter(F.col("valid")).select(
+        "message_id",
+        F.col("payload.org_id").cast("bigint").alias("org_id"),
+        F.date_format("publish_time", TS_FMT_SPARK).alias("publish_time_str"),
+    )
+
+
 # --- A4/A5: partial-failure verdict accounting ---------------------------------
 @register(
     "load_verdict_accounting",
