@@ -234,6 +234,80 @@ def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- error-safe parsing / ANSI try_* functions ------------------------------------------
+@register(
+    "error_safe_parse_rates",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(props->>'$.k' AS BIGINT) AS k,
+             value,
+             CASE WHEN CAST(props->>'$.k' AS BIGINT) % 3 = 0
+                  THEN event_type
+                  ELSE CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) END
+               AS mixed
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(mixed AS INTEGER) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_ok,
+           CAST(SUM(CASE WHEN k = 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_by_zero,
+           CAST(ROUND(SUM(CASE WHEN k = 50 THEN CAST(0 AS DECIMAL(18,4))
+                              ELSE CAST(value / (k - 50) AS DECIMAL(18,4)) END),
+                      2) AS DOUBLE) AS sum_safe_ratio
+    FROM base GROUP BY event_type
+    """,
+)
+def error_safe_parse_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing with the ANSI ``try_*`` family: ``try_cast``
+    turns malformed casts into NULLs (counted, not thrown) and
+    ``try_divide`` yields NULL on zero divisors — the
+    whole-batch-survives-one-bad-row property the reference gets from
+    per-message exception handling (main.py:45-52), vectorized. The
+    oracle spells the same semantics with CASE; the division result is
+    decimal-quantized before summing so the aggregate stays
+    order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    mixed = F.when(k % 3 == 0, F.col("event_type")).otherwise(
+        k.cast("string")
+    )
+    safe_div = F.try_divide(F.col("value"), (k - 50).cast("double"))
+    return (
+        events.select(
+            "event_type",
+            mixed.alias("mixed"),
+            k.alias("k"),
+            safe_div.alias("safe_ratio"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("mixed").try_cast("int").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_parse_ok"),
+            F.sum(F.when(F.col("safe_ratio").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_by_zero"),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.col("safe_ratio").cast("decimal(18,4)"),
+                        F.lit(0).cast("decimal(18,4)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_safe_ratio"),
+        )
+    )
+
+
 # --- exact distinct via bitmap aggregation ----------------------------------------------
 @register(
     "distinct_users_bitmap",
