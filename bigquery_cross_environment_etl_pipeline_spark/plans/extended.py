@@ -234,6 +234,31 @@ def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ordered string aggregation (LISTAGG shape) -----------------------------------------
+@register(
+    "user_event_types_csv",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_types_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg shape):
+    collect_set -> array_sort -> array_join makes the concatenation
+    deterministic regardless of partition arrival order — the only way
+    a string aggregate can be reproducible on a distributed engine.
+    The set dedups map-side, so the shuffle carries per-group distinct
+    values, not all rows."""
+    events = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return events.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types_csv"),
+        F.size(types).cast("bigint").alias("n_types"),
+    )
+
+
 # --- error-safe parsing / ANSI try_* functions ------------------------------------------
 @register(
     "error_safe_parse_rates",

@@ -46,10 +46,16 @@ def stream_incremental_append(
     dest_path: str,
     checkpoint_dir: str,
     status_rows: list | None = None,
+    available_now: bool = True,
 ) -> StreamingQuery:
     """T4/T5: transactional append via foreachBatch — the write and the
     status record commit per micro-batch with an idempotent batch id
-    (re-delivered batches overwrite, not duplicate)."""
+    (re-delivered batches overwrite, not duplicate).
+
+    ``available_now=False`` runs the default continuous micro-batch
+    trigger — required for sources that don't support
+    Trigger.AvailableNow (e.g. Python DataSource streams); the caller
+    stops the query once the tail drains."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         n = batch.count()
@@ -61,12 +67,12 @@ def stream_incremental_append(
         if status_rows is not None:
             status_rows.append({"epoch_id": epoch_id, "rows": n, "status": "SUCCESS"})
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_windowed_counts(
