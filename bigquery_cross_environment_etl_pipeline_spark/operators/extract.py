@@ -71,6 +71,53 @@ def batch_watermark(batch: DataFrame, ts_col: str) -> dt.datetime | None:
     return batch.agg(F.max(ts_col).alias("wm")).first()["wm"]
 
 
+def backfill_windows(
+    start: TimeLike, end: TimeLike, n_windows: int
+) -> list[tuple[dt.datetime, dt.datetime]]:
+    """Split ``[start, end)`` into ``n_windows`` adjacent half-open
+    windows (last one absorbs the remainder). Because each window keeps
+    the half-open boundary rule, the windows partition the range
+    exactly: a historical backfill run as N independent window scans
+    touches every row once — the parallel generalization of the
+    reference's one-window-per-trigger re-run (billing_etl.py:144-219).
+    Each window is an independent (extract, load, checkpoint) unit, so
+    a failed window retries alone and progress is per-window durable."""
+    to_dt = lambda v: (
+        dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+    )
+    lo, hi = to_dt(start), to_dt(end)
+    if n_windows < 1 or hi <= lo:
+        raise ValueError("need n_windows >= 1 and end > start")
+    step = (hi - lo) / n_windows
+    bounds = [lo + i * step for i in range(n_windows)] + [hi]
+    return [(bounds[i], bounds[i + 1]) for i in range(n_windows)]
+
+
+def backfill_scan(
+    source: DataFrame,
+    ts_col: str,
+    windows: list[tuple[dt.datetime, dt.datetime]],
+    window_id_col: str = "_backfill_window",
+) -> DataFrame:
+    """One declarative plan for a whole backfill: the union of the
+    window scans, each row tagged with its window ordinal (the
+    downstream writer partitions on it for per-window idempotent
+    overwrite). Catalyst merges the disjoint predicates into one scan
+    per window over the same files — and since the windows partition
+    [start, end), the union equals a single range scan, verified by
+    the partition-invariant test."""
+    parts = [
+        window_scan(source, ts_col, lo, hi).withColumn(
+            window_id_col, F.lit(i)
+        )
+        for i, (lo, hi) in enumerate(windows)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def extract_incremental(
     source: DataFrame,
     ts_col: str,

@@ -50,6 +50,31 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     )
 
 
+def read_json_tolerant(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """PERMISSIVE JSON read: malformed lines survive as rows whose
+    typed columns are NULL and whose raw text lands in
+    ``_corrupt_record`` — at 100 TB one bad producer must not kill a
+    million-file read, and the corrupt rows stay queryable for
+    quarantine/reprocessing (the batch analog of the decode path's
+    ``valid=false`` lane). FAILFAST remains the right mode for curated
+    inner-pipeline datasets — use ``read_json`` there."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # fresh StructType: .add() mutates the receiver in place
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("timestampFormat", TEXT_TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 

@@ -56,3 +56,35 @@ def test_projection_pushdown_in_plan(spark):
     )
     assert "l_quantity" not in plan.split("ReadSchema")[-1]
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[-1]
+
+
+def test_backfill_windows_partition_the_range(spark, events):
+    """N adjacent half-open windows == one range scan: no duplicate, no
+    gap, and each window retries independently."""
+    import datetime as dt
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators.extract import (
+        backfill_scan,
+        backfill_windows,
+        window_scan,
+    )
+
+    start, end = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+    wins = backfill_windows(start, end, 7)
+    assert len(wins) == 7
+    assert wins[0][0] == dt.datetime(2024, 1, 5)
+    assert wins[-1][1] == dt.datetime(2024, 1, 25)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(wins, wins[1:]):
+        assert a_hi == b_lo, "adjacent boundaries touch exactly"
+
+    whole = window_scan(events, "ts", start, end)
+    union = backfill_scan(events, "ts", wins)
+    n_whole = whole.count()
+    assert union.count() == n_whole
+    assert union.select("event_id").distinct().count() == n_whole
+    # every window non-trivial at this data spread, and ids disjoint
+    from pyspark.sql import functions as F
+
+    per_win = union.groupBy("_backfill_window").count().collect()
+    assert len(per_win) == 7
+    assert sum(r["count"] for r in per_win) == n_whole

@@ -131,3 +131,33 @@ def test_binaryfile_asset_ingest(spark, tmp_path):
         r["asset_id"] for n, r in rows.items() if n != "notes.txt"
     }
     assert all(f["n_bytes"] > 0 for f in feats)
+
+
+def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """One malformed line must not kill the read: good rows parse, bad
+    rows surface in _corrupt_record for quarantine."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"event_id": 1, "event_type": "click"}\n'
+        "{this is not json}\n"
+        '{"event_id": 3, "event_type": "view"}\n'
+        '{"event_id": "not_a_number", "event_type": "view"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    df = formats.read_json_tolerant(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 4, "every line produced a row"
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["event_id"] for r in good} == {1, 3}
+    assert len(bad) == 2
+    assert any("not json" in r["_corrupt_record"] for r in bad)
+    # the input schema object is not mutated by the tolerant reader
+    assert len(schema.fields) == 2
