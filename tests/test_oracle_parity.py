@@ -93,3 +93,24 @@ def test_rows_only_queries_execute(spark):
     for name in rows_only:
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() > 0, f"{name} returned no rows"
+
+
+def test_timestamp_rendering_survives_shifted_session_tz(spark):
+    """The driver's session may start on a TZ-shifted host; load_table
+    re-pins session UTC so rendered timestamps still match the TZ-naive
+    DuckDB oracle. Simulate the shift and check one rendered value."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = QUERIES["incremental_window_scan"](spark, SF_DIR)
+        got = {r["event_id"]: r["ts_str"] for r in sdf.limit(50).collect()}
+        con = _duck()
+        ids = ",".join(str(i) for i in got)
+        want = dict(
+            con.sql(
+                "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') "
+                f"FROM events WHERE event_id IN ({ids})"
+            ).fetchall()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
