@@ -259,3 +259,82 @@ def window_partition_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(ln, rn, fn)], "left_n long, right_n long, full_n long"
     )
+
+
+# --- MAP-typed columns: build, look up, filter ------------------------------------------
+@register(
+    "event_type_count_map",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(COUNT(DISTINCT CASE WHEN cnt >= 10 THEN event_type END) AS BIGINT)
+             AS n_heavy_types
+    FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY user_id, event_type) t
+    GROUP BY user_id
+    """,
+)
+def event_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per-user type->count maps built with
+    ``map_from_entries``, probed with ``element_at`` (NULL-safe via
+    coalesce), thinned with ``map_filter`` — the repeated key/value
+    records of the billing schema (labels, tags) as a first-class map.
+    Scalar projections keep the oracle exact (map literals never cross
+    the engine comparison)."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.size("type_counts").cast("bigint").alias("n_types"),
+        F.coalesce(F.element_at("type_counts", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.coalesce(F.element_at("type_counts", F.lit("error")), F.lit(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.size(F.map_filter("type_counts", lambda _, v: v >= 10))
+        .cast("bigint")
+        .alias("n_heavy_types"),
+    )
+
+
+# --- ordinal-preserving flatten (posexplode) --------------------------------------------
+@register(
+    "token_first_positions",
+    oracle="""
+    SELECT doc_id, t.p[1] AS token,
+           CAST(MIN(t.p[2]) AS BIGINT) AS first_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+          FROM documents WHERE doc_id < 50),
+         UNNEST(list_zip(arr, range(0, len(arr)))) AS t(p)
+    GROUP BY doc_id, token
+    """,
+)
+def token_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving flatten: ``posexplode`` keeps each token's
+    array position through the explode, giving first-occurrence offsets
+    per (doc, token) — the building block for positional features
+    (proximity, lead paragraphs). The oracle emulates ordinality with
+    list_zip(arr, range(len)); positions are 0-based in both."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pos_tok = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "token")
+    )
+    return pos_tok.groupBy("doc_id", "token").agg(
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
