@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "order_value_distribution_ranks",
     "text_repetition_quality",
     "grouped_median_builtin",
+    "nation_trade_pagerank",
+    "bilateral_trade_volume",
+    "slow_suppliers_multi_anti",
 ]
 
 

@@ -1,0 +1,226 @@
+"""Decision-support analytics (TPC-H Q7/Q21/Q22 shapes) + native LISTAGG.
+
+The reference's destination schema is a star built for exactly this kind
+of rollup (SURVEY.md §2.4 'the engine's generalized surface'); these
+queries exercise the join/agg planner shapes the earlier catalog entries
+don't: a two-armed dimension join with an inequality filter between the
+arms (Q7), a semi-join *and* a correlated anti-join against the same
+fact table (Q21), and a scalar-aggregate threshold with an anti-join
+(Q22).  All money math is DECIMAL-exact per the catalog conventions.
+
+Scale notes (100 TB): Q7/Q21 shuffle the fact table on its own join
+keys once (orderkey / suppkey); nation is broadcast.  Q21's l2/l3
+predicates are self-joins on l_orderkey — co-partitioned with the l1
+shuffle, so AQE plans them without an extra exchange of the big side.
+Q22's scalar threshold is a one-row aggregate cross-joined (broadcast)
+to customer, and the NOT EXISTS is a left-anti shuffle join on custkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries_catalog import register
+from ..sources.registry import load_table, register_all
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# --- TPC-H Q7 shape: bilateral trade volume ---------------------------------
+@register(
+    "bilateral_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog: revenue shipped between distinct nation pairs per year.
+    Two independent dimension arms (customer-side and supplier-side
+    nation) hang off one fact scan; the cross-arm inequality filter runs
+    after both broadcasts.  Generalizes the multi-tenant routing join J1
+    (SURVEY.md §2.3) to a two-sided flow."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("snk"),
+                                   F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("snk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q21 shape: semi + anti join on the same fact ---------------------
+@register(
+    "slow_suppliers_multi_anti",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+)
+def slow_suppliers_multi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog: suppliers who were the last to ship in a multi-
+    supplier finished order, 90+ days after it was placed.  One fact
+    scan feeds a semi-join (another supplier exists) and a correlated
+    anti-join (nobody shipped later) against itself — the heavy-duty
+    generalization of the existence checks J2 (SURVEY.md §2.3).  All
+    three lineitem sides shuffle on l_orderkey, so the exchanges reuse
+    one co-partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    l1 = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3)
+            & (F.col("l_suppkey") != l3.s3)
+            & (l3.d3 > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- TPC-H Q22 shape: scalar-aggregate threshold + anti join ----------------
+@register(
+    "idle_customer_balance",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,4))
+            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: per-segment count/balance of above-average-balance
+    customers with no orders.  The global average is compared by cross-
+    multiplication (bal * n > total) so the threshold stays DECIMAL-
+    exact — no engine-specific decimal-division rounding.  The one-row
+    aggregate is broadcast; the no-orders predicate is a left-anti
+    join (J2's anti-join form, SURVEY.md §2.3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    stats = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("cnt") > F.col("tot"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --- native ordered LISTAGG --------------------------------------------------
+@register(
+    "nation_segments_listagg",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)
+             AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_segments_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL LISTAGG ... WITHIN GROUP (Spark 4) — the deterministic
+    ordered string aggregate, complementing the collect_set/array_join
+    shape of user_event_types_csv (F8 string surface, SURVEY.md §2.8)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(DISTINCT c_mktsegment, ',')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -75,6 +75,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .plans import analytics, etl, extended, llm, nested  # noqa: F401
+    from .plans import (  # noqa: F401
+        analytics,
+        decision_support,
+        etl,
+        extended,
+        graph,
+        llm,
+        nested,
+    )
 
     _LOADED = True
