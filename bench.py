@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "nation_trade_pagerank",
     "bilateral_trade_volume",
     "slow_suppliers_multi_anti",
+    "regional_market_share",
+    "bigram_topk",
 ]
 
 

@@ -199,6 +199,118 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q8 shape: conditional-aggregate market share ---------------------
+@register(
+    "regional_market_share",
+    oracle="""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS l_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS mkt_share,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey  = p.p_partkey AND p.p_type = 'ECONOMY'
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: NATION_5's share of ECONOMY-part revenue sold to ASIA
+    customers, per ship year.  Conditional aggregation (CASE inside SUM)
+    on DECIMAL keeps both the numerator and denominator exact; the share
+    itself is one IEEE division of the two exact sums, so it is bitwise
+    reproducible.  Exercises the widest join tree in the catalog: fact ⋈
+    part ⋈ orders ⋈ customer ⋈ nation ⋈ region (+ supplier arm)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("cnk"))
+    )
+    sn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("snk"),
+                      F.col("n_name").alias("supp_nation"))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(asia_nations, cust.c_nationkey == F.col("cnk"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("snk"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", disc_price).otherwise(zero)
+    )
+    den = F.sum(disc_price)
+    return joined.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("l_year")
+    ).agg(
+        (num.cast("double") / den.cast("double")).alias("mkt_share"),
+        F.round(den, 2).cast("double").alias("total_revenue"),
+    )
+
+
+# --- LATERAL correlated subquery join ---------------------------------------
+@register(
+    "lateral_top_customer_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 1
+    ) t
+    """,
+)
+def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.2+ lateral join): richest
+    customer per nation, written the way an analyst ports it from a
+    warehouse.  Catalyst decorrelates the per-row ORDER BY ... LIMIT 1
+    into a ranked join rather than a nested loop — the declarative
+    sibling of the window-function form in top3_orders_per_customer."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 1
+        ) t
+        """
+    )
+
+
 # --- native ordered LISTAGG --------------------------------------------------
 @register(
     "nation_segments_listagg",

@@ -188,6 +188,44 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus bigram top-k ----------------------------------------------------------
+@register(
+    "bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    )
+    SELECT bg AS bigram, COUNT(*) AS n
+    FROM toks, UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS u(bg)
+    GROUP BY bg ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-k: adjacent-token pairs built with
+    zip_with over two shifted slices (outer expressions evaluated once
+    per row — the per-element re-evaluation trap documented on the
+    minhash shingles), then the same explode -> partial-agg -> TakeOrdered
+    shape as token_topk. N-gram language-model counts at 100 TB are
+    exactly this plan with more shuffle partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 # --- U1 transform hook as a vectorized Pandas UDF ---------------------------------
 @register(
     "pandas_udf_transform_hook",
