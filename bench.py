@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
+    "ann_topk_ivf_probe",
     "text_quality_scores",
     "text_langid",
     "multimodal_features",
@@ -75,32 +76,54 @@ def main() -> None:
     # two passes per query, report the min: the first pass pays one-time
     # whole-stage-codegen compilation that a long-running cluster
     # amortizes away; the min reflects steady-state throughput.
-    timings: dict[str, float] = {}
+    # fault-isolated: one broken query must never zero the whole round's
+    # bench signal — record its error and keep timing the rest.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = queries[name]
+        fn = queries.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always emit the JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_suite_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "error": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
+        sys.exit(1)

@@ -23,6 +23,22 @@ ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 EPOCH_LIT = "1970-01-01 00:00:00"
 
 
+def epoch_seconds(col: str | Column) -> Column:
+    """NTZ-safe epoch seconds for ordering / gap arithmetic.
+
+    ``CAST(ts AS BIGINT)`` raises on TIMESTAMP_NTZ (Spark 4), and
+    ``unix_timestamp`` re-interprets through the session zone. This
+    helper is total over both timestamp types and timezone-stable:
+    normalize to TIMESTAMP_NTZ (identity for NTZ inputs; session-zone
+    wall-clock — UTC in this engine, session.py — for LTZ inputs), then
+    take the day-time interval since the NTZ epoch literal, whose cast
+    to BIGINT yields whole seconds.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ntz = c.cast("timestamp_ntz")
+    return (ntz - F.lit(EPOCH_LIT).cast("timestamp_ntz")).cast("long")
+
+
 def iso_format(col: str | Column, fmt: str = ISO_FMT) -> Column:
     """F2: timestamp -> ISO-8601 string (JSON-boundary only; stays a
     native timestamp everywhere else)."""

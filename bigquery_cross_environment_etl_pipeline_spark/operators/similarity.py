@@ -271,6 +271,81 @@ def ann_topk_ivf(
     )
 
 
+def ivf_index_persist(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> None:
+    """Materialize the IVF index on disk: assignments partitioned by
+    ``_cid`` (so a probe's centroid filter becomes partition pruning at
+    the scan — test_scale_ops.py proves the pruning) plus the tiny
+    centroid table. Build cost is the one corpus pass that
+    ``ivf_assign`` already does; paying it once per dataset instead of
+    per query is the difference between an index and a scan."""
+    assigned, centroids = ivf_assign(
+        embeddings, n_centroids, refine_iters, id_col, vec_col, dim
+    )
+    assigned.write.mode("overwrite").partitionBy("_cid").parquet(
+        index_path + "/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(index_path + "/centroids")
+
+
+def ann_topk_ivf_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Probe-only IVF top-k against a persisted index: rank centroids
+    driver-side (bounded: <= n_centroids rows), then scan ONLY the
+    ``nprobe`` matching ``_cid=`` partitions with a literal IN-filter —
+    static partition pruning, no corpus pass, no index rebuild. This is
+    the steady-state per-query cost an ANN serving path actually pays.
+    """
+    import math
+
+    qnrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cents = spark.read.parquet(index_path + "/centroids").collect()
+    scored = sorted(
+        (
+            (
+                sum(float(a) * float(b) for a, b in zip(r["_cvec"], query_vec))
+                / (r["_cnrm"] * qnrm),
+                -r["_cid"],
+            )
+            for r in cents
+        ),
+        reverse=True,
+    )
+    probe_cids = [int(-c) for _, c in scored[:nprobe]]
+
+    index = spark.read.parquet(index_path + "/assigned").filter(
+        F.col("_cid").isin(probe_cids)
+    )
+    if exclude_id is not None:
+        index = index.filter(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = dot_expr(F.col(vec_col), qcol, dim) / (
+        norm_expr(vec_col, dim) * F.lit(qnrm)
+    )
+    return (
+        index.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -----------------------------------------
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.scalar import epoch_seconds
 from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
 from ..sources.registry import load_table
 
@@ -184,7 +185,7 @@ def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch equivalent of streaming session_window."""
     events = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(order).cast("long")
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.lag(F.col("ts")).over(order))
     new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     cum = (
         W.partitionBy("user_id")
@@ -698,11 +699,12 @@ def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_user_types",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
            list_has_any(list(DISTINCT event_type), ['purchase']) AS has_purchase,
-           list_sort(list_intersect(list(DISTINCT event_type),
-                                    ['purchase', 'signup'])) AS conversion_types
+           array_to_string(
+             list_sort(list_intersect(list(DISTINCT event_type),
+                                      ['purchase', 'signup'])), ',') AS conversion_types
     FROM events WHERE user_id < 100 GROUP BY user_id
     """,
 )
@@ -711,15 +713,21 @@ def array_functions_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort, array_contains, array_intersect): per-user event-type
     profiles as first-class array values. collect_set partial-aggregates
     map-side (sets union associatively), so the shuffle carries distinct
-    types per user per partition, never raw events."""
+    types per user per partition, never raw events. Array outputs are
+    rendered as sorted CSV strings (array_join) so the driver's
+    pandas-based hash comparator — which cannot factorize list cells —
+    sees canonical scalars on both engines."""
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     types = F.array_sort(F.collect_set("event_type"))
     return events.groupBy("user_id").agg(
-        types.alias("types"),
+        F.array_join(types, ",").alias("types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
         F.array_contains(types, "purchase").alias("has_purchase"),
-        F.array_sort(
-            F.array_intersect(types, F.array(F.lit("purchase"), F.lit("signup")))
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(types, F.array(F.lit("purchase"), F.lit("signup")))
+            ),
+            ",",
         ).alias("conversion_types"),
     )
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.scalar import epoch_seconds
 from ..operators.joins import asof_join, range_join
 from ..operators.text import tokens
 from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
@@ -104,7 +105,7 @@ def range_join_events_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_a",
         "event_b",
         "user_id",
-        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_seconds"),
+        (epoch_seconds("ts_b") - epoch_seconds("ts_a")).alias("gap_seconds"),
     )
 
 
@@ -706,6 +707,33 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_ivf(emb, query_id=7, k=10, n_centroids=8, nprobe=4)
+
+
+@register("ann_topk_ivf_probe")
+def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only IVF ANN against a PERSISTED index (built once per
+    dataset on first call, under $SPARK_GRAFT_INDEX_DIR). The measured
+    path is the per-query serving cost: centroid ranking on the tiny
+    centroid table, then a partition-pruned scan of the nprobe matching
+    ``_cid=`` partitions. Approximate -> rows-only; pruning + member
+    correctness asserted in tests/test_scale_ops.py."""
+    import os
+
+    from ..operators.similarity import ann_topk_ivf_probe, ivf_index_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_path = f"{base}/ivf_{tag}_c8_r0"
+    if not os.path.exists(index_path + "/centroids/_SUCCESS"):
+        ivf_index_persist(spark, emb, index_path, n_centroids=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    return ann_topk_ivf_probe(
+        spark, index_path, qvec, k=10, nprobe=4, exclude_id=7
+    )
 
 
 @register("ann_topk_ivf_kmeans")

@@ -95,6 +95,11 @@ def pagerank_scaled(
             "nationkey",
             (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("rank"),
         )
+        # truncate lineage each iteration (as kmeans_refine does,
+        # operators/similarity.py): keeps plan depth constant so the
+        # loop scales to arbitrary iteration counts. Eager + tiny
+        # (one row per nation), so the materialization is free.
+        ranks = ranks.localCheckpoint(eager=True)
 
     return ranks.join(
         F.broadcast(nation), ranks.nationkey == nation.n_nationkey

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_seconds
 from ..queries_catalog import register
 from ..sources.registry import load_table
 
@@ -181,7 +182,7 @@ def moving_1h_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return events.select(

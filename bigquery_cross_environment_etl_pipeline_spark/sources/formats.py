@@ -27,6 +27,7 @@ def write_csv(df: DataFrame, path: str) -> None:
         df.write.mode("overwrite")
         .option("header", "true")
         .option("timestampFormat", TEXT_TS_FMT)
+        .option("timestampNTZFormat", TEXT_TS_FMT)
         .csv(path)
     )
 
@@ -36,17 +37,24 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         spark.read.schema(schema)
         .option("header", "true")
         .option("timestampFormat", TEXT_TS_FMT)
+        .option("timestampNTZFormat", TEXT_TS_FMT)
         .csv(path)
     )
 
 
 def write_json(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("timestampFormat", TEXT_TS_FMT).json(path)
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", TEXT_TS_FMT)
+        .option("timestampNTZFormat", TEXT_TS_FMT)
+        .json(path)
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return (
-        spark.read.schema(schema).option("timestampFormat", TEXT_TS_FMT).json(path)
+        spark.read.schema(schema).option("timestampFormat", TEXT_TS_FMT)
+        .option("timestampNTZFormat", TEXT_TS_FMT).json(path)
     )
 
 
@@ -69,6 +77,7 @@ def read_json_tolerant(
     return (
         spark.read.schema(with_corrupt)
         .option("timestampFormat", TEXT_TS_FMT)
+        .option("timestampNTZFormat", TEXT_TS_FMT)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)

@@ -26,7 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
+
+
+def ensure_event_time(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP at the source
+    boundary. Spark's event-time machinery (``withWatermark``,
+    ``window``, state timeouts) requires TimestampType; parquet written
+    with isAdjustedToUTC=false arrives as NTZ and would raise
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The session zone is pinned to
+    UTC (session.py), so the cast declares "these wall-clock stamps ARE
+    UTC instants" — deterministic across hosts."""
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for name in ntz_cols:
+        df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def read_stream(
@@ -38,7 +52,7 @@ def read_stream(
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(source_dir)
+    return ensure_event_time(reader.load(source_dir))
 
 
 def stream_incremental_append(
