@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
     "ann_topk_ivf_probe",
+    "embedding_batch_topk",
+    "embedding_cosine_clusters",
     "text_quality_scores",
     "text_langid",
     "multimodal_features",

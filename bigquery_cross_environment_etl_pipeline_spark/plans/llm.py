@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..operators import dedup, similarity, text
 from ..operators.multimodal import extract_features, synthesize_assets
@@ -357,6 +358,99 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation co-partitioned on the block key."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "embedding_cosine_clusters",
+    oracle=f"""
+    WITH RECURSIVE strong AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_cosine('a.embedding', 'b.embedding')} > 0.3
+    ),
+    sym AS (SELECT va AS a, vb AS b FROM strong
+            UNION SELECT vb, va FROM strong),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    ),
+    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)
+    SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """,
+)
+def embedding_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup finisher: embedding-cosine near-dup pairs (blocked
+    on label, cosine > 0.3) -> connected components -> one cluster id
+    (= min member) per vector, singletons keeping their own id. The
+    embedding-space analog of dedup_minhash_clusters: pair generation is
+    co-partitioned on the block key, label propagation shuffles O(edges)
+    per round (operators/components.py), and the oracle replays the
+    same transitive closure with a recursive CTE."""
+    from ..operators.components import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.3)
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_clusters(edges, emb.select("vec_id"), "vec_id")
+
+
+@register(
+    "embedding_batch_topk",
+    oracle=f"""
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT q.vec_id AS qid, a.vec_id,
+             {_cosine('a.embedding', 'q.embedding')} AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cosine('a.embedding', 'q.embedding')} DESC, a.vec_id
+             ) AS BIGINT) AS rn
+      FROM embeddings a
+      JOIN embeddings q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact similarity search: top-3 cosine neighbors for a SET
+    of query vectors in ONE corpus pass — the similarity-join shape a
+    retrieval pipeline runs nightly, vs the single-query probe.
+
+    The bounded query set broadcasts (one scan of the corpus scores all
+    queries); per-query top-k is a row_number window on the query id, so
+    the shuffle carries corpus x |Q| scored rows hashed across |Q| keys.
+    At 100 TB you bound that product FIRST by bucketing both sides
+    (IVF/LSH) so each query only meets its buckets' candidates; this
+    exact form is the correctness baseline the bucketed path is measured
+    against (recall tests in tests/test_scale_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", similarity.norm_expr("embedding").alias("_nrm")
+    )
+    q = with_norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    scored = (
+        with_norm.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                similarity.dot_expr("embedding", "_qvec")
+                / (F.col("_nrm") * F.col("_qnrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
 
 
 @register("ann_topk_lsh")  # approximate by design -> rows-only check
