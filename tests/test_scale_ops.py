@@ -254,3 +254,70 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_probe_matches_inline_ivf(spark, tmp_path):
+    """The persisted-index probe must return the same neighbors as the
+    inline (build-per-query) IVF with identical parameters — persistence
+    changes where the assignment lives, never the answer."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_persist(spark, emb, path, n_centroids=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    probed = similarity.ann_topk_ivf_probe(
+        spark, path, qvec, k=10, nprobe=4, exclude_id=7
+    ).collect()
+    inline = similarity.ann_topk_ivf(
+        emb, query_id=7, k=10, n_centroids=8, nprobe=4
+    ).collect()
+    assert [r["vec_id"] for r in probed] == [r["vec_id"] for r in inline]
+    for p, i in zip(probed, inline):
+        assert abs(p["cosine"] - i["cosine"]) < 1e-12
+
+
+def test_batch_topk_agrees_with_single_query_topk(spark):
+    """Each query's slice of the batched similarity join must equal the
+    single-query brute-force top-k (same ordering, same cosines)."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        embedding_batch_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    batch = embedding_batch_topk(spark, SF_SMOKE).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["qid"], r["rn"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert sorted(by_qid) == [0, 1, 2, 3, 4]
+    for qid, rows in by_qid.items():
+        single = similarity.cosine_topk(emb, query_id=qid, k=3).collect()
+        assert [r["vec_id"] for r in rows] == [s["vec_id"] for s in single]
+        for r, s in zip(rows, single):
+            assert abs(r["cosine"] - s["cosine"]) < 1e-12
+
+
+def test_embedding_clusters_are_consistent_with_pairs(spark):
+    """Cluster labels must (a) cover every vector, (b) put both ends of
+    every near-dup pair in the same cluster, and (c) label every cluster
+    by its minimum member."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        embedding_cosine_clusters,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_cosine_clusters(spark, SF_SMOKE).collect()
+    }
+    assert len(labels) == emb.count()
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.3).collect()
+    assert pairs, "fixture must contain at least one near-dup pair"
+    for p in pairs:
+        assert labels[p["vec_a"]] == labels[p["vec_b"]]
+    members: dict[int, list[int]] = {}
+    for vec, comp in labels.items():
+        members.setdefault(comp, []).append(vec)
+    for comp, vecs in members.items():
+        assert comp == min(vecs)
