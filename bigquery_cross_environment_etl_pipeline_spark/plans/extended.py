@@ -817,6 +817,40 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
 
 
+# --- streaming sessionization (rows-only: Structured Streaming) -----------------------------
+@register("streaming_session_counts")
+def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a REAL streaming query: file stream ->
+    watermark -> ``session_window`` (30-minute gap) -> memory sink,
+    drained with AvailableNow. The streaming dual of the batch
+    ``sessionization_gap30m`` query; per-session equality with the
+    native batch session_window is asserted in
+    tests/test_session_window.py. Rows-only: not one SQL statement."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_session_counts
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    name = f"session_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_sess_") as tmp:
+        src = f"{tmp}/src"
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        agg = stream_session_counts(read_stream(spark, src, schema))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT session_start, user_id, n_events, total_value FROM {name}"
+    ).withColumn("session_start", F.date_format("session_start", TS_FMT_SPARK))
+
+
 # --- protocol round-trip (rows-only: stateful, not SQL-expressible) -----------------------
 @register("etl_checkpoint_roundtrip")
 def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

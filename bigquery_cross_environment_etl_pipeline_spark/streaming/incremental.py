@@ -89,6 +89,36 @@ def stream_incremental_append(
     return writer.start()
 
 
+def stream_session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: ``session_window`` merges events into
+    per-key sessions closed by a ``gap`` of silence — the streaming form
+    of the batch lag+cumsum sessionization query. Watermark bounds the
+    open-session state (a session emits once the watermark passes its
+    close), so executor state is O(active sessions in horizon), not
+    O(history)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_windowed_counts(
     stream: DataFrame,
     ts_col: str = "ts",
