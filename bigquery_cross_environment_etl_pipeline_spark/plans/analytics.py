@@ -103,7 +103,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — leave its broadcast to size-based
+        # planning/AQE; only the fixed 25-row nation is pinned
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -963,7 +965,9 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF — no pinned broadcast (auto-BHJ here,
+        # SMJ degradation at scale)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.sum(promo_rev), 2).cast("double").alias("promo_revenue"),
             F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
@@ -1010,7 +1014,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — auto broadcast, not a pinned hint
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",

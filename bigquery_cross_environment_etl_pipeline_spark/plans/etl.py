@@ -169,11 +169,14 @@ def config_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: the multi-tenant fan-out as a broadcast hash join
     (billing_etl.py:65-66) — the dimension side ships to every executor,
-    the fact side never shuffles."""
+    the fact side never shuffles. No forced hint: customer scales with
+    SF, so the broadcast decision belongs to size-based planning + AQE
+    (BHJ at this scale, graceful SMJ once the dim outgrows the
+    threshold) — a pinned F.broadcast would OOM the driver at 100x."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
