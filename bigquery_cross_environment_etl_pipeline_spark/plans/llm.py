@@ -487,6 +487,68 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_safety_flags",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' see https://example.com/d' || doc_id ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' mail u' || doc_id || '@test.org' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           (len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
+            OR len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) > 0
+            OR CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) > 0.3) AS flagged
+    FROM aug
+    """,
+)
+def text_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning signals: URL / email mentions and digit
+    density per document, plus the boolean a curation pass would filter
+    on. Pure regexp_count column expressions in the scan stage — at
+    100 TB this rides the same single pass as the other quality
+    features, no extra shuffle. The synthetic corpus contains no URLs
+    or emails, so both engines append deterministic doc_id-keyed
+    markers to a slice of documents first — the flags are then
+    demonstrably discriminative, not vacuously zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" see https://example.com/d"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@test.org")),
+        ).otherwise(F.lit("")),
+    )
+    docs = docs.select("doc_id", aug.alias("text"))
+    n_urls = F.regexp_count("text", F.lit(r"https?://[^ ]+"))
+    n_emails = F.regexp_count("text", F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+"))
+    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / F.length(
+        "text"
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        n_urls.cast("bigint").alias("n_urls"),
+        n_emails.cast("bigint").alias("n_emails"),
+        digit_ratio.alias("digit_ratio"),
+        ((n_urls > 0) | (n_emails > 0) | (digit_ratio > 0.3)).alias("flagged"),
+    )
+
+
+@register(
     "text_quality_scores",
     oracle=f"""
     SELECT doc_id,
