@@ -208,6 +208,56 @@ def lsh_candidate_pairs(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, sh, _nsh): distinct 48-bit-hashed shingle set per document
+    plus its size — the per-doc representation every exact-verify stage
+    joins against (8 bytes/element shuffled, never the text)."""
+    hashed = F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col), F.array_distinct(hashed).alias("sh")
+    ).withColumn("_nsh", F.size("sh"))
+
+
+def verified_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact-Jaccard VERIFY stage over an arbitrary candidate pair list
+    (doc_a, doc_b) — the second half of the canonical LSH -> verify
+    dedup pipeline. Cost is O(|candidates|) set intersections; with LSH
+    candidates in front, the all-pairs quadratic blowup never happens
+    and the shuffle carries only (pair ids + two hashed-shingle
+    arrays)."""
+    sh = hashed_shingle_sets(docs, text_col, id_col, n)
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("_sha"), F.col("_nsh").alias("_na")
+    )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), F.col("sh").alias("_shb"), F.col("_nsh").alias("_nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter).cast("double")
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -263,6 +263,42 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.0)
 
 
+@register(
+    "dedup_lsh_jaccard_verified",
+    oracle=f"""
+    WITH cand0 AS (
+      {_minhash_oracle()}
+    ),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM cand0),
+    sh AS (
+      SELECT doc_id, list(DISTINCT {_duck_hash48('s')}) AS sh
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+           UNNEST({_DUCK_SHINGLES}) AS t(s)
+      GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+    ) WHERE jaccard > 0.3
+    """,
+)
+def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage dedup pipeline END-TO-END: MinHash+LSH
+    candidate generation (shuffle bounded by band keys) feeding the
+    exact n-gram-Jaccard VERIFY stage (one set intersection per
+    candidate). Unlike the (source, length)-blocked exact query, the
+    candidate count here scales with true near-duplicates, not with
+    block sizes — this is the composition that stays feasible at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    return dedup.verified_jaccard_pairs(docs, cands, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF-style term weighting
 # ---------------------------------------------------------------------------
