@@ -35,12 +35,14 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_fingerprints",
     "dedup_ngram_jaccard_pairs",
+    "dedup_lsh_jaccard_verified",
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
     "ann_topk_ivf_probe",
     "embedding_batch_topk",
     "embedding_cosine_clusters",
     "text_quality_scores",
+    "text_safety_flags",
     "text_langid",
     "multimodal_features",
     "asof_join_latest_order",
