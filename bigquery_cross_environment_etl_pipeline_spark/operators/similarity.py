@@ -346,6 +346,72 @@ def ann_topk_ivf_probe(
     )
 
 
+def ann_batch_topk_ivf_probe(
+    spark,
+    index_path: str,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Batched probe against a persisted IVF index: one pruned scan
+    serves the whole query set.
+
+    Centroid ranking happens driver-side per query (bounded:
+    |queries| x n_centroids, both serving-batch-sized constants), the
+    scan reads only the UNION of all probed ``_cid=`` partitions via a
+    literal IN-filter, and the (qid, _cid) probe table joined broadcast
+    restricts each query to its own cells before scoring. Per-query
+    top-k is a row_number window on qid — the shuffle carries only the
+    scored candidates of probed cells, not the corpus.
+    """
+    import math
+
+    cents = spark.read.parquet(index_path + "/centroids").collect()
+    probe_pairs: list[tuple[int, int]] = []
+    qrows = []
+    for qid, vec in query_vecs.items():
+        v = [float(x) for x in vec]
+        qnrm = math.sqrt(sum(x * x for x in v))
+        ranked = sorted(
+            (
+                (
+                    sum(float(a) * b for a, b in zip(r["_cvec"], v))
+                    / (r["_cnrm"] * qnrm),
+                    -r["_cid"],
+                )
+                for r in cents
+            ),
+            reverse=True,
+        )
+        probe_pairs += [(qid, int(-c)) for _, c in ranked[:nprobe]]
+        qrows.append((qid, v, qnrm))
+
+    all_cids = sorted({cid for _, cid in probe_pairs})
+    index = spark.read.parquet(index_path + "/assigned").filter(
+        F.col("_cid").isin(all_cids)
+    )
+    pairs_df = spark.createDataFrame(probe_pairs, "qid long, _cid long")
+    qdf = spark.createDataFrame(qrows, "qid long, _qvec array<double>, _qnrm double")
+    cand = index.join(F.broadcast(pairs_df), "_cid").join(F.broadcast(qdf), "qid")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("qid"))
+    cos = dot_expr(vec_col, "_qvec", dim) / (
+        norm_expr(vec_col, dim) * F.col("_qnrm")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.select("qid", F.col(id_col), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -----------------------------------------
 
 

@@ -709,6 +709,23 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, query_id=7, k=10, n_centroids=8, nprobe=4)
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted IVF index for ``sf_dir`` (build on first
+    use, under $SPARK_GRAFT_INDEX_DIR) — the amortized-once maintenance
+    step every probe query shares."""
+    import os
+
+    from ..operators.similarity import ivf_index_persist
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_path = f"{base}/ivf_{tag}_c8_r0"
+    if not os.path.exists(index_path + "/centroids/_SUCCESS"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_index_persist(spark, emb, index_path, n_centroids=8)
+    return index_path
+
+
 @register("ann_topk_ivf_probe")
 def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only IVF ANN against a PERSISTED index (built once per
@@ -717,22 +734,37 @@ def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table, then a partition-pruned scan of the nprobe matching
     ``_cid=`` partitions. Approximate -> rows-only; pruning + member
     correctness asserted in tests/test_scale_ops.py."""
-    import os
-
-    from ..operators.similarity import ann_topk_ivf_probe, ivf_index_persist
+    from ..operators.similarity import ann_topk_ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    index_path = f"{base}/ivf_{tag}_c8_r0"
-    if not os.path.exists(index_path + "/centroids/_SUCCESS"):
-        ivf_index_persist(spark, emb, index_path, n_centroids=8)
+    index_path = _ivf_index(spark, sf_dir)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
     ]
     return ann_topk_ivf_probe(
         spark, index_path, qvec, k=10, nprobe=4, exclude_id=7
+    )
+
+
+@register("ann_batch_topk_ivf")
+def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF probe: top-10 for five query vectors served by ONE
+    partition-pruned scan of the persisted index (union of all probed
+    cells, per-query cell restriction via a broadcast (qid, _cid) probe
+    table). The serving-batch dual of the exact embedding_batch_topk —
+    approximate -> rows-only; agreement with the single-query probe is
+    asserted in tests/test_scale_ops.py."""
+    from ..operators.similarity import ann_batch_topk_ivf_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = _ivf_index(spark, sf_dir)
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    return ann_batch_topk_ivf_probe(
+        spark, index_path, qvecs, k=10, nprobe=4
     )
 
 

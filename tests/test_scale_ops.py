@@ -321,3 +321,29 @@ def test_embedding_clusters_are_consistent_with_pairs(spark):
         members.setdefault(comp, []).append(vec)
     for comp, vecs in members.items():
         assert comp == min(vecs)
+
+
+def test_batch_ivf_probe_matches_single_probes(spark, tmp_path):
+    """The batched probe must return, per query, exactly what the
+    single-query probe returns against the same index/parameters."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_persist(spark, emb, path, n_centroids=8)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    batch = similarity.ann_batch_topk_ivf_probe(
+        spark, path, qvecs, k=5, nprobe=4
+    ).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["qid"], r["rn"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert sorted(by_qid) == [0, 1, 2]
+    for qid, rows in by_qid.items():
+        single = similarity.ann_topk_ivf_probe(
+            spark, path, qvecs[qid], k=5, nprobe=4, exclude_id=qid
+        ).collect()
+        assert [r["vec_id"] for r in rows] == [s["vec_id"] for s in single]
+        for r, s in zip(rows, single):
+            assert abs(r["cosine"] - s["cosine"]) < 1e-12
