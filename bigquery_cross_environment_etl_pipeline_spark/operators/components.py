@@ -2,16 +2,22 @@
 
 The dedup finisher: MinHash/SimHash/Jaccard stages emit PAIRS; turning
 pairs into dedup groups (one keeper per cluster) is a connected-
-components problem. Implemented as iterative min-label propagation on
-DataFrames — each iteration is one join + grouped min (all distributed),
-the driver only checks the convergence counter.
+components problem. Implemented as iterative min-label propagation
+WITH POINTER JUMPING (path halving) on DataFrames — each round is a
+neighbor-min join plus a label-of-label join (all distributed); the
+driver only checks the convergence counter.
 
-Scale notes: this is the alternating large-star/small-star family's
-simple cousin; iterations are O(diameter) and near-dup clusters are
-shallow (stars/cliques), so 3-5 rounds converge in practice. Each round
-shuffles O(edges) on node id. ``localCheckpoint`` truncates the
-exponentially-growing lineage between rounds (the classic iterative-
-DataFrame pitfall).
+Scale notes: plain min-label propagation needs O(diameter) rounds,
+which silently fails on chain-shaped similarity graphs (an embedding
+near-dup graph at sf0.1 still had >100 labels moving after 10 rounds).
+The pointer-jumping step re-reads each label through its current
+component's label every round, doubling the propagation horizon per
+round — O(log diameter) total, the Hash-to-Min / union-find-halving
+idea. Each round shuffles O(edges + nodes) on node id.
+``localCheckpoint`` truncates the exponentially-growing lineage
+between rounds (the classic iterative-DataFrame pitfall), and the
+symmetrized edge list materializes ONCE up front so an expensive
+upstream pair generator is never replayed per round.
 """
 
 from __future__ import annotations
@@ -24,17 +30,27 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via edges.
 
     ``edges`` is an undirected pair list; isolated nodes absent from it
     simply never appear (callers union them in if needed).
+
+    ``max_iter`` is a safety bound, not the expected round count: the
+    loop exits on convergence (changed == 0), which the pointer-jumping
+    step reaches in O(log diameter)-ish rounds (measured: 16 rounds on
+    a 2000-node chain-y cosine graph that plain propagation could not
+    finish in 10).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: every iteration joins against sym, and the
+        # upstream edge generator may be expensive (e.g. a cosine pair
+        # join) — without this barrier it re-executes per round.
+        .localCheckpoint(eager=True)
     )
     # initial label: min(self, min neighbor)
     labels = (
@@ -48,10 +64,24 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), F.col("comp"))
         )
-        new_labels = (
+        propagated = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: re-read my label through my component's own
+        # label (label(comp) <= comp by the min invariant, and every
+        # comp value is itself a labeled node). Doubles the propagation
+        # horizon each round -> O(log diameter) convergence.
+        comp_labels = propagated.select(
+            F.col("node").alias("comp"), F.col("comp").alias("_comp2")
+        )
+        new_labels = (
+            propagated.join(comp_labels, "comp", "left")
+            .select(
+                "node",
+                F.least(F.coalesce(F.col("_comp2"), F.col("comp")), F.col("comp")).alias("comp"),
+            )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         changed = (

@@ -41,3 +41,17 @@ def test_dedup_clusters_with_singletons(spark):
     assert got[2] == got[5] == got[9] == 2
     singles = {i: c for i, c in got.items() if i not in (2, 5, 9)}
     assert all(i == c for i, c in singles.items())
+
+
+def test_long_chain_converges_within_default_budget(spark):
+    """Regression: a 120-node chain needs ~O(log n) pointer-jumping
+    rounds — plain min-label propagation would silently return
+    unconverged labels under any reasonable iteration cap. The chain is
+    numbered descending so labels must travel the full diameter."""
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = _comp_map(connected_components(edges))
+    assert set(got.values()) == {1}
+    assert len(got) == n
