@@ -883,6 +883,59 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     ).withColumn("session_start", F.date_format("session_start", TS_FMT_SPARK))
 
 
+# --- provisioning workflow (rows-only: DDL + stateful, not SQL-expressible) ---------------
+@register("etl_provision_rollback")
+def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D7 driven end-to-end: provision a tenant (CREATE DATABASE ->
+    nested-schema CREATE TABLE -> config write-back -> step complete),
+    then force a second provision to FAIL (missing config row) and show
+    its rollback left no catalog objects behind. Returns the step/
+    assertion log; temp catalog objects are dropped afterwards.
+    Rows-only: DDL + multi-statement protocol, not one SQL query."""
+    import tempfile
+    import uuid
+
+    from ..operators import catalog as cat
+    from ..operators.config import ConfigStore, StepStatusStore
+    from ..schemas import CONFIG_SCHEMA
+
+    # unique org id so parallel/repeated driver runs never collide
+    org = 9_000_000 + int(uuid.uuid4().int % 1_000_000)
+    dataset, table = cat.org_dataset_name(org), cat.org_table_name(org)
+    rows: list[tuple[str, bool]] = []
+    with tempfile.TemporaryDirectory(prefix="provision_") as tmp:
+        config = ConfigStore(spark, f"{tmp}/config")
+        config.write(
+            spark.createDataFrame(
+                [(org, "proj-1", "src_ds", "src_tbl", None, None, "svc-acct")],
+                CONFIG_SCHEMA,
+            )
+        )
+        steps = StepStatusStore(spark, f"{tmp}/steps")
+        try:
+            res = cat.provision(spark, org, config, steps)
+            rows.append(("provision_created", bool(res.created)))
+            rows.append(("database_exists", cat.database_exists(spark, dataset)))
+            rows.append(("table_exists", cat.table_exists(spark, dataset, table)))
+            cfg = config.lookup(org)
+            rows.append(
+                ("config_written", cfg is not None and cfg["pulsebillingdataset"] == dataset)
+            )
+            # failure path: org with no config row -> rollback, no objects
+            bad = cat.provision(spark, org + 1, config, steps)
+            rows.append(("bad_provision_rejected", not bad.created))
+            rows.append(
+                (
+                    "bad_rolled_back",
+                    not cat.database_exists(spark, cat.org_dataset_name(org + 1)),
+                )
+            )
+        finally:
+            cat.drop_database_cascade(spark, dataset)
+        rows.append(("dropped_cascade", not cat.database_exists(spark, dataset)))
+    return spark.createDataFrame(rows, "step string, ok boolean")
+
+
 # --- protocol round-trip (rows-only: stateful, not SQL-expressible) -----------------------
 @register("etl_checkpoint_roundtrip")
 def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,7 +81,7 @@ _PRIORITY = [
     "range_join_events_5min",
     "asof_join_latest_order",
     "array_functions_user_types",
-    "window_partition_invariant",
+    "etl_provision_rollback",
     "streaming_windowed_counts",
     # LLM-data-pipeline ops: dedup, similarity/ANN, text, multimodal
     "dedup_exact_stats",
