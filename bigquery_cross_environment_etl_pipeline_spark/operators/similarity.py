@@ -346,6 +346,31 @@ def ann_topk_ivf_probe(
     )
 
 
+def ivf_index_append(
+    spark,
+    new_embeddings: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors
+    against the EXISTING centroids and append them to the partitioned
+    assignment store — no full-corpus rebuild. Cost is one pass over
+    the delta (broadcast centroids, max_by argmax), so nightly ingest
+    adds O(delta) work regardless of index size. Centroids drift as the
+    distribution shifts; rebuild (``ivf_index_persist``) on a cadence,
+    exactly like any IVF serving system."""
+    centroids = spark.read.parquet(index_path + "/centroids")
+    assigned = _assign_to_centroids(new_embeddings, centroids, id_col, vec_col, dim)
+    (
+        new_embeddings.join(assigned, id_col)
+        .write.mode("append")
+        .partitionBy("_cid")
+        .parquet(index_path + "/assigned")
+    )
+
+
 def ann_batch_topk_ivf_probe(
     spark,
     index_path: str,

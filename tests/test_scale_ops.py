@@ -347,3 +347,34 @@ def test_batch_ivf_probe_matches_single_probes(spark, tmp_path):
         assert [r["vec_id"] for r in rows] == [s["vec_id"] for s in single]
         for r, s in zip(rows, single):
             assert abs(r["cosine"] - s["cosine"]) < 1e-12
+
+
+def test_ivf_index_append_serves_new_vectors(spark, tmp_path):
+    """Incremental maintenance: vectors appended after the build must be
+    (a) assigned to their true max-cosine centroid among the existing
+    ones and (b) returned by a probe whose query IS one of them."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_persist(spark, base, path, n_centroids=8)
+    n_base = spark.read.parquet(path + "/assigned").count()
+    similarity.ivf_index_append(spark, delta, path)
+    index = spark.read.parquet(path + "/assigned")
+    assert index.count() == n_base + delta.count()
+
+    # appended assignment must agree with a fresh assignment pass
+    centroids = spark.read.parquet(path + "/centroids")
+    fresh = similarity._assign_to_centroids(
+        delta, centroids, "vec_id", "embedding", similarity.DIM
+    )
+    got = {r["vec_id"]: r["_cid"] for r in index.filter(F.col("vec_id") >= 400).collect()}
+    want = {r["vec_id"]: r["_cid"] for r in fresh.collect()}
+    assert got == want
+
+    # a probe querying an appended vector finds it at cosine ~1
+    some = delta.select("vec_id", "embedding").first()
+    qvec = [float(x) for x in some["embedding"]]
+    top = similarity.ann_topk_ivf_probe(spark, path, qvec, k=1, nprobe=2).first()
+    assert top["vec_id"] == some["vec_id"]
+    assert abs(top["cosine"] - 1.0) < 1e-9
