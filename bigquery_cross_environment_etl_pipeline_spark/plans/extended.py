@@ -813,6 +813,76 @@ def sql_passthrough_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gap-filled resampling (hypertable interpolate shape) -----------------------------------
+@register(
+    "resampled_hourly_forward_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+      FROM events WHERE user_id < 5
+      GROUP BY user_id, hour_idx
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi)) AS hour_idx
+      FROM (SELECT user_id, MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+            FROM hourly GROUP BY user_id)
+    )
+    SELECT g.user_id, g.hour_idx,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_idx
+             ROWS UNBOUNDED PRECEDING
+           ) AS value_filled,
+           h.hour_value IS NULL AS was_gap
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_idx = h.hour_idx
+    """,
+)
+def resampled_hourly_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill (the hypertable
+    ``time_bucket_gapfill`` + ``locf`` shape): hourly per-user sums on a
+    DENSE hour grid, holes carried forward from the last observation.
+
+    The grid is ``sequence(lo, hi)`` over integer hour indexes (epoch
+    seconds // 3600 via the NTZ-safe helper — no session-zone
+    dependence), exploded per user: grid size is O(users x hours),
+    independent of event count, and generation is partition-local to
+    each user's row. The carry-forward is one ``last(ignorenulls)``
+    window on the (user, hour) ordering — a single shuffle, which AQE
+    coalesces with the grid join's. Exact doubles: the fill copies
+    already-rounded hourly sums, so the oracle matches bitwise."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hour_idx = F.floor(epoch_seconds("ts") / 3600).cast("bigint")
+    hourly = (
+        events.groupBy("user_id", hour_idx.alias("hour_idx"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("hour_value")
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("hour_idx")
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour_idx"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("hour_value").isNull().alias("was_gap"),
+    )
+
+
 # --- streaming windowed aggregation (rows-only: Structured Streaming) -----------------------
 @register("streaming_windowed_counts")
 def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
