@@ -784,6 +784,58 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deterministic_mixture_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 10000
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN 5000
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN 2500
+                  ELSE 1000 END AS rate_bp,
+             {_duck_hash48("'mix-' || doc_id")} % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
+    FROM rated WHERE bucket < rate_bp
+    """,
+)
+def deterministic_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-mixture sampling: per-source admission
+    rates applied through a salted content-independent hash of the
+    document id — NOT an engine-seeded RNG, so the same documents are
+    admitted on every engine, every run, every partitioning (the
+    property a training-data pipeline needs for auditability and
+    incremental rebuilds). Rates: sources 0-4 full, 5-9 half, 10-14
+    quarter, 15+ 10%. Pure column expressions; the sample decision
+    rides the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate_bp = (
+        F.when(src_num < 5, 10000)
+        .when(src_num < 10, 5000)
+        .when(src_num < 15, 2500)
+        .otherwise(1000)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.select(
+            "doc_id", "source", rate_bp.cast("bigint").alias("rate_bp"), bucket.alias("_b")
+        )
+        .filter(F.col("_b") < F.col("rate_bp"))
+        .drop("_b")
+    )
+
+
+@register(
     "multimodal_features_arrow",
     oracle=f"""
     SELECT doc_id AS asset_id,
