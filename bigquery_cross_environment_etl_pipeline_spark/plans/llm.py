@@ -173,6 +173,67 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
 
 
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_similarity >= 0.5),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM strong
+            UNION SELECT doc_b, doc_a FROM strong),
+    reach(n, m) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    ),
+    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT cluster_id, doc_id AS keeper_id,
+           CAST(n_chars AS BIGINT) AS keeper_n_chars,
+           n_members
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM labeled
+    ) WHERE rn = 1
+    """
+
+
+@register("dedup_cluster_keep_best", oracle=_keep_best_oracle())
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision a pipeline actually ships: near-dup clusters
+    (MinHash -> components) reduced to ONE representative each, chosen
+    by quality (longest document, id tie-break) rather than the
+    arbitrary min-id — keep-best, not keep-first. One window over the
+    cluster key after the clustering; everything upstream is the
+    already-verified cluster machinery."""
+    from ..operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(F.col("est_similarity") >= 0.5)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    labeled = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = W.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").cast("bigint").alias("keeper_n_chars"),
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash
 # ---------------------------------------------------------------------------
