@@ -39,8 +39,11 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
     "ann_topk_ivf_probe",
+    "ann_batch_topk_ivf",
     "embedding_batch_topk",
     "embedding_cosine_clusters",
+    "resampled_hourly_forward_fill",
+    "deterministic_mixture_sample",
     "text_quality_scores",
     "text_safety_flags",
     "text_langid",
