@@ -883,6 +883,109 @@ def resampled_hourly_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "resampled_hourly_interpolated",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+      FROM events WHERE user_id < 5
+      GROUP BY user_id, hour_idx
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi)) AS hour_idx
+      FROM (SELECT user_id, MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+            FROM hourly GROUP BY user_id)
+    ),
+    ctx AS (
+      SELECT g.user_id, g.hour_idx, h.hour_value,
+             last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+               ROWS UNBOUNDED PRECEDING) AS prev_v,
+             last_value(CASE WHEN h.hour_value IS NOT NULL
+                             THEN g.hour_idx END IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+               ROWS UNBOUNDED PRECEDING) AS prev_i,
+             first_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN h.hour_value IS NOT NULL
+                              THEN g.hour_idx END IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour_idx = h.hour_idx
+    )
+    SELECT user_id, hour_idx,
+           CASE WHEN hour_value IS NOT NULL THEN hour_value
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(hour_idx - prev_i AS DOUBLE)
+                        / CAST(next_i - prev_i AS DOUBLE))
+           END AS value_interp,
+           hour_value IS NULL AS was_gap
+    FROM ctx
+    """,
+)
+def resampled_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling, LINEAR-interpolation variant: holes get
+    prev + (next - prev) * elapsed-fraction between the neighboring
+    observations (edges fall back to the available side). Same dense
+    grid as the locf query; the neighbor context is four
+    last/first(ignorenulls) windows over one (user, hour) ordering —
+    Spark computes all four in a single window exchange. The
+    interpolation arithmetic is a fixed-order float chain, so the
+    oracle matches bitwise."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hour_idx = F.floor(epoch_seconds("ts") / 3600).cast("bigint")
+    hourly = (
+        events.groupBy("user_id", hour_idx.alias("hour_idx"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("hour_value")
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    joined = grid.join(hourly, ["user_id", "hour_idx"], "left")
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("hour_value").isNotNull(), F.col("hour_idx"))
+    prev_v = F.last("hour_value", ignorenulls=True).over(back)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(back)
+    next_v = F.first("hour_value", ignorenulls=True).over(fwd)
+    next_i = F.first(obs_idx, ignorenulls=True).over(fwd)
+    frac = (F.col("hour_idx") - prev_i).cast("double") / (next_i - prev_i).cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        interp.alias("value_interp"),
+        F.col("hour_value").isNull().alias("was_gap"),
+    )
+
+
 # --- streaming windowed aggregation (rows-only: Structured Streaming) -----------------------
 @register("streaming_windowed_counts")
 def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
