@@ -783,6 +783,60 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- disjunctive predicate join (TPC-H Q19 shape) -------------------------------------------
+@register(
+    "discounted_brand_revenue_disjunctive",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def discounted_brand_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive brand/size/quantity
+    arms across BOTH join sides. The optimizer test this exists for:
+    Catalyst extracts the common single-side conjuncts from the
+    disjunction (brand IN (...), size <= 35, quantity bounds) and
+    pushes them below the join into each scan, so the join sees
+    pre-filtered inputs instead of evaluating the full disjunction on
+    the cross product — written as one declarative filter, no manual
+    splitting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    price, disc = (
+        F.col("l_extendedprice").cast("decimal(18,4)"),
+        F.col("l_discount").cast("decimal(18,4)"),
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#11", 15, 1, 20)
+            | arm("Brand#22", 25, 10, 30)
+            | arm("Brand#33", 35, 20, 40)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # --- generic SQL execution surface (S6/S7) --------------------------------------------------
 @register(
     "sql_passthrough_rollup",
@@ -1107,6 +1161,46 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.drop_database_cascade(spark, dataset)
         rows.append(("dropped_cascade", not cat.database_exists(spark, dataset)))
     return spark.createDataFrame(rows, "step string, ok boolean")
+
+
+# --- streaming dedup (rows-only: Structured Streaming) --------------------------------------
+@register("streaming_dedup_unique_counts")
+def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> effectively-once as a STREAM: events delivered
+    twice (the union simulates redelivery) flow through
+    ``dropDuplicatesWithinWatermark`` on event_id, so each survives
+    exactly once while state stays bounded by the watermark horizon —
+    the streaming form of the batch keep-first dedup. Returns per-type
+    unique counts; duplicate-freeness is asserted batch-vs-stream in
+    tests/test_streaming_dedup.py. Rows-only: not one SQL statement."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    name = f"uniq_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_dedup_") as tmp:
+        src = f"{tmp}/src"
+        # two deliveries of the same data -> redelivered at-least-once feed
+        events.union(events).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        deduped = (
+            read_stream(spark, src, schema, max_files_per_trigger=4)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        q = (
+            deduped.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.sql(f"SELECT event_type, n_unique FROM {name}")
 
 
 # --- protocol round-trip (rows-only: stateful, not SQL-expressible) -----------------------
