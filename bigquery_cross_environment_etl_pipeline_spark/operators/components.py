@@ -31,6 +31,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via edges.
 
@@ -42,6 +43,13 @@ def connected_components(
     step reaches in O(log diameter)-ish rounds (measured: 16 rounds on
     a 2000-node chain-y cosine graph that plain propagation could not
     finish in 10).
+
+    ``check_every`` batches the convergence COUNT action to every k-th
+    round: the count is a driver-side job over the checkpointed label
+    table, and running it each round made it ~a third of the wall time
+    at sf0.1. Propagation past the fixed point is idempotent (min of an
+    already-minimal label set), so checking less often trades at most
+    k-1 no-op rounds for k-fold fewer count jobs — output identical.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -58,7 +66,7 @@ def connected_components(
         .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .select(F.col("a").alias("node"), "comp")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # propagate: my new label = min(my label, neighbors' labels)
         neighbor_labels = (
             sym.join(labels, sym.b == labels.node)
@@ -84,15 +92,17 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 

@@ -85,6 +85,77 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-12
 
 
+def test_band_keys_udf_matches_catalyst_fold_bitwise(spark):
+    """The Arrow/numpy fast path must reproduce the Catalyst fold's
+    sign decisions EXACTLY — numpy accumulates per dim index, never
+    reassociating, so every plane dot is the same left-fold chain. Any
+    mismatch here would silently break oracle parity of the banded
+    near-dup queries."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_bands, n_planes = 4, 8  # 32 planes is plenty for sign coverage
+    udf = similarity._band_keys_udf(n_bands, n_planes, similarity.DIM, 42)
+    got = {
+        r["vec_id"]: list(r["bks"])
+        for r in emb.select(
+            "vec_id", udf(F.col("embedding")).alias("bks")
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: [r[f"bk{b}"] for b in range(n_bands)]
+        for r in emb.select(
+            "vec_id",
+            *[
+                similarity.lsh_bucket_expr(
+                    "embedding", n_planes, similarity.DIM, 42,
+                    plane_offset=b * n_planes,
+                ).alias(f"bk{b}")
+                for b in range(n_bands)
+            ],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_fold_dot_udf_matches_catalyst_fold_bitwise(spark):
+    """Pair-dot fast path vs dot_expr: bitwise-equal doubles (not
+    approximate) — the property the verify stage's oracle parity
+    rests on."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    pairs = emb.select(
+        "vec_id", F.col("embedding").alias("_a")
+    ).crossJoin(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_b"))
+    ).filter(F.col("vec_id") < F.col("vec_b")).limit(5000)
+    udf = similarity._fold_dot_udf(similarity.DIM)
+    rows = pairs.select(
+        udf(F.col("_a"), F.col("_b")).alias("fast"),
+        similarity.dot_expr("_a", "_b").alias("fold"),
+    ).collect()
+    assert rows and all(r["fast"] == r["fold"] for r in rows)
+
+
+def test_lsh_neardup_finds_planted_near_dup(spark):
+    """A planted exact duplicate must collide in EVERY band and survive
+    the cosine verify at a high threshold; a slightly-perturbed copy
+    must still collide in some band (near-dup recall)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    near = emb.filter(F.col("vec_id") == 9).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    aug = emb.unionByName(dup).unionByName(near)
+    pairs = similarity.cosine_neardup_pairs_lsh(aug, threshold=0.9)
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs.collect()}
+    assert got.get((7, 100007), 0.0) > 0.999, "exact dup must be found"
+    assert got.get((9, 200009), 0.0) > 0.999, "scaled copy must be found"
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     assets = multimodal.synthesize_assets(docs)
