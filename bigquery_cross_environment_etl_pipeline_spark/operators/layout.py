@@ -56,9 +56,20 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     ranks = []
     for i, c in enumerate(cols):
         lo, hi = bounds[f"_lo_{i}"], bounds[f"_hi_{i}"]
+        if lo is None or hi is None:
+            # empty/all-null column: no spread to cluster on — rank 0
+            # (previously raised TypeError on None - None)
+            ranks.append(F.lit(0).cast("long"))
+            continue
         span = (hi - lo) or 1.0
         rank = F.floor((_numeric(c, df) - F.lit(lo)) / F.lit(span) * n_buckets)
-        ranks.append(F.least(F.greatest(rank, F.lit(0)), F.lit(n_buckets - 1)).cast("long"))
+        # null cells rank 0 (floor of null is null -> coalesce)
+        ranks.append(
+            F.coalesce(
+                F.least(F.greatest(rank, F.lit(0)), F.lit(n_buckets - 1)),
+                F.lit(0),
+            ).cast("long")
+        )
 
     k = len(cols)
     z = F.lit(0).cast("long")
@@ -83,17 +94,26 @@ def write_zordered(
     stats), drop the key before writing."""
     spark = df.sparkSession
     # stats-bearing timestamp encoding, same reasoning as
-    # load.write_sorted_partitions
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    z = zorder_key(df, cols, bits)
-    (
-        df.withColumn("_zkey", z)
-        .repartitionByRange(num_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(dest_path)
-    )
+    # load.write_sorted_partitions; save/restore so the session-wide
+    # conf doesn't leak into whatever runs next
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        z = zorder_key(df, cols, bits)
+        (
+            df.withColumn("_zkey", z)
+            .repartitionByRange(num_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+            .write.mode("overwrite")
+            .parquet(dest_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def file_bounding_boxes(

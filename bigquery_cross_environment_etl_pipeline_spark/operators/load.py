@@ -129,12 +129,20 @@ def write_sorted_partitions(
     parallelism without a repartition."""
     # INT96 (the default parquet timestamp encoding) carries NO
     # row-group statistics — the entire point of this writer; force the
-    # stats-bearing INT64 micros encoding even on a vanilla session.
+    # stats-bearing INT64 micros encoding even on a vanilla session,
+    # restoring the previous value afterwards so the session-wide conf
+    # doesn't leak into whatever runs next.
     spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    writer = df.sortWithinPartitions(*sort_cols).write.mode("overwrite")
-    if max_records_per_file:
-        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.parquet(dest_path)
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        writer = df.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(dest_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

@@ -318,8 +318,12 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over blocked pairs (same source, length
-    delta <= 50). Blocking keeps the candidate count linear-ish — the
-    exact-verify stage of a MinHash pipeline."""
+    delta <= 50) — DEMOTED from the driver-checked window in round 3:
+    (source, length-bucket) blocks have fixed cardinality, so
+    within-block pair counts grow quadratically with data (measured
+    5.5x wall-time at 10x data). Kept registered as the exact-verify
+    utility; the scale path is dedup_lsh_jaccard_verified, where
+    MinHash+LSH banding generates the candidates."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.0)
 

@@ -127,19 +127,25 @@ def stream_windowed_counts(
 ) -> DataFrame:
     """T2/T3/T6: tumbling-window counts with an explicit late-data
     allowance — the declarative form of the reference's half-open
-    [start, end) stitching, plus the lateness budget it lacked."""
+    [start, end) stitching, plus the lateness budget it lacked.
+
+    ``total_value`` accumulates in DECIMAL(18,4) (exact for the 2-dp
+    event values, summation-order independent) and renders as double —
+    that is what lets the driver hash-compare this streaming query
+    against a plain GROUP BY oracle; a raw double SUM would drift in
+    the last ulp with aggregation order."""
     return (
         stream.withWatermark(ts_col, lateness)
         .groupBy(F.window(ts_col, window_size).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             "event_type",
             "n_events",
-            "total_value",
+            F.col("_tv").cast("double").alias("total_value"),
         )
     )

@@ -90,3 +90,34 @@ def test_zorder_layout_preserves_answers(spark, tmp_path):
     want = {r["event_id"] for r in events.filter(F.col("user_id") < 10).collect()}
     got = {r["event_id"] for r in back.filter(F.col("user_id") < 10).collect()}
     assert got == want
+
+
+def test_zorder_key_tolerates_empty_and_all_null_input(spark, tmp_path):
+    """Empty or all-null inputs produce None min/max bounds; the key
+    must degrade to rank 0 instead of raising TypeError (round-2
+    advice), and the write must still succeed."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.layout import zorder_key
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert empty.withColumn("_z", zorder_key(empty, ["a", "b"])).count() == 0
+
+    nulls = spark.createDataFrame([(None, None)] * 5, "a double, b double")
+    keyed = nulls.withColumn("_z", zorder_key(nulls, ["a", "b"])).collect()
+    assert [r["_z"] for r in keyed] == [0] * 5
+    write_zordered(nulls, str(tmp_path / "nulls"), ["a", "b"], num_files=2)
+    assert spark.read.parquet(str(tmp_path / "nulls")).count() == 5
+
+
+def test_write_zordered_restores_session_conf(spark, tmp_path):
+    """write_zordered forces the stats-bearing timestamp encoding for
+    its own write but must not leak it into the session (round-2
+    advice)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        df = load_table(spark, SF_SMOKE, "events").limit(50)
+        write_zordered(df, str(tmp_path / "zo"), ["user_id", "value"], num_files=2)
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, prev)

@@ -312,7 +312,9 @@ def test_embedding_clusters_are_consistent_with_pairs(spark):
         for r in embedding_cosine_clusters(spark, SF_SMOKE).collect()
     }
     assert len(labels) == emb.count()
-    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.3).collect()
+    # the query builds its edges from the banded-LSH verified pairs —
+    # consistency must hold against that same generator
+    pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.3).collect()
     assert pairs, "fixture must contain at least one near-dup pair"
     for p in pairs:
         assert labels[p["vec_a"]] == labels[p["vec_b"]]

@@ -3,10 +3,41 @@ dropped via streaming state (the streaming form of exact dedup)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
 from bigquery_cross_environment_etl_pipeline_spark.streaming.incremental import read_stream
 
 from .conftest import SF_SMOKE
+
+
+def test_streaming_dedup_query_matches_batch_distinct(spark):
+    """The REGISTERED streaming_dedup_unique_counts query (redelivered
+    feed, time-ordered files, maxFilesPerTrigger=4 -> genuinely
+    multi-batch) must produce exactly the batch per-type distinct
+    counts. This is the equality the round-2 advice found untested: an
+    unordered source could drop first-ever occurrences as late once
+    the watermark jumped, undercounting nondeterministically — the
+    time-ordered write makes the watermark advance monotonically, so
+    no first occurrence is ever late."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.extended import (
+        streaming_dedup_unique_counts,
+    )
+
+    got = {
+        r["event_type"]: r["n_unique"]
+        for r in streaming_dedup_unique_counts(spark, SF_SMOKE).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_type", "event_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["event_type"]: r["n"] for r in batch.collect()}
+    assert got == want
 
 
 def test_streaming_drop_duplicates_across_batches(spark, tmp_path):
