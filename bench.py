@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "dedup_exact_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_fingerprints",
-    "dedup_ngram_jaccard_pairs",
+    # dedup_ngram_jaccard_pairs dropped in round 3: demoted to an
+    # exact-verify utility (fixed-cardinality blocking is quadratic at
+    # scale); dedup_lsh_jaccard_verified is the headline composition
     "dedup_lsh_jaccard_verified",
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
