@@ -95,6 +95,43 @@ def global_running_sum(
     )
 
 
+def sequence_packing(
+    docs: DataFrame,
+    seq_len: int,
+    token_count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in deterministic ``id_col`` order and cut into training
+    sequences of exactly ``seq_len`` tokens. Each document is assigned
+    the pack holding its first token plus its offset inside that pack;
+    ``spans_boundary`` marks documents split across two or more packs.
+
+    This is the packing most pretraining pipelines actually run
+    (concatenate, then chunk — no padding waste, documents may span),
+    and unlike greedy bin packing its boundary state is a pure function
+    of the exclusive token prefix sum, so it distributes: the only
+    non-map work is ``global_running_sum``'s two-phase prefix sum (one
+    hash exchange + a #buckets-row side table). At 100 TB there is no
+    sequential scan and no single-partition window anywhere.
+    """
+    with_running = global_running_sum(
+        docs, order_col=id_col, weight_col=token_count_col, out_col="_incl"
+    )
+    start = (F.col("_incl") - F.col(token_count_col)).cast("bigint")
+    end_incl = F.col("_incl") - 1
+    return with_running.select(
+        F.col(id_col),
+        F.col(token_count_col).cast("bigint").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("bigint").alias("pack_id"),
+        (start % seq_len).cast("bigint").alias("offset_in_pack"),
+        (F.floor(end_incl / seq_len) > F.floor(start / seq_len)).alias(
+            "spans_boundary"
+        ),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     token_budget: int,

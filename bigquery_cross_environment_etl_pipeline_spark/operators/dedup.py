@@ -335,6 +335,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_counts(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count
+    the DISTINCT word n-gram shingles it shares with the eval corpus —
+    the overlap signal a pretraining pipeline filters on before
+    training (n-gram collision decontamination).
+
+    Dataflow: both sides reduce to 48-bit hashed shingle sets (8
+    B/shingle — the text never shuffles); the eval side collapses to
+    one distinct-hash relation, small enough to broadcast at any
+    realistic eval-suite size, so the training corpus is probed in a
+    single map-side semi-join pass; one grouped count per contaminated
+    doc follows. Only documents with at least one shared shingle are
+    returned.
+    """
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_s")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("_s")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    ).distinct()
+    eval_sh = (
+        eval_docs.select(F.explode(shingles(text_col, n)).alias("_s"))
+        .select(
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("_h")
+        )
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )
+
+
 SIMHASH_BITS = 16
 
 

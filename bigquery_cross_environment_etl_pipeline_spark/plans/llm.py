@@ -364,6 +364,73 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verified_jaccard_pairs(docs, cands, threshold=0.3)
 
 
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, {_duck_hash48('s')} AS h
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+           UNNEST({_DUCK_SHINGLES}) AS t(s)
+    ),
+    ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh s JOIN ev ON s.h = ev.h
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan (decontamination, the curation step
+    run before pretraining): training documents sharing any 3-word
+    shingle with the held-out eval slice (doc_id % 97 == 0 stands in
+    for a benchmark suite) are surfaced with their distinct-overlap
+    counts. Both sides shuffle only 8-byte shingle hashes; the eval
+    relation broadcasts, so the train corpus is probed in one map-side
+    pass — the same shape at 100 TB with a real benchmark suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_counts(train, eval_docs)
+
+
+@register(
+    "corpus_sequence_packing",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM counted
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+           CAST(start_offset % 2048 AS BIGINT) AS offset_in_pack,
+           ((start_offset + n_tokens - 1) // 2048) > (start_offset // 2048)
+             AS spans_boundary
+    FROM run
+    """,
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents laid
+    end-to-end in doc_id order and cut into 2048-token training
+    sequences — each doc gets its pack id, offset in pack, and a
+    spans-boundary flag (operators/curation.py::sequence_packing). The
+    global token offsets come from the two-phase distributed prefix sum
+    (no single-partition window), which the oracle's one-partition
+    running sum checks exactly — integer arithmetic, so any
+    parallelism gives the same packing."""
+    from ..operators.curation import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+    return sequence_packing(counted, seq_len=2048)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF-style term weighting
 # ---------------------------------------------------------------------------

@@ -95,3 +95,32 @@ def test_global_running_sum_property(spark, rows):
             for r in global_running_sum(df, "k", "w", num_partitions=n_parts).collect()
         }
         assert got == expect
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk packing: offsets tile the token stream exactly
+    (no gap, no overlap), offsets stay inside the pack, and
+    spans_boundary marks precisely the docs crossing a 128-token cut."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.curation import (
+        sequence_packing,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.operators.text import token_count
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    counted = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    packed = sorted(
+        sequence_packing(counted, seq_len=128).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert packed
+    expect_start = 0
+    for r in packed:
+        assert r["start_offset"] == expect_start, "offsets must tile exactly"
+        assert 0 <= r["offset_in_pack"] < 128
+        assert r["pack_id"] == r["start_offset"] // 128
+        last_tok = r["start_offset"] + r["n_tokens"] - 1
+        assert r["spans_boundary"] == (last_tok // 128 > r["pack_id"])
+        expect_start += r["n_tokens"]

@@ -215,3 +215,25 @@ def test_multimodal_resize_stage_plumbing(spark):
         assert (r["target_w"], r["target_h"]) == (32, 32)
         assert r["n_bytes_out"] == len(r["payload"]) <= budget
         assert bytes(r["payload"]) == bytes(src[r["asset_id"]])[:budget]
+
+
+def test_contamination_flags_planted_copy(spark):
+    """A train doc that verbatim-copies an eval doc must surface with a
+    large distinct-shingle overlap; eval docs themselves never appear."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    planted = ev.limit(1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
+    out = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in dedup.contamination_counts(train, ev).collect()
+    }
+    [planted_id] = [r["doc_id"] for r in planted.collect()]
+    src_id = planted_id - 500000
+    src_shingles = ev.filter(F.col("doc_id") == src_id).select(
+        F.size(F.array_distinct(dedup.shingles("text"))).alias("n")
+    ).first()["n"]
+    assert out.get(planted_id) == src_shingles, "verbatim copy fully overlaps"
+    assert all(k % 97 != 0 or k >= 500000 for k in out), "eval docs never flagged"
