@@ -61,3 +61,33 @@ def test_no_cartesian_products_anywhere_in_headline_set(spark):
             continue
         plan = queries[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_banded_neardup_joins_on_band_keys_no_cartesian(spark):
+    """The banded-LSH candidate stage must join on (band_idx, band_key)
+    equi-keys — never a cartesian/NL product — and the verify stage
+    must reference the pair-dot UDF (ArrowEvalPython), i.e. the numpy
+    fast path, not an interpreted fold."""
+    plan = _plan(spark, "embedding_cosine_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_key" in plan
+    assert "ArrowEvalPython" in plan, "verify dots must run Arrow-batched"
+
+
+def test_sequence_packing_has_no_single_partition_window(spark):
+    """The packing prefix sum must stay partitioned: every window spec
+    in the plan carries a partition key (the two-phase bucket id), so
+    no stage funnels the corpus through one task."""
+    plan = _plan(spark, "corpus_sequence_packing")
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("]")[0]
+        assert "_pid" in spec, f"unpartitioned window: {spec[:120]}"
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval shingle relation must broadcast — the train corpus is
+    probed map-side, never shuffled against the eval set."""
+    plan = _plan(spark, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
