@@ -1107,15 +1107,54 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
 
 
-# --- streaming sessionization (rows-only: Structured Streaming) -----------------------------
-@register("streaming_session_counts")
+# --- streaming sessionization (now oracle-checked) ------------------------------------------
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,4))) AS tv
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(tv AS DOUBLE) AS total_value
+    FROM agg, wm WHERE session_end <= wm.w
+    """,
+)
 def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization as a REAL streaming query: file stream ->
     watermark -> ``session_window`` (30-minute gap) -> memory sink,
     drained with AvailableNow. The streaming dual of the batch
     ``sessionization_gap30m`` query; per-session equality with the
     native batch session_window is asserted in
-    tests/test_session_window.py. Rows-only: not one SQL statement."""
+    tests/test_session_window.py.
+
+    ORACLE-CHECKED (round 3): append mode emits exactly the sessions
+    whose end (last event + gap) lies at or below the final watermark
+    (max ts - 10 min over the filtered stream); the oracle replays the
+    session merge with Spark's boundary convention — a new session
+    starts when the gap is >= 30 min (an event at exactly start+gap
+    does NOT extend) — and DECIMAL-exact value sums."""
     import tempfile
     import uuid
 

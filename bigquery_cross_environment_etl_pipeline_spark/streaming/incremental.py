@@ -102,19 +102,23 @@ def stream_session_counts(
     open-session state (a session emits once the watermark passes its
     close), so executor state is O(active sessions in horizon), not
     O(history)."""
+    # DECIMAL accumulation for the value sum (order-independent, exact
+    # for 2-dp values) rendered as double — the same convention as
+    # stream_windowed_counts, which is what lets the driver hash-compare
+    # the emitted sessions against a batch SQL oracle.
     return (
         stream.withWatermark(ts_col, lateness)
         .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
         )
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             key_col,
             "n_events",
-            "total_value",
+            F.col("_tv").cast("double").alias("total_value"),
         )
     )
 
