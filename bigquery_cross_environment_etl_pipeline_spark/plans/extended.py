@@ -1233,18 +1233,29 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step string, ok boolean")
 
 
-# --- streaming dedup (rows-only: Structured Streaming) --------------------------------------
-@register("streaming_dedup_unique_counts")
+# --- streaming dedup (now oracle-checked) ---------------------------------------------------
+@register(
+    "streaming_dedup_unique_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events WHERE user_id < 50 GROUP BY event_type
+    """,
+)
 def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once -> effectively-once as a STREAM: events delivered
     twice (the union simulates redelivery) flow through
     ``dropDuplicatesWithinWatermark`` on event_id, so each survives
     exactly once while state stays bounded by the watermark horizon —
     the streaming form of the batch keep-first dedup. Returns per-type
-    unique counts; equality with the batch distinct computation for
-    THIS pipeline is asserted in tests/test_streaming_dedup.py
-    (test_streaming_dedup_query_matches_batch_distinct). Rows-only:
-    not one SQL statement."""
+    unique counts.
+
+    ORACLE-CHECKED (round 3): with the feed written ordered by event
+    time, a redelivered twin always lands in the same or an adjacent
+    micro-batch while its key's state is still live (identical ts —
+    the watermark trails max ts by 10 minutes), and no first occurrence
+    can arrive behind the watermark; the stream's complete-mode output
+    is therefore exactly the batch per-type distinct count. The same
+    equality is asserted in tests/test_streaming_dedup.py."""
     import tempfile
     import uuid
 
