@@ -723,20 +723,23 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     """Path of the persisted IVF index for ``sf_dir`` (build on first
     use, under $SPARK_GRAFT_INDEX_DIR) — the amortized-once maintenance
-    step every probe query shares."""
+    step every probe query shares. ``refine_iters`` > 0 builds the
+    Lloyd-refined variant under its own tag."""
     import os
 
     from ..operators.similarity import ivf_index_persist
 
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_path = f"{base}/ivf_{tag}_c8_r0"
+    index_path = f"{base}/ivf_{tag}_c8_r{refine_iters}"
     if not os.path.exists(index_path + "/centroids/_SUCCESS"):
         emb = load_table(spark, sf_dir, "embeddings")
-        ivf_index_persist(spark, emb, index_path, n_centroids=8)
+        ivf_index_persist(
+            spark, emb, index_path, n_centroids=8, refine_iters=refine_iters
+        )
     return index_path
 
 
@@ -784,16 +787,24 @@ def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_topk_ivf_kmeans")
 def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with 2 Lloyd iterations refining the seed centroids
-    (operators/similarity.kmeans_refine): assignment + element-wise-mean
-    update, both pure DataFrame aggregations. Better-balanced cells ->
-    better recall per probed fraction. Approximate -> rows-only; recall
-    asserted in tests/test_scale_ops.py."""
-    from ..operators.similarity import ann_topk_ivf
+    """IVF ANN over a PERSISTED index whose centroids were refined with
+    2 Lloyd iterations at build time (operators/similarity.kmeans_refine:
+    assignment + element-wise-mean update, both pure DataFrame
+    aggregations — better-balanced cells, better recall per probed
+    fraction). Like ann_topk_ivf, the refinement is index MAINTENANCE
+    paid once per dataset; the query itself is the partition-pruned
+    probe. Approximate -> rows-only; recall asserted in
+    tests/test_scale_ops.py."""
+    from ..operators.similarity import ann_topk_ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(
-        emb, query_id=7, k=10, n_centroids=8, nprobe=4, refine_iters=2
+    index_path = _ivf_index(spark, sf_dir, refine_iters=2)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    return ann_topk_ivf_probe(
+        spark, index_path, qvec, k=10, nprobe=4, exclude_id=7
     )
 
 
