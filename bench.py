@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "multimodal_features",
     "asof_join_latest_order",
     "range_join_events_5min",
+    "cdc_apply_changes_snapshot",
+    "funnel_signup_click_purchase",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
     "json_props_extract",
     "token_topk",
     "grouped_median_applyinpandas",
@@ -65,6 +69,7 @@ BENCH_QUERIES = [
     "text_repetition_quality",
     "grouped_median_builtin",
     "nation_trade_pagerank",
+    "nation_trade_triangles",
     "bilateral_trade_volume",
     "slow_suppliers_multi_anti",
     "regional_market_share",

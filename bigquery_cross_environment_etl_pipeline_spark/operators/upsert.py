@@ -17,6 +17,8 @@ format is on the classpath.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -25,3 +27,38 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     updates_aligned = updates.select(*target.columns)
     surviving = target.join(updates_aligned.select(*keys), keys, "left_anti")
     return surviving.unionByName(updates_aligned)
+
+
+def apply_changes(
+    changes: DataFrame,
+    keys: list[str],
+    sequence_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC APPLY CHANGES: collapse a keyed change stream (upserts +
+    deletes, ordered per key by ``sequence_cols``) into the final
+    snapshot — the ``apply_changes``/``MERGE`` shape every warehouse
+    sync job runs downstream of the reference's extract (its MySQL →
+    BigQuery flow replays full batches; this is the row-level form).
+
+    Per key the row with the highest sequence wins; if that winner's
+    ``op_col`` equals ``delete_op`` the key is absent from the output.
+    One shuffle on the key columns (window rank); ties on the full
+    sequence are broken deterministically only if callers include a
+    unique tiebreaker column in ``sequence_cols`` — do that.
+
+    Scale notes: at 100 TB this is the textbook AQE-skew-safe window
+    aggregation — the shuffle carries the change stream once, hashed on
+    the key; no join against the (possibly huge) existing snapshot is
+    needed because the stream itself is collapsed first, and the
+    snapshot merge then reuses ``merge_upsert`` (anti-join class).
+    """
+    order = [F.col(c).desc() for c in sequence_cols]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .drop("_rn")
+    )

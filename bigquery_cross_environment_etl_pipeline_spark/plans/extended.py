@@ -1358,3 +1358,137 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "org_id long, step string, status string, n long"
     )
+
+
+# --- CDC apply-changes ------------------------------------------------------
+@register(
+    "cdc_apply_changes_snapshot",
+    oracle=f"""
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_changes_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES: the events feed read as a keyed change stream
+    (key = user_id, sequence = (ts, event_id), op = DELETE when
+    event_type is 'error', else UPSERT) collapsed into the final
+    snapshot — last writer wins per key, deleted keys absent. The
+    row-level MERGE shape downstream of the reference's extract
+    (its MySQL->BigQuery sync replays whole batches; reference:
+    core/services/billing_etl.py drives the same convergent state).
+    One shuffle on the key (window rank), no join against the target
+    snapshot (operators/upsert.py::apply_changes)."""
+    from ..operators.upsert import apply_changes
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    final = apply_changes(
+        changes, keys=["user_id"], sequence_cols=["ts", "event_id"], op_col="op"
+    )
+    return final.select(
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# --- ordered funnel ---------------------------------------------------------
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, s.s_ts,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s.s_ts
+                 THEN e.ts END) AS c_ts
+      FROM events e JOIN staged s ON e.user_id = s.user_id
+      GROUP BY e.user_id, s.s_ts
+    ), p AS (
+      SELECT e.user_id, c.s_ts, c.c_ts,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts
+                 THEN e.ts END) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      GROUP BY e.user_id, c.s_ts, c.c_ts
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'signup' AS stage, CAST(count(s_ts) AS BIGINT) AS n_users, 1 AS o FROM p
+      UNION ALL
+      SELECT 'signup>click', CAST(count(c_ts) AS BIGINT), 2 FROM p
+      UNION ALL
+      SELECT 'signup>click>purchase', CAST(count(p_ts) AS BIGINT), 3 FROM p
+    ) ORDER BY o
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel: users who signed up, then clicked strictly after
+    their first signup, then purchased strictly after that first
+    qualifying click. The product-analytics sequence-match shape the
+    reference's per-event log enables but never queries.
+
+    One shuffle on user_id, then three stacked window minimums over the
+    SAME partitioning (Catalyst plans a single Exchange: each min is a
+    conditional aggregate over the already-sorted partition); the final
+    stage counts are a 3-row global aggregate. At 100 TB: funnel depth
+    adds window passes, never extra shuffles, and a per-user skew is
+    impossible (one user's events land in one partition)."""
+    events = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("s_ts").alias("s_ts"),
+            F.min("c_ts").alias("c_ts"),
+            F.min("p_ts").alias("p_ts"),
+        )
+    )
+    agg = staged.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click"),
+        F.count("p_ts").alias("n_purchase"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("signup").alias("stage"), F.col("n_signup").alias("n_users")),
+                F.struct(F.lit("signup>click").alias("stage"), F.col("n_click").alias("n_users")),
+                F.struct(
+                    F.lit("signup>click>purchase").alias("stage"),
+                    F.col("n_purchase").alias("n_users"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.stage", "x.n_users")

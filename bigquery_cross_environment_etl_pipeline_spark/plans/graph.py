@@ -157,3 +157,81 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the reference (which has no iterative dataflow; its schema's
     org/project routing is the graph-shaped part, SURVEY.md §2.12)."""
     return pagerank_scaled(spark, sf_dir)
+
+
+# --- triangle counting ------------------------------------------------------
+_TRI_EDGES_SQL = """
+    WITH e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ), t AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+"""
+
+
+@register(
+    "nation_trade_triangles",
+    oracle=_TRI_EDGES_SQL
+    + """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS k FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ) x JOIN nation ON x.k = nation.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected nation trade graph — the
+    clustering-structure primitive beside PageRank. Canonical
+    vertex-ordered edge-list form: every triangle (a < b < c)
+    materializes exactly once from two self-joins of the oriented edge
+    list, then each member nation is credited.
+
+    Scale notes: the data-sized work is the SAME one-pass fact
+    aggregation PageRank uses (edges ≤ |nation|² rows); the self-joins
+    touch only the contracted edge list. On a graph whose edge list
+    itself is huge, the standard refinement is degree-ordering the
+    orientation (low-degree → high-degree) so each wedge list stays
+    bounded — the orientation column swap is the only change."""
+    edges0 = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    e = (
+        edges0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # the wedge join and the closing join both re-read this tiny
+        # (≤625-row) relation — materialize once, broadcast both sides
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    members = (
+        tri.select(F.col("a").alias("k"))
+        .unionAll(tri.select(F.col("b").alias("k")))
+        .unionAll(tri.select(F.col("c").alias("k")))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        members.join(F.broadcast(nation), members.k == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1115,3 +1115,182 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * _ROLL_B + x) % F.lit(_ROLL_MOD),
     )
     return docs.select("doc_id", roll.alias("rolling_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding aggregation / compression
+# ---------------------------------------------------------------------------
+
+
+#: Fixed-point scale for centroid accumulation: 2^40. Power-of-two
+#: scaling of a double is EXACT (no mantissa rounding), and floor has
+#: no tie cases — unlike double→DECIMAL casts, whose round-half
+#: behavior differs between engines on exact-tie expansions (observed
+#: on real data at 12 dp).
+_FIXED_POINT = float(1 << 40)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FIXED_POINT!r})
+                         AS BIGINT)) AS DOUBLE)
+             / {_FIXED_POINT!r} / COUNT(*) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings, generate_series(1, {similarity.DIM}) AS gs(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid — the vector-aggregation primitive under
+    semantic clustering, class prototypes, and IVF coarse-quantizer
+    refinement. Output is one row per (label, dimension) so the driver
+    hash never sees a float list.
+
+    Order-independent bitwise reproducibility via Q.40 FIXED-POINT
+    accumulation: each value maps to floor(x·2^40) — exact (power-of-two
+    scaling never rounds the mantissa) and tie-free (unlike
+    double→DECIMAL casts, whose half-rounding rules differ between
+    engines) — summed as exact integers, then two fixed-order IEEE
+    divisions. This is the standard determinism trick for distributed
+    float aggregation: the result is identical for every partitioning
+    and both engines. posexplode → groupBy (label, pos) shuffles
+    O(vectors × dims) skinny rows with map-side partial aggregation;
+    int64 holds 2^53/2^41 ≈ 4×10^3 T rows per group before the
+    accumulator would need DECIMAL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    fixed = F.floor(F.col("x").cast("double") * F.lit(_FIXED_POINT))
+    return (
+        exploded.groupBy(
+            "label", (F.col("pos") + 1).cast("long").alias("dim")
+        )
+        .agg(
+            (
+                F.sum(fixed).cast("double") / F.lit(_FIXED_POINT) / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           (mx - mn) / 254.0 AS scale,
+           CASE WHEN mx = mn
+                THEN array_to_string(list_transform(embedding, x -> 0), ',')
+                ELSE array_to_string(list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) - mn) * 254.0
+                                     / (mx - mn) + 0.5) AS BIGINT) - 127),
+                     ',')
+           END AS q8
+    FROM b
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization — the 4× storage/bandwidth compressor a
+    100 TB vector corpus applies before ANN serving. Per vector:
+    symmetric min/max affine map onto [-127, 127] plus the dequant
+    scale. All arithmetic is the same IEEE double sequence in both
+    engines (one subtract, one multiply, one divide, floor) so the
+    integer codes — rendered as a joined string, per the driver's
+    no-list-cells rule — hash-match exactly.
+
+    Pure column expressions inside the scan stage (array_min/max +
+    transform): zero shuffles, zero Python, runs at IO speed on any
+    cluster size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
+    span = F.col("mx") - F.col("mn")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.floor((x.cast("double") - F.col("mn")) * F.lit(254.0) / span + F.lit(0.5))
+            .cast("long")
+            - 127
+        ).cast("string"),
+    )
+    zeros = F.transform(F.col("embedding"), lambda x: F.lit("0"))
+    return b.select(
+        "vec_id",
+        (span / F.lit(254.0)).alias("scale"),
+        F.when(F.col("mx") == F.col("mn"), F.array_join(zeros, ","))
+        .otherwise(F.array_join(q, ","))
+        .alias("q8"),
+    )
+
+
+@register(
+    "multimodal_resize_plumbing",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(least(octet_length(encode(text)), 784) AS BIGINT)
+             AS n_bytes_out,
+           md5(substr(text, 1, 784)) AS payload_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize STAGE through mapInPandas with binary IN and binary
+    OUT — the batch shape a real PIL/libvips resize flows through
+    (operators/multimodal.py::resize_images; pixel work is the declared
+    deterministic stub, payload-prefix of 224·224/64 bytes). Non-image
+    rows are pruned BEFORE the Arrow boundary, and the oracle replays
+    the byte arithmetic exactly (output fingerprinted as md5 so the
+    driver hash never sees raw bytes).
+
+    Scale notes: resize is embarrassingly parallel — partitioning stays
+    whatever the ingest chose (by file), zero shuffles; the Arrow copy
+    is per-batch, bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(synthesize_assets(docs))
+    return resized.select(
+        "asset_id",
+        "n_bytes_out",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(unnest(generate_series(
+                0, octet_length(encode(text)) * 10, 1000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN: one (asset_id, frame_ts) row per
+    sampled timestamp for the downstream decoder — pure column
+    expressions (sequence + explode), zero Python, zero shuffles
+    (operators/multimodal.py::frame_sample_plan; the synthetic duration
+    is payload-derived so the oracle replays it exactly). At 100 TB the
+    explode multiplies rows ~duration/interval BEFORE the decode stage,
+    which is why the plan row (16 B) and not the decoded frame rides
+    the shuffle-free pipeline into the stubbed decoder."""
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(synthesize_assets(docs)).select(
+        "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
