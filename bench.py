@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "range_join_events_5min",
     "cdc_apply_changes_snapshot",
     "funnel_signup_click_purchase",
+    "snapshot_diff_accounting",
+    "attribution_last_touch",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "json_props_extract",

@@ -60,3 +60,40 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, Dat
     valid = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
     violations = tagged.filter(F.size("violated_rules") > 0)
     return valid, violations
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconciliation diff of two snapshots of the same logical table —
+    the post-load validation step an ETL runs between source and
+    destination (or between yesterday's and today's load): per key,
+    classify as ``added`` (only in ``b``), ``removed`` (only in ``a``),
+    ``changed`` (both, differing fingerprint) or ``unchanged``.
+
+    Rows are reduced to a 16-byte md5 fingerprint of the compared
+    columns BEFORE the join, so the full-outer join shuffles
+    (key, digest) pairs — never the row bodies. At 100 TB both sides
+    shuffle once on the key (or zero times if both snapshots are
+    bucketed by it); the fingerprint comparison is the same
+    content-digest trick exact dedup uses (operators/dedup.py).
+    """
+
+    def fingerprint(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])
+        )
+        return df.select(*keys, fp.alias(f"_fp_{side}"))
+
+    joined = fingerprint(a, "a").join(fingerprint(b, "b"), keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_fp_a").isNull(), "added")
+        .when(F.col("_fp_b").isNull(), "removed")
+        .when(F.col("_fp_a") != F.col("_fp_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

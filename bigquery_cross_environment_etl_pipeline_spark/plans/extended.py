@@ -1492,3 +1492,131 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.stage", "x.n_users")
+
+
+# --- snapshot reconciliation ------------------------------------------------
+@register(
+    "snapshot_diff_accounting",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             md5(concat_ws('|', event_type, CAST(value AS VARCHAR), props))
+               AS fp
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+    ), b AS (
+      SELECT event_id,
+             md5(concat_ws('|', event_type,
+                 CAST(CASE WHEN event_type = 'error' THEN value + 1.0
+                      ELSE value END AS VARCHAR), props)) AS fp
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN a.fp IS NULL THEN 'added'
+                  WHEN b.fp IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b USING (event_id)
+    ) GROUP BY change_type
+    """,
+)
+def snapshot_diff_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load RECONCILIATION: yesterday's load window vs today's
+    overlapping window with a restated value for error events — the
+    source-vs-destination validation diff classifying every key as
+    added / removed / changed / unchanged
+    (operators/quality.py::snapshot_diff). Row bodies are reduced to a
+    16-byte digest before the full-outer join, so only (key, digest)
+    shuffles; counts aggregate per class."""
+    from ..operators.quality import snapshot_diff
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-20")
+    )
+    b = events.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-25")
+    ).withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    diff = snapshot_diff(
+        a, b, keys=["event_id"], compare_cols=["event_type", "value", "props"]
+    )
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- marketing attribution --------------------------------------------------
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           touch_event_id, touch_type
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_id END IGNORE NULLS) OVER w
+               AS touch_event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                        THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+      AND touch_ts IS NOT NULL
+      AND ts <= touch_ts + INTERVAL 7 DAY
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase is credited to the user's
+    most recent preceding non-purchase event within a 7-day lookback —
+    the event-sequence shape (alongside the funnel) that an analytics
+    warehouse derives from the reference's raw event log.
+
+    One shuffle on user_id; the preceding-rows frame with
+    last(ignorenulls) is the same composition the as-of join uses
+    (operators/joins.py), so attribution depth never adds exchanges.
+    Ties at identical timestamps are broken by event_id in the sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_id"))
+    touch_t = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    annotated = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        annotated.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_ts").isNotNull()
+            # timestamp-domain comparison (microsecond-exact on both
+            # engines; an epoch-seconds diff would truncate sub-second
+            # precision and misclassify boundary pairs)
+            & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+            "touch_event_id",
+            "touch_type",
+        )
+    )
