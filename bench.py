@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "funnel_signup_click_purchase",
     "snapshot_diff_accounting",
     "attribution_last_touch",
+    "histogram_quantile_sketch",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "json_props_extract",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "large_volume_customers",
     "order_value_distribution_ranks",
     "text_repetition_quality",
+    "text_pii_redaction",
     "grouped_median_builtin",
     "nation_trade_pagerank",
     "nation_trade_triangles",

@@ -54,11 +54,25 @@ def apply_changes(
     needed because the stream itself is collapsed first, and the
     snapshot merge then reuses ``merge_upsert`` (anti-join class).
     """
+    return collapse_changes(changes, keys, sequence_cols).filter(
+        F.col(op_col) != F.lit(delete_op)
+    )
+
+
+def collapse_changes(
+    changes: DataFrame,
+    keys: list[str],
+    sequence_cols: list[str],
+) -> DataFrame:
+    """Latest change per key (highest sequence wins), KEEPING delete
+    tombstones — the merge-state form of ``apply_changes``. A streaming
+    CDC merge must retain tombstones between micro-batches so a
+    late-arriving lower-sequence row for a deleted key cannot
+    resurrect it; filter the delete op only at serving time."""
     order = [F.col(c).desc() for c in sequence_cols]
     w = W.partitionBy(*keys).orderBy(*order)
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(F.col(op_col) != F.lit(delete_op))
         .drop("_rn")
     )

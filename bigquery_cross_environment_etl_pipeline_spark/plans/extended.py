@@ -1620,3 +1620,137 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_type",
         )
     )
+
+
+# --- streaming CDC merge ----------------------------------------------------
+@register(
+    "streaming_cdc_upsert_snapshot",
+    oracle=f"""
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge as a STREAM: the change feed (same op/sequence
+    derivation as cdc_apply_changes_snapshot) flows through
+    ``stream_cdc_upsert`` in micro-batches; every batch collapses to
+    latest-change-per-key (tombstones retained) and merges into a
+    versioned snapshot via foreachBatch. The final snapshot must equal
+    the batch CDC result EXACTLY — same oracle — regardless of how the
+    feed splits into batches, which is the invariant that makes the
+    operator deployable (batch/stream parity)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_cdc_upsert
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_cdc_") as tmp:
+        src = f"{tmp}/src"
+        # ordered write -> the file stream replays changes in sequence
+        # order across micro-batches (same rationale as
+        # streaming_dedup_unique_counts)
+        changes.orderBy("ts").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = read_stream(spark, src, schema, max_files_per_trigger=2)
+        q = stream_cdc_upsert(
+            stream,
+            f"{tmp}/snapshot",
+            f"{tmp}/ckpt",
+            keys=["user_id"],
+            sequence_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(300)
+        import glob
+        import os
+        import re
+
+        done = [
+            os.path.dirname(s) for s in glob.glob(f"{tmp}/snapshot/v*/_SUCCESS")
+        ]
+        last = max(done, key=lambda p: int(re.search(r"v(\d+)$", p).group(1)))
+        final = spark.read.parquet(last).filter(F.col("op") != "D")
+        out = final.select(
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        # materialize before the TemporaryDirectory vanishes
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- mergeable histogram quantile sketch ------------------------------------
+@register(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, floor(value)
+    ), cum AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN c >= ceil(0.5  * n) THEN bucket END) AS p50_bucket,
+           min(CASE WHEN c >= ceil(0.95 * n) THEN bucket END) AS p95_bucket,
+           min(CASE WHEN c >= ceil(0.99 * n) THEN bucket END) AS p99_bucket
+    FROM cum GROUP BY event_type
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: fixed-width histogram buckets with
+    exact counts, quantile = first bucket whose cumulative count
+    reaches ceil(q·n) — the scale path beside the exact
+    sort-based percentiles (value_percentiles_by_type) and Spark's
+    percentile_approx (approx_distinct_and_quantiles).
+
+    Unlike rank-based exact quantiles (global sort per group) the
+    histogram is a pure map-side-combinable aggregate: the shuffle
+    carries O(types × buckets) rows at ANY data size, partial
+    histograms merge by addition (the t-digest/KLL property, with a
+    deterministic answer a SQL oracle can replay bit-for-bit), and the
+    error bound is the bucket width. At 100 TB: one scan, one skinny
+    shuffle, no sort."""
+    events = load_table(spark, sf_dir, "events")
+    hist = events.groupBy(
+        "event_type", F.floor("value").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def est(q: float, alias: str):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(q) * F.col("n")), F.col("bucket"))
+        ).alias(alias)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        est(0.5, "p50_bucket"),
+        est(0.95, "p95_bucket"),
+        est(0.99, "p99_bucket"),
+    )
