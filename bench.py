@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "snapshot_diff_accounting",
     "attribution_last_touch",
     "histogram_quantile_sketch",
+    "hierarchy_subtree_rollup",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "json_props_extract",

@@ -1754,3 +1754,74 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.95, "p95_bucket"),
         est(0.99, "p99_bucket"),
     )
+
+
+# --- recursive hierarchy rollup ---------------------------------------------
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE mx AS (SELECT max(user_id) AS m FROM events),
+    nodes AS (
+      SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS u
+    ),
+    vals AS (
+      SELECT n.u,
+             COALESCE((SELECT SUM(CAST(value AS DECIMAL(18,2)))
+                       FROM events e WHERE e.user_id = n.u), 0) AS val
+      FROM nodes n
+    ),
+    anc(node, a) AS (
+      SELECT u, u // 2 FROM nodes WHERE u >= 1
+      UNION
+      SELECT node, a // 2 FROM anc WHERE a >= 1
+    ),
+    member AS (
+      SELECT node, a FROM anc UNION SELECT u, u FROM nodes
+    )
+    SELECT m.a AS ancestor,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(v.val) AS DOUBLE) AS subtree_value
+    FROM member m JOIN vals v ON m.node = v.u
+    GROUP BY m.a
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE hierarchy rollup — the WITH RECURSIVE surface Spark
+    lacks, expressed as ancestor-link doubling
+    (operators/hierarchy.py): users form a binary referral tree
+    (parent(u) = u DIV 2), and each node aggregates its whole subtree's
+    event value (size + DECIMAL-exact sum). The closure converges in
+    ceil(log2(depth)) self-joins — depth ~log2(max user id), so 4-5
+    rounds close a hierarchy over millions of ids; the oracle walks
+    the identical tree with a recursive CTE."""
+    from ..operators.hierarchy import ancestor_closure
+
+    events = load_table(spark, sf_dir, "events")
+    max_uid = events.agg(F.max("user_id")).first()[0]
+    nodes = spark.range(0, int(max_uid) + 1).select(F.col("id").alias("u"))
+    vals = (
+        nodes.join(
+            events.groupBy("user_id").agg(
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+            ),
+            nodes.u == F.col("user_id"),
+            "left",
+        )
+        .select("u", F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)")).alias("val"))
+    )
+    links = nodes.filter(F.col("u") >= 1).select(
+        F.col("u").alias("node"), (F.col("u") / 2).cast("long").alias("parent")
+    )
+    depth = max(1, int(max_uid).bit_length())
+    closure = ancestor_closure(links, max_depth=depth)
+    member = closure.select("node", F.col("anc").alias("a")).union(
+        nodes.select(F.col("u").alias("node"), F.col("u").alias("a"))
+    )
+    return (
+        member.join(vals, member.node == vals.u)
+        .groupBy(F.col("a").alias("ancestor"))
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("val").cast("double").alias("subtree_value"),
+        )
+    )
