@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "hierarchy_subtree_rollup",
     "embedding_label_centroids",
     "embedding_quantize_int8",
+    "embedding_pq_codes",
     "json_props_extract",
     "token_topk",
     "grouped_median_applyinpandas",

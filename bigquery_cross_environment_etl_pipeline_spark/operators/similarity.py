@@ -696,3 +696,97 @@ def ann_topk_lsh(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+PQ_M = 8  #: subspaces (DIM/PQ_M dims each)
+PQ_K = 16  #: centroids per subspace
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization encoder: the vector split into ``PQ_M``
+    subspaces, each mapped to the id of its nearest sub-centroid —
+    64 floats (256 B) become 8 nibble-sized codes, the 32× compression
+    IVF-PQ serving layers run at billion-vector scale.
+
+    ``centroid_rows`` is the (tiny) codebook: (cid, full-dim vector)
+    pairs whose per-subspace slices are the sub-centroids — sampled
+    data points here (deterministic k-means init; a Lloyd-refined
+    codebook drops in unchanged).
+
+    Hot path: an Arrow-batched numpy encoder with EXACT left-fold
+    semantics — ``acc = acc + t*t`` iterates the dim axis sequentially,
+    so per row it evaluates the identical left-associated IEEE chain as
+    ``pq_encode_expr``'s Catalyst folds and the SQL oracle, and
+    ``np.argmin``'s first-minimum matches the ascending-id tie-break
+    (bitwise equality asserted in tests/test_llm_ops.py; the same
+    discipline as ``_fold_dot_udf``). Zero shuffles; the codebook ships
+    in the UDF closure.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sub_d = dim // PQ_M
+    book = np.array(
+        [v for _, v in sorted(centroid_rows)], dtype=np.float64
+    )  # (K, dim)
+
+    @pandas_udf("string")
+    def codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        n = V.shape[0]
+        out = np.empty((n, PQ_M), dtype=np.int64)
+        for s in range(PQ_M):
+            acc = np.zeros((n, book.shape[0]), dtype=np.float64)
+            for i in range(s * sub_d, (s + 1) * sub_d):
+                t = V[:, i : i + 1] - book[None, :, i]
+                acc = acc + t * t
+            out[:, s] = np.argmin(acc, axis=1)
+        return pd.Series([",".join(map(str, row)) for row in out])
+
+    return embeddings.select("vec_id", codes(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_encode_expr(
+    embeddings: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Pure-column-expression PQ encoder — the oracle-shaped reference
+    implementation the numpy hot path is equality-tested against: per
+    subspace a zip_with/aggregate fold per centroid distance, ``least``
+    for the minimum, first-match-wins CASE for the ascending-id
+    tie-break."""
+    sub_d = dim // PQ_M
+    code_cols = []
+    for s in range(PQ_M):
+        sub_e = F.slice(F.col(vec_col), s * sub_d + 1, sub_d)
+        dists = []
+        for cid, vec in sorted(centroid_rows):
+            sub_c = F.array(
+                *[F.lit(float(v)) for v in vec[s * sub_d : (s + 1) * sub_d]]
+            )
+            diffs = F.zip_with(
+                sub_e,
+                sub_c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            )
+            dists.append(
+                (cid, F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v))
+            )
+        m = F.least(*[d for _, d in dists])
+        code = F.lit(None).cast("int")
+        for cid, d in reversed(dists):
+            code = F.when(d == m, cid).otherwise(code)
+        code_cols.append(code.cast("string"))
+    return embeddings.select(
+        "vec_id", F.concat_ws(",", *code_cols).alias("pq_code")
+    )

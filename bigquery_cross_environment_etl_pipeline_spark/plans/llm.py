@@ -1365,3 +1365,59 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def _pq_oracle() -> str:
+    """Relational mirror of pq_encode: distances via the same
+    left-associated (x-y)^2 chains, argmin as min-id-at-min-distance."""
+    sub_d = similarity.DIM // similarity.PQ_M
+    # left-assoc chain over one subspace, array indices computed from s
+    terms = []
+    for i in range(1, sub_d + 1):
+        x = f"CAST(e.embedding[s.s * {sub_d} + {i}] AS DOUBLE)"
+        y = f"CAST(c.ce[s.s * {sub_d} + {i}] AS DOUBLE)"
+        terms.append(f"(({x} - {y}) * ({x} - {y}))")
+    # 0.0 + t1 + t2 ... matches the aggregate fold's initial accumulator
+    chain = "0.0 + " + " + ".join(terms)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS c, embedding AS ce FROM embeddings
+      WHERE vec_id < {similarity.PQ_K}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS s),
+    dists AS (
+      SELECT e.vec_id, s.s, c.c, {chain} AS d
+      FROM embeddings e, subs s, cent c
+    ),
+    w AS (
+      SELECT vec_id, s, c, d,
+             min(d) OVER (PARTITION BY vec_id, s) AS md
+      FROM dists
+    ),
+    code AS (
+      SELECT vec_id, s,
+             CAST(min(CASE WHEN d = md THEN c END) AS VARCHAR) AS cs
+      FROM w GROUP BY vec_id, s
+    )
+    SELECT vec_id, string_agg(cs, ',' ORDER BY s) AS pq_code
+    FROM code GROUP BY vec_id
+    """
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encoding — the 32× vector compressor under
+    IVF-PQ, the canonical billion-vector ANN serving design: 64 floats
+    → 8 sub-centroid ids (operators/similarity.py::pq_encode). The
+    codebook is the first PQ_K data vectors (deterministic sample
+    init), broadcast into the plan as literals; encoding is zero-shuffle
+    column expressions, and the oracle recomputes every subspace
+    distance with the identical IEEE chain, so the codes hash-match
+    exactly. ADC recall against exact cosine is asserted in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    return similarity.pq_encode(emb, cents)

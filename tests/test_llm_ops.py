@@ -237,3 +237,100 @@ def test_contamination_flags_planted_copy(spark):
     ).first()["n"]
     assert out.get(planted_id) == src_shingles, "verbatim copy fully overlaps"
     assert all(k % 97 != 0 or k >= 500000 for k in out), "eval docs never flagged"
+
+
+def test_pq_codes_pick_the_nearest_subcentroid(spark):
+    """PQ invariant: per (vector, subspace) the emitted code's
+    sub-centroid is at minimal squared-L2 distance among the whole
+    codebook (ties to the smallest id), verified in numpy; plus ADC
+    sanity: approximate neighbors via code lookup tables overlap the
+    exact Euclidean top-10."""
+    import numpy as np
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        embedding_pq_codes,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    codes = {
+        int(r["vec_id"]): [int(c) for c in r["pq_code"].split(",")]
+        for r in embedding_pq_codes(spark, sf).collect()
+    }
+    M, K = similarity.PQ_M, similarity.PQ_K
+    sub_d = similarity.DIM // M
+    book = np.stack([vecs[c] for c in range(K)])  # (K, DIM)
+
+    for vid in list(vecs)[:50]:
+        v = vecs[vid]
+        for s in range(M):
+            sub = v[s * sub_d : (s + 1) * sub_d]
+            cands = book[:, s * sub_d : (s + 1) * sub_d]
+            d = ((cands - sub) ** 2).sum(axis=1)
+            chosen = codes[vid][s]
+            assert d[chosen] <= d.min() + 1e-12, (vid, s)
+
+    # ADC: distance(query, x) ~ sum_s dist(query_sub_s, centroid[code_s])
+    qids = sorted(vecs)[:5]
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    hits = 0
+    for qid in qids:
+        qv = vecs[qid]
+        table = np.stack(
+            [
+                ((book[:, s * sub_d : (s + 1) * sub_d]
+                  - qv[s * sub_d : (s + 1) * sub_d]) ** 2).sum(axis=1)
+                for s in range(M)
+            ]
+        )  # (M, K)
+        adc = {
+            i: sum(table[s][codes[i][s]] for s in range(M))
+            for i in ids
+            if i != qid
+        }
+        approx10 = set(sorted(adc, key=lambda i: (adc[i], i))[:10])
+        exact = ((mat - qv) ** 2).sum(axis=1)
+        order = sorted(
+            (i for i in ids if i != qid),
+            key=lambda i: (exact[ids.index(i)], i),
+        )
+        exact10 = set(order[:10])
+        hits += len(approx10 & exact10)
+    assert hits >= 10, f"ADC recall too low: {hits}/50"
+
+
+def test_pq_numpy_path_bitwise_equals_expression_path(spark):
+    """The Arrow/numpy PQ encoder must emit the identical codes as the
+    Catalyst-fold reference implementation (same left-fold IEEE chains,
+    same ascending-id tie-break)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    fast = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode(emb, cents).collect()
+    }
+    ref = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode_expr(emb, cents).collect()
+    }
+    assert fast == ref
