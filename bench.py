@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "embedding_pq_codes",
+    "ann_topk_pq_adc",
     "json_props_extract",
     "token_topk",
     "grouped_median_applyinpandas",

@@ -1421,3 +1421,64 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
     ]
     return similarity.pq_encode(emb, cents)
+
+
+@register("ann_topk_pq_adc")
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION top-k — the PQ serving path: the
+    query builds one (M × K) lookup table of subspace distances to the
+    codebook driver-side (bounded: 8×16 doubles), and each corpus
+    vector's approximate distance is M table lookups on its 8-id code —
+    no float math against the raw vectors at all. Codes come from
+    ``pq_encode`` (persisted alongside the IVF index in a deployment;
+    computed inline here), the table rides in as literal arrays, and
+    per-partition heaps (TakeOrderedAndProject) deliver the top-k.
+    Approximate by design → rows-only; ADC-vs-exact recall is asserted
+    in tests/test_llm_ops.py.
+
+    At 100 TB this is why PQ exists: the scan reads 8-byte codes
+    instead of 256-byte vectors (32× less IO), the distance is integer
+    indexing instead of 64 multiplies, and composing with the IVF
+    partition pruning (ann_topk_ivf_probe) yields the canonical IVF-PQ
+    serving stack."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    sub_d = similarity.DIM // similarity.PQ_M
+    # (M x K) ADC table: left-fold subspace squared-L2, driver-side
+    table = []
+    for s in range(similarity.PQ_M):
+        row = []
+        for _, vec in sorted(cents):
+            acc = 0.0
+            for i in range(s * sub_d, (s + 1) * sub_d):
+                t = qvec[i] - vec[i]
+                acc = acc + t * t
+            row.append(acc)
+        table.append(row)
+
+    codes = similarity.pq_encode(emb, cents)
+    codes_arr = codes.select(
+        "vec_id",
+        F.transform(
+            F.split("pq_code", ","), lambda x: x.cast("int")
+        ).alias("_codes"),
+    )
+    dist = F.lit(0.0)
+    for s in range(similarity.PQ_M):
+        lut = F.array(*[F.lit(v) for v in table[s]])
+        dist = dist + F.element_at(lut, F.element_at("_codes", s + 1) + 1)
+    return (
+        codes_arr.filter(F.col("vec_id") != 7)
+        .select("vec_id", dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -128,6 +128,7 @@ _PRIORITY = [
 #: either way their order is deterministic for the bench and docs.
 _SECONDARY = [
     "embedding_pq_codes",
+    "ann_topk_pq_adc",
     "cdc_apply_changes_snapshot",
     "streaming_cdc_upsert_snapshot",
     "embedding_label_centroids",

@@ -334,3 +334,34 @@ def test_pq_numpy_path_bitwise_equals_expression_path(spark):
         for r in similarity.pq_encode_expr(emb, cents).collect()
     }
     assert fast == ref
+
+
+def test_adc_query_overlaps_exact_euclidean(spark):
+    """Query-level ADC: 10 rows, ascending distance, nontrivial overlap
+    with the exact Euclidean top-10 for the same query vector."""
+    import numpy as np
+
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        ann_topk_pq_adc,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_topk_pq_adc(spark, sf).collect()
+    assert len(rows) == 10
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    q = vecs[7]
+    exact = sorted(
+        (i for i in vecs if i != 7),
+        key=lambda i: (((vecs[i] - q) ** 2).sum(), i),
+    )[:10]
+    overlap = {r["vec_id"] for r in rows} & set(exact)
+    assert len(overlap) >= 2, f"ADC overlap too low: {overlap}"
