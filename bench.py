@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "histogram_quantile_sketch",
     "hierarchy_subtree_rollup",
+    "retention_cohorts",
+    "quality_weighted_sample",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "embedding_pq_codes",

@@ -1825,3 +1825,55 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double").alias("subtree_value"),
         )
     )
+
+
+# --- retention cohorts ------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST((CAST(aw AS DATE) - CAST(cw AS DATE)) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN s USING (user_id)
+    WHERE aw >= cw
+    GROUP BY cw, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION cohort matrix — users grouped by first-signup week,
+    counted in each subsequent week they were active: the
+    product-analytics staple over the reference's raw event log. Both
+    engines truncate to ISO weeks, so the week offset is an exact
+    integer (day diff of Monday-aligned dates / 7).
+
+    Two shuffles total (per-user signup min; cohort-cell count) — the
+    (user, week) distinct rides the same user-hash exchange as the
+    join. Cohort matrices stay small (weeks × weeks) at any event
+    volume."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cw"))
+    )
+    a = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("aw"), F.to_date("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1482,3 +1482,46 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS keep_weight
+    FROM t
+    WHERE {_duck_hash48("CAST(doc_id AS VARCHAR)")}
+          < CAST(floor(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                       * 281474976710656.0) AS BIGINT)
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC weighted sampling — keep each document with
+    probability proportional to a quality weight (token count capped at
+    1.0 here; any score plugs in), decided by comparing the document's
+    48-bit key hash against the weight-scaled hash range. No RNG state,
+    no seed plumbing: the SAME rows are kept on every run, every
+    engine, every cluster size — which is what makes a sampled corpus
+    reproducible and auditable. Pure column expressions in the scan
+    stage (the per-doc weight and hash are both engine-side); zero
+    shuffles; the complement query (hash >= bound) partitions the
+    corpus exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(text.tokens("text")).cast("long")
+    w = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+    bound = F.floor(w * F.lit(float(1 << 48))).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            w.alias("keep_weight"),
+            text.hash48(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .filter(F.col("_h") < bound)
+        .drop("_h")
+    )

@@ -142,6 +142,8 @@ _SECONDARY = [
     "multimodal_resize_plumbing",
     "multimodal_frame_sample",
     "nation_trade_triangles",
+    "retention_cohorts",
+    "quality_weighted_sample",
 ]
 
 
