@@ -1877,3 +1877,58 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- stateful streaming totals (oracle-checked) -----------------------------
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the driver oracle:
+    running per-user (count, sum) held in ``applyInPandasWithState``
+    state across micro-batches (streaming/stateful.py). Values scale to
+    integer cents BEFORE entering state, so the accumulator is exact
+    int64 and the final emission per key equals the batch GROUP BY
+    bit-for-bit — a float running sum would depend on batch split
+    order and be uncheckable. Update-mode memory sink: the LAST emitted
+    row per key is the final state (argmax on an emission index)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream
+    from ..streaming.stateful import stream_user_totals_cents
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    name = f"sutot_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_state_") as tmp:
+        src = f"{tmp}/src"
+        events.orderBy("ts").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = read_stream(spark, src, schema, max_files_per_trigger=2)
+        q = (
+            stream_user_totals_cents(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    # update mode appends one row per (key, micro-batch) to the memory
+    # sink; monotonically_increasing_id orders emissions, the window
+    # keeps each key's last
+    sink = spark.table(name).withColumn(
+        "_emit", F.monotonically_increasing_id()
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("_emit"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

@@ -131,6 +131,7 @@ _SECONDARY = [
     "ann_topk_pq_adc",
     "cdc_apply_changes_snapshot",
     "streaming_cdc_upsert_snapshot",
+    "streaming_stateful_user_totals",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -114,5 +115,54 @@ def stream_user_totals_transform_with_state(stream: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+# --- exact-arithmetic variant (oracle-checkable) ----------------------------
+
+CENTS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+CENTS_STATE_SCHEMA = "n_events bigint, total_cents bigint"
+
+
+def _update_user_totals_cents(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """(count, integer-cents sum) per user across micro-batches. Cents
+    accumulate as exact int64, so — unlike a float running sum, whose
+    value depends on arrival order — the final state is identical for
+    every micro-batch split and bitwise-comparable to a batch oracle."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # rows arrive pre-scaled to integer cents (see
+        # stream_user_totals_cents) — the batch sum is exact int64
+        cents += int(pdf["value"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def stream_user_totals_cents(stream: DataFrame) -> DataFrame:
+    """Running per-user (count, cents) in stream state — the
+    oracle-checkable form of ``stream_user_totals_with_state``: values
+    are scaled to integer cents BEFORE crossing into state (2-dp input,
+    so the scaling is exact), making the accumulated state independent
+    of micro-batch boundaries."""
+    return (
+        stream.select(
+            "user_id",
+            # round once per ROW (exact for 2-dp doubles), then the
+            # per-batch pandas sum adds exact integers
+            F.round(F.col("value") * 100).cast("bigint").alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals_cents,
+            outputStructType=CENTS_OUTPUT_SCHEMA,
+            stateStructType=CENTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
