@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "nation_trade_triangles",
     "bilateral_trade_volume",
     "slow_suppliers_multi_anti",
+    "small_order_revenue_q17",
+    "top_supplier_revenue_q15",
+    "cheapest_line_supplier_q2",
     "regional_market_share",
     "bigram_topk",
 ]

@@ -19,6 +19,7 @@ to customer, and the NOT EXISTS is a left-anti shuffle join on custkey.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..queries_catalog import register
@@ -335,4 +336,168 @@ def nation_segments_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         """
+    )
+
+
+# --- TPC-H Q17 shape: correlated-average threshold ---------------------------
+@register(
+    "small_order_revenue_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+             CAST(COUNT(*) AS BIGINT) AS qcnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS small_order_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pa.qcnt < pa.qsum
+    GROUP BY p.p_brand
+    """,
+)
+def small_order_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog: revenue from order lines smaller than 20% of their
+    part's average quantity — the correlated-scalar-subquery shape.
+    Catalyst decorrelates it into what this plan writes explicitly: one
+    per-part aggregate joined back to the fact (fact shuffles once on
+    its own partkey — the aggregate reuses the same exchange). The
+    threshold comparison is DIVISION-FREE algebra
+    (5·q·cnt < Σq  ⇔  q < 0.2·avg, all operands positive), so both
+    engines compare exact DECIMALs — no division-rounding drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qdec).alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    small = (
+        li.join(pa, "l_partkey")
+        .filter(qdec * 5 * F.col("qcnt") < F.col("qsum"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        )
+        .cast("double")
+        .alias("small_order_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- TPC-H Q15 shape: argmax against a scalar aggregate ----------------------
+@register(
+    "top_supplier_revenue_q15",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, s.s_nationkey,
+           CAST(round(CAST(sr.rev AS DOUBLE), 2) AS DOUBLE) AS total_revenue
+    FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+    WHERE sr.rev = (SELECT max(rev) FROM sr)
+    """,
+)
+def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: the supplier(s) with maximum quarterly revenue — the
+    view-plus-scalar-subquery shape. The revenue aggregate computes
+    ONCE; the scalar max broadcasts back against it (Catalyst plans the
+    self-reference as a reused exchange + one-row broadcast, never a
+    second scan of the fact). Revenue in exact DECIMAL end to end, so
+    the `rev = max(rev)` equality — notoriously flaky in float — is
+    exact in both engines; ties all surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    sr = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * disc).alias("rev"))
+    )
+    mx = sr.agg(F.max("rev").alias("mx"))
+    return (
+        sr.join(F.broadcast(mx), sr.rev == mx.mx)
+        .join(F.broadcast(supp), sr.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_name",
+            "s_nationkey",
+            F.round(F.col("rev").cast("double"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q2 shape: per-group argmin with attribution -----------------------
+@register(
+    "cheapest_line_supplier_q2",
+    oracle="""
+    SELECT p_partkey, p_name, s_name, best_price
+    FROM (
+      SELECT l.l_partkey AS p_partkey, p.p_name, s.s_name,
+             CAST(round(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             AS DOUBLE), 2) AS DOUBLE) AS best_price,
+             row_number() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY CAST(l.l_extendedprice AS DECIMAL(18,2)),
+                        l.l_suppkey, l.l_orderkey, l.l_linenumber
+             ) AS rn
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE p.p_size <= 10
+    ) WHERE rn = 1
+    """,
+)
+def cheapest_line_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: for each small part, the supplier offering its
+    cheapest order line — per-group argmin WITH attribution (the shape
+    naive SQL writes as a correlated `= (SELECT min ...)`, which
+    double-scans; the window rank scans once). Deterministic total
+    tie-break (price, suppkey, orderkey, linenumber); price compared in
+    DECIMAL. The p_size predicate pushes into the part scan and prunes
+    the fact join via the join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    pdec = F.col("l_extendedprice").cast("decimal(18,2)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            pdec.alias("_price"),
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = W.partitionBy("p_partkey").orderBy(
+        "_price", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("_price").cast("double"), 2).cast("double").alias("best_price"),
+        )
     )

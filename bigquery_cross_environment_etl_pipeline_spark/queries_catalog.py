@@ -145,6 +145,9 @@ _SECONDARY = [
     "nation_trade_triangles",
     "retention_cohorts",
     "quality_weighted_sample",
+    "small_order_revenue_q17",
+    "top_supplier_revenue_q15",
+    "cheapest_line_supplier_q2",
 ]
 
 
