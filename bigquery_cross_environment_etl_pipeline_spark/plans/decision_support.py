@@ -412,12 +412,13 @@ def small_order_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 analog: the supplier(s) with maximum quarterly revenue — the
-    view-plus-scalar-subquery shape. The revenue aggregate computes
-    ONCE; the scalar max broadcasts back against it (Catalyst plans the
-    self-reference as a reused exchange + one-row broadcast, never a
-    second scan of the fact). Revenue in exact DECIMAL end to end, so
-    the `rev = max(rev)` equality — notoriously flaky in float — is
-    exact in both engines; ties all surface."""
+    view-plus-scalar-subquery shape. Naively joining the view against
+    its own ``max()`` makes Spark compute the aggregation twice (TWO
+    fact scans — verified in the plan); expressing the scalar as a
+    whole-relation window max over the already-aggregated (supplier-
+    sized) view keeps the fact scan single. Revenue in exact DECIMAL
+    end to end, so the `rev = max(rev)` equality — notoriously flaky in
+    float — is exact in both engines; ties all surface."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -430,10 +431,12 @@ def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(price * disc).alias("rev"))
     )
-    mx = sr.agg(F.max("rev").alias("mx"))
+    # window over the AGGREGATED relation (one row per supplier): the
+    # single-partition gather touches |suppliers| rows, not the fact
+    best = sr.withColumn("mx", F.max("rev").over(W.partitionBy()))
     return (
-        sr.join(F.broadcast(mx), sr.rev == mx.mx)
-        .join(F.broadcast(supp), sr.l_suppkey == supp.s_suppkey)
+        best.filter(F.col("rev") == F.col("mx"))
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
         .select(
             "s_name",
             "s_nationkey",
