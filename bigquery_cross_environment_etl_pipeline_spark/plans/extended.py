@@ -1932,3 +1932,59 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+# --- retry envelope (S9/T7), driver-visible ---------------------------------
+@register(
+    "etl_retry_envelope",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS attempts, 'SUCCESS' AS status,
+           CAST((SELECT count(*) FROM events
+                 WHERE ts < TIMESTAMP '2024-01-15') AS BIGINT) AS rows_loaded,
+           CAST(4 AS BIGINT) AS n_status_rows
+    """,
+)
+def etl_retry_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRY envelope (S9/T7, reference billing_etl.py:144-219)
+    under the driver oracle: a transform hook that fails transiently
+    twice forces two full-attempt retries; the third attempt loads the
+    window and checkpoints SUCCESS. Output pins the attempt count, the
+    final status, the rows loaded by the surviving attempt (= the
+    deterministic incremental window), and the status-log length
+    (3 IN_PROGRESS + 1 SUCCESS — each attempt logs before the failing
+    stage, proving retries re-enter the full protocol rather than
+    resuming mid-flight)."""
+    import datetime as dt
+    import tempfile
+
+    from ..operators.checkpoint import CheckpointLog
+    from ..pipeline import process_etl_job
+
+    events = load_table(spark, sf_dir, "events")
+    calls = {"n": 0}
+
+    def flaky(df: DataFrame) -> DataFrame:
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient failure (injected)")
+        return df
+
+    with tempfile.TemporaryDirectory(prefix="etl_retry_") as tmp:
+        ckpt = CheckpointLog(spark, f"{tmp}/ckpt")
+        res = process_etl_job(
+            spark,
+            1,
+            events,
+            "ts",
+            f"{tmp}/dest",
+            ckpt,
+            transform=flaky,
+            now=dt.datetime(2024, 1, 15),
+            max_attempts=3,
+            backoff=lambda a: 0.0,
+        )
+        n_log = ckpt.read().count()
+    return spark.createDataFrame(
+        [(res.attempts, res.status, res.rows_loaded, n_log)],
+        "attempts long, status string, rows_loaded long, n_status_rows long",
+    )

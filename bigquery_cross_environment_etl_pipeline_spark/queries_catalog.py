@@ -132,6 +132,7 @@ _SECONDARY = [
     "cdc_apply_changes_snapshot",
     "streaming_cdc_upsert_snapshot",
     "streaming_stateful_user_totals",
+    "etl_retry_envelope",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
