@@ -1988,3 +1988,92 @@ def etl_retry_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(res.attempts, res.status, res.rows_loaded, n_log)],
         "attempts long, status string, rows_loaded long, n_status_rows long",
     )
+
+
+# --- step-status progression (S12), driver-visible --------------------------
+@register(
+    "step_status_progression",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(7 AS BIGINT), CAST(1 AS BIGINT), true),
+      (CAST(7 AS BIGINT), CAST(2 AS BIGINT), false),
+      (CAST(8 AS BIGINT), CAST(1 AS BIGINT), false),
+      (CAST(9 AS BIGINT), CAST(1 AS BIGINT), true)
+    ) AS t(stepid, org_id, step_completed)
+    """,
+)
+def step_status_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 under the driver oracle: the reference's
+    ``user_stepper_form_step_status`` UPDATE
+    (billing_etl_db.py:91-120) driven through its Spark equivalent —
+    seed four step rows, complete (7,1) and (9,1), verify the
+    untouched rows keep their state and an UPDATE against a missing
+    key affects 0 rows (the reference's affected-rows contract)."""
+    import tempfile
+
+    from ..operators.config import StepStatusStore
+    from ..schemas import STEP_STATUS_SCHEMA
+
+    with tempfile.TemporaryDirectory(prefix="steps_") as tmp:
+        store = StepStatusStore(spark, f"{tmp}/steps")
+        store.write(
+            spark.createDataFrame(
+                [(7, 1, False), (7, 2, False), (8, 1, False), (9, 1, False)],
+                STEP_STATUS_SCHEMA,
+            )
+        )
+        assert store.set_step_completed(7, 1, True) == 1
+        assert store.set_step_completed(9, 1, True) == 1
+        assert store.set_step_completed(99, 1, True) == 0  # missing key
+        rows = store.read().collect()
+    return spark.createDataFrame(rows, STEP_STATUS_SCHEMA)
+
+
+# --- observe() accounting (A5), driver-visible ------------------------------
+@register(
+    "load_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS loaded_rows,
+           CAST(sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rejected_rows,
+           'PARTIAL_SUCCESS' AS status, CAST(206 AS BIGINT) AS code
+    FROM events WHERE ts < TIMESTAMP '2024-01-03'
+    """,
+)
+def load_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 under the driver oracle: per-batch accounting computed by
+    ``observe()`` metrics IN THE SAME PASS as the write — total /
+    loaded / rejected counts and the reference's verdict mapping
+    (billing_etl.py:329-334) — zero extra scans at any scale. The
+    validation predicate (value >= 1.0) rejects some rows, pinning the
+    PARTIAL_SUCCESS(206) arm."""
+    import tempfile
+
+    from ..operators.load import load_append
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-03"
+    )
+    with tempfile.TemporaryDirectory(prefix="load_obs_") as tmp:
+        res = load_append(
+            events,
+            f"{tmp}/dest",
+            batch_id="obs-batch",
+            validate=F.col("value") >= 1.0,
+            reject_path=f"{tmp}/rejects",
+        )
+    return spark.createDataFrame(
+        [
+            (
+                res.total_rows,
+                res.loaded_rows,
+                res.rejected_rows,
+                res.status,
+                res.code,
+            )
+        ],
+        "total_rows long, loaded_rows long, rejected_rows long, "
+        "status string, code long",
+    )

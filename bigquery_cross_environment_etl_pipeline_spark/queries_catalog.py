@@ -133,6 +133,8 @@ _SECONDARY = [
     "streaming_cdc_upsert_snapshot",
     "streaming_stateful_user_totals",
     "etl_retry_envelope",
+    "step_status_progression",
+    "load_observed_metrics",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
