@@ -2077,3 +2077,53 @@ def load_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows long, loaded_rows long, rejected_rows long, "
         "status string, code long",
     )
+
+
+# --- whitelisted config point UPDATE (S11), driver-visible ------------------
+@register(
+    "config_update_values",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'proj-1', 'ds1', 't1', 'pulse_v2', 'ptab_v2', 'sa-1'),
+      (CAST(2 AS BIGINT), 'proj-2', 'ds2', 't2', 'pulse_b',  'ptab_b',  'sa-2')
+    ) AS t(org_id, projectid, billingdataset, tableid,
+           pulsebillingdataset, pulsetableid, customerserviceaccountid)
+    """,
+)
+def config_update_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 under the driver oracle: the reference's whitelisted config
+    point UPDATE (billing_etl_db.py:122-162) — org 1's pulse dataset /
+    table update in place, org 2 untouched, a non-matching key reports
+    0 affected rows, and a non-whitelisted column raises — the three
+    contract arms in one deterministic run."""
+    import tempfile
+
+    from ..operators.config import ConfigStore
+
+    with tempfile.TemporaryDirectory(prefix="cfg_upd_") as tmp:
+        store = ConfigStore(spark, f"{tmp}/config")
+        store.write(
+            spark.createDataFrame(
+                [
+                    (1, "proj-1", "ds1", "t1", "pulse_a", "ptab_a", "sa-1"),
+                    (2, "proj-2", "ds2", "t2", "pulse_b", "ptab_b", "sa-2"),
+                ],
+                store.schema,
+            )
+        )
+        assert (
+            store.update_values(
+                1,
+                "proj-1",
+                {"pulsebillingdataset": "pulse_v2", "pulsetableid": "ptab_v2"},
+            )
+            == 1
+        )
+        assert store.update_values(42, "proj-x", {"pulsetableid": "nope"}) == 0
+        try:
+            store.update_values(1, "proj-1", {"projectid": "forbidden"})
+            raise AssertionError("whitelist must reject projectid")
+        except ValueError:
+            pass
+        rows = store.read().collect()
+    return spark.createDataFrame(rows, store.schema)

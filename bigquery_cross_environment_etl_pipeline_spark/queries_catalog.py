@@ -135,6 +135,7 @@ _SECONDARY = [
     "etl_retry_envelope",
     "step_status_progression",
     "load_observed_metrics",
+    "config_update_values",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
