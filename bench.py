@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     # exact-verify utility (fixed-cardinality blocking is quadratic at
     # scale); dedup_lsh_jaccard_verified is the headline composition
     "dedup_lsh_jaccard_verified",
+    "dedup_incremental_new_batch",
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
     "ann_topk_ivf_probe",

@@ -436,3 +436,64 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id", max_hamm
         hamming.alias("hamming"),
     )
     return pick(lo_match).union(pick(hi_match)).distinct()
+
+
+def incremental_lsh_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """INCREMENTAL dedup: candidate pairs between a NEW batch and the
+    EXISTING corpus — the production maintenance shape (the all-pairs
+    form re-banding the whole corpus per ingest would be O(corpus) per
+    batch; this is O(batch)).
+
+    Both sides carry the same banded signature layout, so the corpus
+    side is exactly the persisted signature index a deployment keeps on
+    disk (partitioned/bucketed by band key — the dedup analog of the
+    IVF index in operators/similarity.py): only the batch's bands
+    shuffle (or broadcast, when the ingest batch is small), the corpus
+    bands are read in place. Returns (new_doc, corpus_doc,
+    est_similarity), distinct across bands.
+    """
+    rows_per_band = n_hashes // n_bands
+
+    def explode_bands(sigs: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(n_bands)
+            ]
+        )
+        sig_cols = [f"h{j}" for j in range(n_hashes)]
+        return sigs.select(
+            F.col(id_col), *sig_cols, F.explode(bands).alias("band")
+        ).select(id_col, *sig_cols, "band.*")
+
+    corpus = explode_bands(corpus_sigs).alias("a")
+    batch = explode_bands(batch_sigs).alias("b")
+    band_keys = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
+    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_keys]
+    matches = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    return (
+        corpus.join(F.broadcast(batch), join_cond)
+        .select(
+            F.col(f"b.{id_col}").alias("new_doc"),
+            F.col(f"a.{id_col}").alias("corpus_doc"),
+            (matches.cast("double") / F.lit(float(n_hashes))).alias(
+                "est_similarity"
+            ),
+        )
+        .distinct()
+    )

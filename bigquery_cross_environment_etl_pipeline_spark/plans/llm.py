@@ -1525,3 +1525,54 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_h") < bound)
         .drop("_h")
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    """Two-sided band join: new-batch docs (doc_id % 5 = 0) against the
+    existing corpus (doc_id % 5 <> 0), same signature arithmetic as
+    _minhash_oracle."""
+    k, bands, rpb = dedup.N_MINHASH, dedup.N_BANDS, dedup.N_MINHASH // dedup.N_BANDS
+    base = _minhash_oracle()
+    # reuse everything up to (and including) the sig CTE
+    sig_part = base.split("cand AS (")[0].rstrip().rstrip(",")
+    band_conds = []
+    for b in range(bands):
+        cols = [f"h{b * rpb + r}" for r in range(rpb)]
+        band_conds.append(" AND ".join(f"a.{c} = b.{c}" for c in cols))
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT b.doc_id AS new_doc, a.doc_id AS corpus_doc\n"
+        f"      FROM sig a JOIN sig b"
+        f" ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ({cond})"
+        for cond in band_conds
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""{sig_part},
+    cand AS (
+{cand_union}
+    )
+    SELECT c.new_doc, c.corpus_doc,
+           CAST(({matches}) AS DOUBLE) / {float(k)} AS est_similarity
+    FROM cand c
+    JOIN sig a ON c.corpus_doc = a.doc_id
+    JOIN sig b ON c.new_doc = b.doc_id
+    """
+
+
+@register("dedup_incremental_new_batch", oracle=_incremental_dedup_oracle())
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production maintenance shape: a new
+    ingest batch (every 5th doc) checked for near-duplicates against
+    the EXISTING corpus signature index without re-banding the corpus
+    (operators/dedup.py::incremental_lsh_pairs). The batch's bands
+    broadcast; the corpus signature table is what a deployment keeps
+    persisted (bucketed by band key), making per-ingest dedup cost
+    O(batch), not O(corpus) — the dedup analog of the IVF
+    index-append path."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_lsh_pairs(
+        dedup.minhash_signatures(corpus), dedup.minhash_signatures(batch)
+    )

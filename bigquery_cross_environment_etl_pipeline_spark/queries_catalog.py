@@ -136,6 +136,7 @@ _SECONDARY = [
     "step_status_progression",
     "load_observed_metrics",
     "config_update_values",
+    "dedup_incremental_new_batch",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
