@@ -1192,14 +1192,27 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --- provisioning workflow (rows-only: DDL + stateful, not SQL-expressible) ---------------
-@register("etl_provision_rollback")
+@register(
+    "etl_provision_rollback",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('provision_created', true),
+      ('database_exists', true),
+      ('table_exists', true),
+      ('config_written', true),
+      ('bad_provision_rejected', true),
+      ('bad_rolled_back', true),
+      ('dropped_cascade', true)
+    ) AS t(step, ok)
+    """,
+)
 def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D7 driven end-to-end: provision a tenant (CREATE DATABASE ->
     nested-schema CREATE TABLE -> config write-back -> step complete),
     then force a second provision to FAIL (missing config row) and show
     its rollback left no catalog objects behind. Returns the step/
-    assertion log; temp catalog objects are dropped afterwards.
-    Rows-only: DDL + multi-statement protocol, not one SQL query."""
+    assertion log (every arm must come back true — the VALUES oracle
+    pins all seven); temp catalog objects are dropped afterwards."""
     import tempfile
     import uuid
 
