@@ -2140,3 +2140,53 @@ def config_update_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         rows = store.read().collect()
     return spark.createDataFrame(rows, store.schema)
+
+
+# --- batch-partition time travel --------------------------------------------
+@register(
+    "load_time_travel_counts",
+    oracle="""
+    WITH w1 AS (SELECT count(*) AS c FROM events
+                WHERE ts < TIMESTAMP '2024-01-10'),
+         w2 AS (SELECT count(*) AS c FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-20')
+    SELECT 'as_of_batch1' AS view, CAST(w1.c AS BIGINT) AS n FROM w1
+    UNION ALL
+    SELECT 'as_of_batch2', CAST(w1.c + w2.c AS BIGINT) FROM w1, w2
+    UNION ALL
+    SELECT 'batch2_only', CAST(w2.c AS BIGINT) FROM w2
+    """,
+)
+def load_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the `_batch_id`-partitioned destination layout
+    (operators/load.py): two incremental windows append as separate
+    batch partitions, and "as of batch N" is a pure partition-pruned
+    read — `_batch_id <= N` touches only those directories, no
+    transaction log needed. The same layout gives idempotent replaces
+    (dynamic partition overwrite) and ordered audit history; a
+    transactional format (Delta/Iceberg) swaps in for concurrent
+    writers, with identical read semantics."""
+    import tempfile
+
+    from ..operators.load import load_append
+
+    events = load_table(spark, sf_dir, "events")
+    w1 = events.filter(F.col("ts") < "2024-01-10")
+    w2 = events.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
+    with tempfile.TemporaryDirectory(prefix="travel_") as tmp:
+        dest = f"{tmp}/dest"
+        load_append(w1, dest, batch_id="b1")
+        load_append(w2, dest, batch_id="b2")
+        full = spark.read.parquet(dest)
+        as_of_1 = full.filter(F.col("_batch_id") <= "b1").count()
+        as_of_2 = full.filter(F.col("_batch_id") <= "b2").count()
+        only_2 = full.filter(F.col("_batch_id") == "b2").count()
+    return spark.createDataFrame(
+        [
+            ("as_of_batch1", as_of_1),
+            ("as_of_batch2", as_of_2),
+            ("batch2_only", only_2),
+        ],
+        "view string, n long",
+    )

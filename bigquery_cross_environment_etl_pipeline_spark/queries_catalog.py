@@ -137,6 +137,7 @@ _SECONDARY = [
     "load_observed_metrics",
     "config_update_values",
     "dedup_incremental_new_batch",
+    "load_time_travel_counts",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
