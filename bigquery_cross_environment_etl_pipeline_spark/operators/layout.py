@@ -132,3 +132,35 @@ def file_bounding_boxes(
             )
         ]
     )
+
+
+def compact(
+    spark,
+    path: str,
+    dest_path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a fragmented dataset into
+    ``target_files`` files, optionally range-clustered on ``sort_cols``
+    so file-level min/max stats stay selective after the rewrite.
+
+    Returns (files_before, files_after). The streaming/batch appenders
+    in this engine (foreachBatch epochs, per-window loads) necessarily
+    produce a file per trigger per partition; at 100 TB the resulting
+    listing + open() overhead dominates scan setup, and periodic
+    compaction — ONE range shuffle, no driver involvement — is the
+    standard maintenance job. ``repartitionByRange`` keeps the sort
+    clustering (vs ``coalesce``, which concatenates arbitrary inputs
+    and destroys min/max selectivity).
+    """
+    df = spark.read.parquet(path)
+    files_before = df.inputFiles()
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(target_files)
+    out.write.mode("overwrite").parquet(dest_path)
+    files_after = spark.read.parquet(dest_path).inputFiles()
+    return len(files_before), len(files_after)

@@ -2190,3 +2190,99 @@ def load_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "view string, n long",
     )
+
+
+# --- retention purge (right-to-erasure) -------------------------------------
+@register(
+    "retention_purge_accounting",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM events WHERE user_id % 10 <> 3)
+                AS BIGINT) AS rows_after,
+           CAST((SELECT count(*) FROM events WHERE user_id % 10 = 3)
+                AS BIGINT) AS rows_purged,
+           CAST((SELECT count(DISTINCT user_id) FROM events
+                 WHERE user_id % 10 = 3) AS BIGINT) AS users_purged
+    """,
+)
+def retention_purge_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE purge: delete every event belonging to a
+    tombstone list of users (every user ≡ 3 mod 10) by anti-joining the
+    fact against the list and REWRITING — the GDPR/compliance job a
+    warehouse without row-level deletes runs. The rewrite is verified
+    end-to-end on disk (purged users absent from the re-read), with
+    before/after/purged accounting pinned by the oracle.
+
+    At 100 TB: with the destination partitioned by date (load_append's
+    layout) the rewrite touches only partitions containing tombstoned
+    rows — a broadcast anti join inside each; Delta/Iceberg DELETE is
+    the transactional drop-in with identical semantics."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    tombstones = (
+        events.select("user_id").distinct().filter(F.col("user_id") % 10 == 3)
+    )
+    with tempfile.TemporaryDirectory(prefix="purge_") as tmp:
+        dest = f"{tmp}/dest"
+        events.write.parquet(dest)
+        before = spark.read.parquet(dest).count()
+        kept = spark.read.parquet(dest).join(
+            F.broadcast(tombstones), "user_id", "left_anti"
+        )
+        kept.write.parquet(f"{tmp}/clean")
+        clean = spark.read.parquet(f"{tmp}/clean")
+        after = clean.count()
+        leaked = clean.join(F.broadcast(tombstones), "user_id", "left_semi").count()
+        assert leaked == 0, "purged users survived the rewrite"
+        purged_users = tombstones.count()
+    return spark.createDataFrame(
+        [(before, after, before - after, purged_users)],
+        "rows_before long, rows_after long, rows_purged long, users_purged long",
+    )
+
+
+# --- schema evolution read --------------------------------------------------
+@register(
+    "schema_evolution_union",
+    oracle="""
+    WITH v1 AS (SELECT count(*) AS c FROM events
+                WHERE ts < TIMESTAMP '2024-01-05'),
+         v2 AS (SELECT count(*) AS c FROM events
+                WHERE ts >= TIMESTAMP '2024-01-05'
+                  AND ts < TIMESTAMP '2024-01-08')
+    SELECT CAST(v1.c + v2.c AS BIGINT) AS total_rows,
+           CAST(v2.c AS BIGINT) AS rows_with_source,
+           CAST(v1.c AS BIGINT) AS rows_null_source
+    FROM v1, v2
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION at the storage boundary: version-1 files lack a
+    column that version-2 files carry; `mergeSchema` unions the footers
+    so old files read the new column as NULL — no rewrite, no outage
+    (sources/formats.py::read_parquet_evolving). The accounting pins
+    that every v1 row surfaces with a NULL `source_system` and every v2
+    row keeps its value — the evolution contract a 100 TB table relies
+    on when a producer adds a field."""
+    import tempfile
+
+    from ..sources.formats import read_parquet_evolving
+
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.filter(F.col("ts") < "2024-01-05")
+    v2 = events.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-08")
+    ).withColumn("source_system", F.lit("collector-v2"))
+    with tempfile.TemporaryDirectory(prefix="evolve_") as tmp:
+        dest = f"{tmp}/dest"
+        v1.write.parquet(dest)
+        v2.write.mode("append").parquet(dest)
+        merged = read_parquet_evolving(spark, dest)
+        total = merged.count()
+        with_src = merged.filter(F.col("source_system").isNotNull()).count()
+        null_src = merged.filter(F.col("source_system").isNull()).count()
+    return spark.createDataFrame(
+        [(total, with_src, null_src)],
+        "total_rows long, rows_with_source long, rows_null_source long",
+    )

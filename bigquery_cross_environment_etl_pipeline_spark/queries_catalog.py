@@ -138,6 +138,8 @@ _SECONDARY = [
     "config_update_values",
     "dedup_incremental_new_batch",
     "load_time_travel_counts",
+    "retention_purge_accounting",
+    "schema_evolution_union",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",

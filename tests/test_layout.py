@@ -121,3 +121,37 @@ def test_write_zordered_restores_session_conf(spark, tmp_path):
         assert spark.conf.get(key) == "INT96"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from bigquery_cross_environment_etl_pipeline_spark.operators.layout import (
+        compact,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    frag = str(tmp_path / "frag")
+    events.repartition(40).write.parquet(frag)  # simulate per-trigger files
+    dest = str(tmp_path / "compact")
+    before, after = compact(spark, frag, dest, target_files=4, sort_cols=["ts"])
+    assert before >= 40 and after == 4
+    assert spark.read.parquet(dest).count() == events.count()
+    # range clustering preserved: per-file ts ranges must not all overlap
+    import pyarrow.parquet as pq
+
+    bounds = []
+    for f in spark.read.parquet(dest).inputFiles():
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        stats = md.row_group(0).column(cols["ts"]).statistics
+        bounds.append((stats.min, stats.max))
+    bounds.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(bounds, bounds[1:]) if c < b
+    )
+    assert overlaps == 0, f"range clustering lost: {bounds}"
