@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "small_order_revenue_q17",
     "top_supplier_revenue_q15",
     "cheapest_line_supplier_q2",
+    "nation_year_profit_q9",
+    "customer_order_distribution_q13",
+    "part_supplier_variety_q16",
+    "excess_shippers_q20",
     "regional_market_share",
     "bigram_topk",
 ]

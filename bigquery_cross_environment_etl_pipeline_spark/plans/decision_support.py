@@ -504,3 +504,176 @@ def cheapest_line_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_price").cast("double"), 2).cast("double").alias("best_price"),
         )
     )
+
+
+# --- TPC-H Q9 shape: multi-dim profit rollup ---------------------------------
+@register(
+    "nation_year_profit_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             - CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1))
+           ) AS DOUBLE), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def nation_year_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: profit (revenue minus a retail-price-proxied supply
+    cost — the dataset carries no partsupp) by supplier nation and
+    order year, over a five-table join with a part-name predicate. The
+    fact shuffles on its own keys (orderkey, then partkey/suppkey
+    broadcast); all money math in DECIMAL with one final rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit(0.1).cast("decimal(3,1)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(price * disc - cost).cast("double"), 2)
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+# --- TPC-H Q13 shape: distribution of counts ---------------------------------
+@register(
+    "customer_order_distribution_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1%'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — the left-join-then-double-
+    aggregate shape (a plain GROUP BY on orders silently drops the
+    zero bucket). First aggregate keyed on the customer (one fact
+    shuffle), second on the tiny count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("1%")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q16 shape: distinct-supplier counts over a derived bridge ---------
+@register(
+    "part_supplier_variety_q16",
+    oracle="""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type,
+           CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT s.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM supply s JOIN part p ON s.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def part_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog: how many distinct suppliers ship each qualifying
+    (brand, type, size) — with the supply bridge DERIVED from the fact
+    (the dataset carries no partsupp): a DISTINCT projection is itself
+    the bridge table, and at 100 TB it is the thing you materialize
+    once and bucket by partkey. IN-list and <> predicates push into the
+    part scan; count(DISTINCT) expands group keys (Spark's expand
+    operator), never a second fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q20 shape: nested semi-join on aggregated thresholds --------------
+@register(
+    "excess_shippers_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, SUM(q) AS total_q FROM shipped GROUP BY l_partkey
+    ),
+    heavy AS (
+      SELECT s.l_suppkey
+      FROM shipped s
+      JOIN part_total t ON s.l_partkey = t.l_partkey
+      JOIN part p ON s.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%' AND s.q * 8 > t.total_q
+      GROUP BY s.l_suppkey
+    )
+    SELECT sup.s_name, sup.s_nationkey
+    FROM supplier sup JOIN heavy h ON sup.s_suppkey = h.l_suppkey
+    """,
+)
+def excess_shippers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: suppliers who shipped more than an eighth of some
+    qualifying part's total volume (the share threshold is a parameter) — the nested-aggregate semi-join
+    shape (threshold computed from one aggregation level, applied at
+    another). The comparison is division-free (8·q > total) in exact
+    DECIMAL; both aggregate levels reuse the same partkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qdec).alias("q"))
+    part_total = shipped.groupBy("l_partkey").agg(F.sum("q").alias("total_q"))
+    heavy = (
+        shipped.join(part_total, "l_partkey")
+        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .filter(F.col("q") * 8 > F.col("total_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_name", "s_nationkey"
+    )
