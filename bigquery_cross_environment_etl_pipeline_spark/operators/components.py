@@ -20,10 +20,12 @@ The pointer-jumping step re-reads each label through its current
 component's label every round, doubling the propagation horizon per
 round — O(log diameter) total, the Hash-to-Min / union-find-halving
 idea. Each round shuffles O(edges + nodes) on node id.
-``localCheckpoint`` truncates the exponentially-growing lineage
-between rounds (the classic iterative-DataFrame pitfall), and the
-symmetrized edge list materializes ONCE up front so an expensive
-upstream pair generator is never replayed per round.
+``iter_checkpoint`` truncates the exponentially-growing lineage
+between rounds (the classic iterative-DataFrame pitfall; reliable
+checkpoints via SPARK_GRAFT_RELIABLE_CHECKPOINT — operators/
+iterative.py), and the symmetrized edge list materializes ONCE up
+front so an expensive upstream pair generator is never replayed per
+round.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterative import iter_checkpoint
 
 #: Edge-count bound under which components are solved with an exact
 #: driver-side union-find instead of iterative label propagation. The
@@ -114,7 +118,7 @@ def connected_components(
         # (collect or per-round joins), re-reads this instead of
         # replaying an expensive upstream pair generator (e.g. a
         # banded-LSH cosine join).
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     if pair_df.count() <= driver_threshold:
         mapping = _driver_union_find(
@@ -136,7 +140,7 @@ def connected_components(
             pair_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     # initial label: min(self, min neighbor)
     labels = (
@@ -168,7 +172,7 @@ def connected_components(
                 "node",
                 F.least(F.coalesce(F.col("_comp2"), F.col("comp")), F.col("comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            .transform(iter_checkpoint)  # truncate iterative lineage
         )
         prev = labels
         labels = new_labels

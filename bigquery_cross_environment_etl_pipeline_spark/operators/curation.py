@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterative import iter_checkpoint
 from pyspark.sql import Window as W
 
 from . import dedup  # noqa: F401  (re-exported pipeline stage)
@@ -178,9 +180,9 @@ def curate_corpus(
     # id + three numbers per doc, the text column dropped — so the
     # expensive score/dedup lineage over the full corpus isn't replayed
     # per job. At 100 TB this relation is ~10^-5 of the corpus.
-    filtered = filtered.select(
-        id_col, "n_tokens", "stopword_ratio", "lang"
-    ).localCheckpoint(eager=True)
+    filtered = iter_checkpoint(
+        filtered.select(id_col, "n_tokens", "stopword_ratio", "lang")
+    )
     with_running = global_running_sum(
         filtered, order_col=id_col, weight_col="n_tokens", out_col="cum_tokens"
     )

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterative import iter_checkpoint
+
 
 def ancestor_closure(links: DataFrame, max_depth: int) -> DataFrame:
     """All (node, ancestor) pairs reachable through ``links`` (columns
@@ -33,9 +35,9 @@ def ancestor_closure(links: DataFrame, max_depth: int) -> DataFrame:
     ``ceil(log2(max_depth)) + 1`` doubling rounds regardless of node
     count.
     """
-    cl = links.select(
-        F.col("node"), F.col("parent").alias("anc")
-    ).localCheckpoint(eager=True)
+    cl = iter_checkpoint(
+        links.select(F.col("node"), F.col("parent").alias("anc"))
+    )
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
     for _ in range(rounds):
         extended = (
@@ -43,5 +45,5 @@ def ancestor_closure(links: DataFrame, max_depth: int) -> DataFrame:
             .join(cl.alias("y"), F.col("x.anc") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.anc").alias("anc"))
         )
-        cl = cl.union(extended).distinct().localCheckpoint(eager=True)
+        cl = iter_checkpoint(cl.union(extended).distinct())
     return cl

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .iterative import iter_checkpoint
+
 DIM = 64
 
 
@@ -201,7 +203,7 @@ def kmeans_refine(
         )
         # Materialize each iteration: Lloyd is inherently iterative and
         # re-deriving N rounds lazily would replay the whole lineage.
-        centroids = refreshed.localCheckpoint(eager=True)
+        centroids = iter_checkpoint(refreshed)
     return centroids
 
 

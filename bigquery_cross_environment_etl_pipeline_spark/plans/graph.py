@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.iterative import iter_checkpoint
 from pyspark.sql import Window as W
 
 from ..queries_catalog import register
@@ -99,7 +101,7 @@ def pagerank_scaled(
         # operators/similarity.py): keeps plan depth constant so the
         # loop scales to arbitrary iteration counts. Eager + tiny
         # (one row per nation), so the materialization is free.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = iter_checkpoint(ranks)
 
     return ranks.join(
         F.broadcast(nation), ranks.nationkey == nation.n_nationkey
@@ -213,7 +215,7 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # the wedge join and the closing join both re-read this tiny
         # (≤625-row) relation — materialize once, broadcast both sides
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

@@ -82,3 +82,20 @@ def test_duplicate_and_self_edges(spark, thresh):
     )
     got = _comp_map(connected_components(edges, driver_threshold=thresh))
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_RELIABLE_CHECKPOINT set, iterative loops write
+    reliable checkpoints (files under the dir) and still converge."""
+    import bigquery_cross_environment_etl_pipeline_spark.operators.iterative as it
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", str(tmp_path / "ckpt"))
+    monkeypatch.setattr(it, "_DIR_SET", False)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
+    )
+    got = _comp_map(connected_components(edges, driver_threshold=0))
+    assert set(got.values()) == {1}
+    import glob
+
+    assert glob.glob(str(tmp_path / "ckpt" / "**" / "*"), recursive=True)
