@@ -2286,3 +2286,88 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, with_src, null_src)],
         "total_rows long, rows_with_source long, rows_null_source long",
     )
+
+
+# --- Python UDTF (table function) -------------------------------------------
+@register(
+    "udtf_ngram_explode",
+    oracle="""
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           w[i] || ' ' || w[i+1] AS bigram
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 20
+    ), unnest(generate_series(1, len(w) - 1)) AS t(i)
+    """,
+)
+def udtf_ngram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → many
+    output rows from arbitrary Python, here a bigram tokenizer applied
+    per document via a LATERAL join — the §2.11 extension point the
+    reference lacks entirely (SURVEY: "No UDAF, no UDTF"). Arrow-batched
+    like every Python boundary in the engine; the oracle replays the
+    tokenization relationally. For pure string ops the built-in
+    explode/split path is faster (text_token_counts) — a UDTF earns its
+    Python cost when the per-row expansion logic is genuinely
+    imperative (parsers, samplers, decoders)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: bigint, bigram: string")
+    class BigramExplode:
+        def eval(self, text: str):
+            words = text.strip().split()
+            for i, (a, b) in enumerate(zip(words, words[1:]), start=1):
+                yield i, f"{a} {b}"
+
+    spark.udtf.register("bigram_explode", BigramExplode)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM _udtf_docs d, LATERAL bigram_explode(d.text) t
+        """
+    )
+
+
+# --- grouped-aggregate pandas UDF (UDAF) ------------------------------------
+@register(
+    "pandas_udaf_grouped_cents",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def pandas_udaf_grouped_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF — the aggregation
+    extension point (reference has none): per-group Python receives the
+    whole column as an Arrow batch and returns one value. Summing in
+    INTEGER CENTS keeps the custom aggregate exact and
+    order-independent, so it hash-matches the SQL oracle — the same
+    determinism discipline as the stateful streaming accumulator. The
+    built-in DECIMAL sum remains the fast path; a pandas UDAF earns its
+    boundary cost only for genuinely custom math (sketches, weighted
+    medians)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.round(0).astype("int64").sum())
+
+    @pandas_udf("bigint")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg — both metrics ride the pandas path
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "cents", (F.col("value") * 100)
+    )
+    return events.groupBy("event_type").agg(
+        cents_sum(F.col("cents")).alias("total_cents"),
+        n_rows(F.col("cents")).alias("n"),
+    )

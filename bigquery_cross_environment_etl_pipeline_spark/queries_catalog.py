@@ -140,6 +140,8 @@ _SECONDARY = [
     "load_time_travel_counts",
     "retention_purge_accounting",
     "schema_evolution_union",
+    "udtf_ngram_explode",
+    "pandas_udaf_grouped_cents",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "funnel_signup_click_purchase",
