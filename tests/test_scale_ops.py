@@ -380,3 +380,42 @@ def test_ivf_index_append_serves_new_vectors(spark, tmp_path):
     top = similarity.ann_topk_ivf_probe(spark, path, qvec, k=1, nprobe=2).first()
     assert top["vec_id"] == some["vec_id"]
     assert abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_dynamic_partition_pruning_on_date_layout(spark, tmp_path):
+    """With the destination laid out by date (load_append's
+    time-partition option), a join against a filtered dim triggers
+    DYNAMIC partition pruning: the fact scan's PartitionFilters carry a
+    dynamicpruningexpression fed by the dim's values at runtime, so
+    only the joined dates' directories are read — the mechanism that
+    turns a 100 TB fact scan into a few-partition scan for
+    dim-filtered joins, with no static predicate available."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "_dt", F.to_date("ts")
+    )
+    dest = str(tmp_path / "fact")
+    events.write.partitionBy("_dt").parquet(dest)
+    fact = spark.read.parquet(dest)
+    dim = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 5), "a"),
+            (dt.date(2024, 1, 6), "a"),
+            (dt.date(2024, 1, 7), "b"),
+        ],
+        "d date, seg string",
+    )
+    joined = fact.join(dim, fact._dt == dim.d).filter(F.col("seg") == "a")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    expected = events.filter(
+        F.col("_dt").isin(dt.date(2024, 1, 5), dt.date(2024, 1, 6))
+    ).count()
+    assert joined.count() == expected
