@@ -20,24 +20,62 @@ closure. Each round ``localCheckpoint``s to keep plan depth constant
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .iterative import iter_checkpoint
 
+#: Link-count bound under which the closure is walked on the driver
+#: (same hybrid design as components.DRIVER_UF_MAX_EDGES): an org/
+#: category hierarchy's LINK table is one row per node — tiny relative
+#: to the facts that join against the closure — so the walk is usually
+#: driver-cheap; past the bound the distributed doubling runs unchanged.
+DRIVER_CLOSURE_MAX_LINKS = int(
+    os.environ.get("SPARK_GRAFT_CLOSURE_DRIVER_LINKS", "1000000")
+)
 
-def ancestor_closure(links: DataFrame, max_depth: int) -> DataFrame:
+
+def ancestor_closure(
+    links: DataFrame, max_depth: int, driver_threshold: int | None = None
+) -> DataFrame:
     """All (node, ancestor) pairs reachable through ``links`` (columns
     ``node``, ``parent``; proper ancestors only — no self-pairs).
 
-    ``max_depth`` bounds the hierarchy depth; the closure converges in
-    ``ceil(log2(max_depth)) + 1`` doubling rounds regardless of node
-    count.
+    ``max_depth`` bounds the hierarchy depth; the distributed path
+    converges in ``ceil(log2(max_depth)) + 1`` doubling rounds
+    regardless of node count. Below ``driver_threshold`` links the
+    closure is walked on the driver instead (bounded collect — the
+    parent map is one int pair per node) and returned as one
+    DataFrame; both paths produce the identical pair set.
     """
-    cl = iter_checkpoint(
+    if driver_threshold is None:
+        driver_threshold = DRIVER_CLOSURE_MAX_LINKS
+    base = iter_checkpoint(
         links.select(F.col("node"), F.col("parent").alias("anc"))
     )
+    if base.count() <= driver_threshold:
+        parent = {r["node"]: r["anc"] for r in base.collect()}
+        pairs = set()
+        for n in parent:
+            a = parent[n]
+            seen = 0
+            while True:
+                pairs.add((n, a))
+                if a not in parent or seen > max_depth:
+                    break
+                a = parent[a]
+                seen += 1
+        spark = base.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        t = base.schema["node"].dataType
+        schema = StructType(
+            [StructField("node", t, False), StructField("anc", t, False)]
+        )
+        return spark.createDataFrame(sorted(pairs), schema)
+    cl = base
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
     for _ in range(rounds):
         extended = (

@@ -1,25 +1,39 @@
-"""Ancestor-closure doubling (operators/hierarchy.py)."""
+"""Ancestor-closure doubling (operators/hierarchy.py).
+
+Both execution paths — driver-side walk (small link tables) and
+distributed doubling (forced via ``driver_threshold=0``) — must agree
+on every topology.
+"""
 
 from __future__ import annotations
+
+import pytest
 
 from bigquery_cross_environment_etl_pipeline_spark.operators.hierarchy import (
     ancestor_closure,
 )
 
+PATHS = pytest.mark.parametrize(
+    "thresh", [None, 0], ids=["driver-walk", "distributed"]
+)
 
-def test_chain_closure_complete(spark):
+
+@PATHS
+def test_chain_closure_complete(spark, thresh):
     # 0 <- 1 <- 2 <- ... <- 9: node i has ancestors i-1 .. 0
     links = spark.createDataFrame(
         [(i, i - 1) for i in range(1, 10)], "node long, parent long"
     )
     got = {
-        (r["node"], r["anc"]) for r in ancestor_closure(links, max_depth=9).collect()
+        (r["node"], r["anc"])
+        for r in ancestor_closure(links, max_depth=9, driver_threshold=thresh).collect()
     }
     expected = {(i, a) for i in range(1, 10) for a in range(0, i)}
     assert got == expected
 
 
-def test_binary_tree_closure(spark):
+@PATHS
+def test_binary_tree_closure(spark, thresh):
     # parent(u) = u // 2 over 1..14 — every node's ancestor set is the
     # halving chain to the root
     links = spark.createDataFrame(
@@ -27,7 +41,7 @@ def test_binary_tree_closure(spark):
     )
     got = {
         (r["node"], r["anc"])
-        for r in ancestor_closure(links, max_depth=4).collect()
+        for r in ancestor_closure(links, max_depth=4, driver_threshold=thresh).collect()
     }
     expected = set()
     for u in range(1, 15):
@@ -40,11 +54,12 @@ def test_binary_tree_closure(spark):
     assert got == expected
 
 
-def test_underestimated_depth_is_the_documented_contract(spark):
+@PATHS
+def test_depth_budget_contract(spark, thresh):
     """max_depth bounds convergence: a depth-8 chain with max_depth=8
     closes fully (rounds = ceil(log2(8)) = 3 -> paths up to 8)."""
     links = spark.createDataFrame(
         [(i, i - 1) for i in range(1, 9)], "node long, parent long"
     )
-    got = ancestor_closure(links, max_depth=8)
+    got = ancestor_closure(links, max_depth=8, driver_threshold=thresh)
     assert got.count() == sum(range(1, 9))
