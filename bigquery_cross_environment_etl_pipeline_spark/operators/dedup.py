@@ -444,6 +444,7 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """INCREMENTAL dedup: candidate pairs between a NEW batch and the
     EXISTING corpus — the production maintenance shape (the all-pairs
@@ -454,9 +455,15 @@ def incremental_lsh_pairs(
     side is exactly the persisted signature index a deployment keeps on
     disk (partitioned/bucketed by band key — the dedup analog of the
     IVF index in operators/similarity.py): only the batch's bands
-    shuffle (or broadcast, when the ingest batch is small), the corpus
-    bands are read in place. Returns (new_doc, corpus_doc,
-    est_similarity), distinct across bands.
+    shuffle, the corpus bands are read in place. Returns (new_doc,
+    corpus_doc, est_similarity), distinct across bands.
+
+    ``broadcast_batch``: force-broadcast the batch side ONLY when the
+    caller knows the ingest batch is small — a forced hint overrides
+    autoBroadcastJoinThreshold, and a large batch would then hit the
+    broadcast hard limit instead of falling back to the band-key
+    shuffle join. Default off: AQE picks broadcast automatically when
+    the batch is genuinely under the threshold.
     """
     rows_per_band = n_hashes // n_bands
 
@@ -479,7 +486,10 @@ def incremental_lsh_pairs(
         ).select(id_col, *sig_cols, "band.*")
 
     corpus = explode_bands(corpus_sigs).alias("a")
-    batch = explode_bands(batch_sigs).alias("b")
+    batch_side = explode_bands(batch_sigs)
+    if broadcast_batch:
+        batch_side = F.broadcast(batch_side)
+    batch = batch_side.alias("b")
     band_keys = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
     join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_keys]
     matches = sum(
@@ -487,7 +497,7 @@ def incremental_lsh_pairs(
         for j in range(n_hashes)
     )
     return (
-        corpus.join(F.broadcast(batch), join_cond)
+        corpus.join(batch, join_cond)
         .select(
             F.col(f"b.{id_col}").alias("new_doc"),
             F.col(f"a.{id_col}").alias("corpus_doc"),
@@ -537,11 +547,13 @@ def incremental_lsh_pairs_from_index(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """The serving form of ``incremental_lsh_pairs``: corpus signatures
     come from the PERSISTED index (no corpus re-scan, no re-signing),
-    only the batch is signed fresh."""
+    only the batch is signed fresh. ``broadcast_batch`` as in
+    ``incremental_lsh_pairs`` — force only for known-small batches."""
     corpus_sigs = spark.read.parquet(index_path)
     return incremental_lsh_pairs(
-        corpus_sigs, batch_sigs, id_col, n_hashes, n_bands
+        corpus_sigs, batch_sigs, id_col, n_hashes, n_bands, broadcast_batch
     )

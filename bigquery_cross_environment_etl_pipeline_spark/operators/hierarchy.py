@@ -55,18 +55,23 @@ def ancestor_closure(
     base = iter_checkpoint(
         links.select(F.col("node"), F.col("parent").alias("anc"))
     )
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    # both paths close paths up to the SAME horizon (2^rounds), so an
+    # underestimated max_depth truncates identically instead of the
+    # result silently depending on which path the data size selects
+    horizon = 2 ** rounds
     if base.count() <= driver_threshold:
         parent = {r["node"]: r["anc"] for r in base.collect()}
         pairs = set()
         for n in parent:
             a = parent[n]
-            seen = 0
+            hops = 1
             while True:
                 pairs.add((n, a))
-                if a not in parent or seen > max_depth:
+                if a not in parent or hops >= horizon:
                     break
                 a = parent[a]
-                seen += 1
+                hops += 1
         spark = base.sparkSession
         from pyspark.sql.types import StructField, StructType
 
@@ -76,7 +81,6 @@ def ancestor_closure(
         )
         return spark.createDataFrame(sorted(pairs), schema)
     cl = base
-    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
     for _ in range(rounds):
         extended = (
             cl.alias("x")

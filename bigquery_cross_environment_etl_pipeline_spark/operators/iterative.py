@@ -27,18 +27,21 @@ import os
 
 from pyspark.sql import DataFrame
 
-_DIR_SET = False
+_CURRENT_DIR: str | None = None
 
 
 def iter_checkpoint(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and truncate its lineage, using the
     fault-tolerance policy selected by
-    ``SPARK_GRAFT_RELIABLE_CHECKPOINT`` (see module docstring)."""
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT`` (see module docstring). The
+    checkpoint dir is re-pinned whenever the env value CHANGES, so a
+    long-lived session that redirects to new storage takes effect
+    instead of silently writing to the old directory."""
     reliable_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
     if reliable_dir:
-        global _DIR_SET
-        if not _DIR_SET:
+        global _CURRENT_DIR
+        if reliable_dir != _CURRENT_DIR:
             df.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
-            _DIR_SET = True
+            _CURRENT_DIR = reliable_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

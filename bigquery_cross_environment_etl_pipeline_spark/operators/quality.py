@@ -80,12 +80,25 @@ def snapshot_diff(
     shuffle once on the key (or zero times if both snapshots are
     bucketed by it); the fingerprint comparison is the same
     content-digest trick exact dedup uses (operators/dedup.py).
+
+    The encoding is COLLISION-SAFE for nulls and delimiters: each
+    value is length-prefixed (``len:value``) and NULL gets a distinct
+    marker — a plain ``concat_ws`` silently skips NULL columns and
+    cannot tell ``('a|b','c')`` from ``('a','b|c')``, so a diff built
+    on it classifies genuinely restated rows as unchanged.
     """
 
     def fingerprint(df: DataFrame, side: str) -> DataFrame:
-        fp = F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])
-        )
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                    F.lit("␀null"),
+                )
+            )
+        fp = F.md5(F.concat(*parts))
         return df.select(*keys, fp.alias(f"_fp_{side}"))
 
     joined = fingerprint(a, "a").join(fingerprint(b, "b"), keys, "full_outer")

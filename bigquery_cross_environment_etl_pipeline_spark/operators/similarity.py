@@ -734,9 +734,13 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     sub_d = dim // PQ_M
-    book = np.array(
-        [v for _, v in sorted(centroid_rows)], dtype=np.float64
-    )  # (K, dim)
+    ordered = sorted(centroid_rows)
+    book = np.array([v for _, v in ordered], dtype=np.float64)  # (K, dim)
+    # argmin yields POSITIONS in the sorted codebook; codes must carry
+    # the actual centroid IDS (ascending id order makes first-minimum =
+    # smallest id, matching pq_encode_expr's CASE tie-break even for
+    # non-contiguous or re-keyed codebooks)
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
 
     @pandas_udf("string")
     def codes(v: pd.Series) -> pd.Series:
@@ -750,7 +754,7 @@ def pq_encode(
             for i in range(s * sub_d, (s + 1) * sub_d):
                 t = V[:, i : i + 1] - book[None, :, i]
                 acc = acc + t * t
-            out[:, s] = np.argmin(acc, axis=1)
+            out[:, s] = cids[np.argmin(acc, axis=1)]
         return pd.Series([",".join(map(str, row)) for row in out])
 
     return embeddings.select("vec_id", codes(F.col(vec_col)).alias("pq_code"))

@@ -727,14 +727,19 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     """Path of the persisted IVF index for ``sf_dir`` (build on first
     use, under $SPARK_GRAFT_INDEX_DIR) — the amortized-once maintenance
     step every probe query shares. ``refine_iters`` > 0 builds the
-    Lloyd-refined variant under its own tag."""
+    Lloyd-refined variant under its own tag. The cache key carries a
+    CONTENT fingerprint of the source table, so a regenerated dataset
+    (or a different root with the same leaf dir name) rebuilds instead
+    of serving a stale index."""
     import os
 
     from ..operators.similarity import ivf_index_persist
+    from ..sources.registry import dataset_fingerprint
 
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_path = f"{base}/ivf_{tag}_c8_r{refine_iters}"
+    fp = dataset_fingerprint(sf_dir, "embeddings")
+    index_path = f"{base}/ivf_{tag}_{fp}_c8_r{refine_iters}"
     if not os.path.exists(index_path + "/centroids/_SUCCESS"):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_index_persist(
@@ -1513,16 +1518,28 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT event_id,
-             md5(concat_ws('|', event_type, CAST(value AS VARCHAR), props))
-               AS fp
+             md5(coalesce(CAST(length(event_type) AS VARCHAR) || ':'
+                          || event_type, '␀null')
+                 || coalesce(CAST(length(CAST(value AS VARCHAR)) AS VARCHAR)
+                             || ':' || CAST(value AS VARCHAR), '␀null')
+                 || coalesce(CAST(length(props) AS VARCHAR) || ':' || props,
+                             '␀null')) AS fp
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
     ), b AS (
       SELECT event_id,
-             md5(concat_ws('|', event_type,
-                 CAST(CASE WHEN event_type = 'error' THEN value + 1.0
-                      ELSE value END AS VARCHAR), props)) AS fp
-      FROM events
+             md5(coalesce(CAST(length(event_type) AS VARCHAR) || ':'
+                          || event_type, '␀null')
+                 || coalesce(CAST(length(CAST(v2 AS VARCHAR)) AS VARCHAR)
+                             || ':' || CAST(v2 AS VARCHAR), '␀null')
+                 || coalesce(CAST(length(props) AS VARCHAR) || ':' || props,
+                             '␀null')) AS fp
+      FROM (
+        SELECT event_id, event_type, props, ts,
+               CASE WHEN event_type = 'error' THEN value + 1.0
+                    ELSE value END AS v2
+        FROM events
+      )
       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'
     )
     SELECT change_type, CAST(count(*) AS BIGINT) AS n FROM (
@@ -2176,12 +2193,15 @@ def load_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = events.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
     with tempfile.TemporaryDirectory(prefix="travel_") as tmp:
         dest = f"{tmp}/dest"
-        load_append(w1, dest, batch_id="b1")
-        load_append(w2, dest, batch_id="b2")
+        # batch ids MUST be zero-padded to stay lexicographically
+        # sortable — "b10" < "b2" as strings, so unpadded sequential
+        # ids would pull future batches into an as-of read
+        load_append(w1, dest, batch_id="b0001")
+        load_append(w2, dest, batch_id="b0002")
         full = spark.read.parquet(dest)
-        as_of_1 = full.filter(F.col("_batch_id") <= "b1").count()
-        as_of_2 = full.filter(F.col("_batch_id") <= "b2").count()
-        only_2 = full.filter(F.col("_batch_id") == "b2").count()
+        as_of_1 = full.filter(F.col("_batch_id") <= "b0001").count()
+        as_of_2 = full.filter(F.col("_batch_id") <= "b0002").count()
+        only_2 = full.filter(F.col("_batch_id") == "b0002").count()
     return spark.createDataFrame(
         [
             ("as_of_batch1", as_of_1),

@@ -1567,9 +1567,15 @@ def _sig_index(spark: SparkSession, sf_dir: str) -> str:
     shares, mirroring the IVF index lifecycle."""
     import os
 
+    from ..sources.registry import dataset_fingerprint
+
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_path = f"{base}/sigs_{tag}"
+    # content fingerprint: a regenerated documents table rebuilds the
+    # index instead of serving stale signatures (the oracle recomputes
+    # from CURRENT data, so staleness here would hash-mismatch)
+    fp = dataset_fingerprint(sf_dir, "documents")
+    index_path = f"{base}/sigs_{tag}_{fp}"
     if not os.path.exists(index_path + "/_SUCCESS"):
         docs = load_table(spark, sf_dir, "documents")
         dedup.signature_index_persist(
@@ -1593,5 +1599,10 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return dedup.incremental_lsh_pairs_from_index(
-        spark, _sig_index(spark, sf_dir), dedup.minhash_signatures(batch)
+        spark,
+        _sig_index(spark, sf_dir),
+        dedup.minhash_signatures(batch),
+        # this query's batch is a known-small slice; production callers
+        # with arbitrary batch sizes leave the default (AQE decides)
+        broadcast_batch=True,
     )

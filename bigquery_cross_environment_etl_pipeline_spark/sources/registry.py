@@ -71,3 +71,23 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of a source table (file names + sizes,
+    no Spark job) — persisted-index cache keys include it so a
+    REGENERATED dataset at the same path (or a different root whose
+    leaf dir shares the name) can never serve a stale index."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    stats: list[tuple[str, int]] = []
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            fp = os.path.join(p, f)
+            if os.path.isfile(fp):
+                stats.append((f, os.path.getsize(fp)))
+    elif os.path.isfile(p):
+        stats.append((os.path.basename(p), os.path.getsize(p)))
+    return hashlib.md5(repr(stats).encode()).hexdigest()[:10]

@@ -171,10 +171,15 @@ def stream_cdc_upsert(
     Merge state RETAINS delete tombstones (``collapse_changes``), so a
     late lower-sequence row can never resurrect a deleted key, and the
     union+collapse merge is sequence-correct even when ties straddle
-    micro-batches. Each epoch writes snapshot version ``v{epoch}`` —
-    re-delivered epochs after a failure overwrite their own version
-    (idempotent), the streaming checkpoint pins the source offsets, and
-    readers see only complete versions: effectively-once end to end.
+    micro-batches. Snapshot versions are numbered MONOTONICALLY from
+    the newest version already on disk — NOT by epoch id, which resets
+    to 0 for a query with a fresh checkpoint and would write the merge
+    BELOW existing versions where every max-version reader (including
+    recovery) misses it. A batch re-delivered after a crash re-merges
+    into a new version with identical content (union+collapse is
+    idempotent), the streaming checkpoint pins the source offsets, and
+    readers see only complete (_SUCCESS) versions: effectively-once
+    end to end.
 
     Scale notes: per batch ONE key-hash shuffle for the collapse and
     one for the merge (or zero with a key-bucketed snapshot layout);
@@ -187,19 +192,20 @@ def stream_cdc_upsert(
     import os
     import re
 
-    def _latest_version() -> str | None:
-        """Recovery: the newest complete snapshot version on disk (so a
-        restarted query resumes the merge chain instead of restarting
-        state from empty while the checkpoint skips consumed offsets)."""
+    def _versions() -> list[tuple[int, str]]:
         done = [
             os.path.dirname(s)
             for s in glob.glob(f"{snapshot_dir}/v*/_SUCCESS")
         ]
-        if not done:
-            return None
-        return max(done, key=lambda p: int(re.search(r"v(\d+)$", p).group(1)))
+        return sorted(
+            (int(re.search(r"v(\d+)$", p).group(1)), p) for p in done
+        )
 
-    state = {"last": _latest_version()}
+    existing = _versions()
+    state = {
+        "last": existing[-1][1] if existing else None,
+        "next": existing[-1][0] + 1 if existing else 0,
+    }
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -209,9 +215,10 @@ def stream_cdc_upsert(
             collapsed = collapse_changes(
                 prev.unionByName(collapsed), keys, sequence_cols
             )
-        version_path = f"{snapshot_dir}/v{epoch_id}"
+        version_path = f"{snapshot_dir}/v{state['next']}"
         collapsed.write.mode("overwrite").parquet(version_path)
         state["last"] = version_path
+        state["next"] += 1
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

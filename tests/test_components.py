@@ -90,7 +90,7 @@ def test_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
     import bigquery_cross_environment_etl_pipeline_spark.operators.iterative as it
 
     monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", str(tmp_path / "ckpt"))
-    monkeypatch.setattr(it, "_DIR_SET", False)
+    monkeypatch.setattr(it, "_CURRENT_DIR", None)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
     )

@@ -335,6 +335,24 @@ def test_pq_numpy_path_bitwise_equals_expression_path(spark):
     }
     assert fast == ref
 
+    # regression: a NON-CONTIGUOUS codebook (ids not 0..K-1) must still
+    # agree — codes carry centroid IDS, not argmin positions
+    nc = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + similarity.PQ_K)
+        ).collect()
+    ]
+    sample = emb.limit(30)
+    fast_nc = {
+        r["vec_id"]: r["pq_code"] for r in similarity.pq_encode(sample, nc).collect()
+    }
+    ref_nc = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode_expr(sample, nc).collect()
+    }
+    assert fast_nc == ref_nc
+
 
 def test_adc_query_overlaps_exact_euclidean(spark):
     """Query-level ADC: 10 rows, ascending distance, nontrivial overlap

@@ -10,10 +10,16 @@ from bigquery_cross_environment_etl_pipeline_spark.operators.quality import (
     snapshot_diff,
 )
 
+# payloads deliberately include NULLs, empty strings, and
+# delimiter-bearing values — the collision cases a naive
+# concat_ws fingerprint misclassifies as unchanged
+PAYLOADS = [None, "", "a", "b", "a|b", "b|c", "a:b", "1:a", "3:abc"]
+
 snap = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=15),  # key
-        st.integers(min_value=0, max_value=3),  # payload
+        st.sampled_from(PAYLOADS),
+        st.sampled_from(PAYLOADS),
     ),
     min_size=0,
     max_size=20,
@@ -21,19 +27,23 @@ snap = st.lists(
 )
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(snap, snap)
 def test_snapshot_diff_matches_set_semantics(spark, a_rows, b_rows):
-    a_map, b_map = dict(a_rows), dict(b_rows)
-    a = spark.createDataFrame(a_rows or [(None, None)], "k int, v int").filter(
+    a_map = {k: (v1, v2) for k, v1, v2 in a_rows}
+    b_map = {k: (v1, v2) for k, v1, v2 in b_rows}
+    schema = "k int, v1 string, v2 string"
+    a = spark.createDataFrame(a_rows or [(None, None, None)], schema).filter(
         "k IS NOT NULL"
     )
-    b = spark.createDataFrame(b_rows or [(None, None)], "k int, v int").filter(
+    b = spark.createDataFrame(b_rows or [(None, None, None)], schema).filter(
         "k IS NOT NULL"
     )
     got = {
         r["k"]: r["change_type"]
-        for r in snapshot_diff(a, b, keys=["k"], compare_cols=["v"]).collect()
+        for r in snapshot_diff(
+            a, b, keys=["k"], compare_cols=["v1", "v2"]
+        ).collect()
     }
     want = {}
     for k in set(a_map) | set(b_map):
@@ -46,6 +56,24 @@ def test_snapshot_diff_matches_set_semantics(spark, a_rows, b_rows):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+def test_snapshot_diff_null_and_delimiter_collisions(spark):
+    """The documented collision cases: NULL shifting between columns
+    and delimiter-straddling values MUST classify as changed."""
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, "a|b", "c"), (3, "1:a", "bc")],
+        "k int, v1 string, v2 string",
+    )
+    b = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b|c"), (3, "1", "a3:bc")],
+        "k int, v1 string, v2 string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(a, b, keys=["k"], compare_cols=["v1", "v2"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "changed"}
 
 
 def test_histogram_quantile_within_bucket_width(spark):

@@ -104,21 +104,36 @@ def test_multi_batch_equals_single_batch(spark, tmp_path):
 
 
 def test_recovery_resumes_from_latest_version(spark, tmp_path):
+    # run 1 produces MULTIPLE versions (one per micro-batch) — the
+    # regression case: a fresh-checkpoint successor restarts epoch ids
+    # at 0, and naming versions by epoch would write its merge BELOW
+    # the existing versions where max-version readers never see it
     src1 = str(tmp_path / "src1")
-    spark.createDataFrame([(1, 1, "U", 1.0)], SCHEMA).write.parquet(src1)
+    spark.createDataFrame([(1, 1, "U", 1.0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src1)
+    spark.createDataFrame([(3, 1, "U", 3.0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src1)
     snap = str(tmp_path / "snap")
     q = stream_cdc_upsert(
-        read_stream(spark, src1, spark.read.parquet(src1).schema),
+        read_stream(
+            spark, src1, spark.read.parquet(src1).schema, max_files_per_trigger=1
+        ),
         snap,
         str(tmp_path / "ckpt1"),
         keys=["k"],
         sequence_cols=["seq"],
     )
     q.awaitTermination(120)
-    assert _final_state(spark, snap) == {1: (1, 1.0)}
+    assert _final_state(spark, snap) == {1: (1, 1.0), 3: (1, 3.0)}
+    import glob
+
+    n_versions = len(glob.glob(f"{snap}/v*/_SUCCESS"))
+    assert n_versions >= 2, "precondition: run 1 must write multiple versions"
 
     # a NEW query (fresh checkpoint, new feed) over the same snapshot
-    # dir must merge on top of version v0, not restart from empty
+    # dir must merge ON TOP of the newest version, not under it
     src2 = str(tmp_path / "src2")
     spark.createDataFrame([(2, 1, "U", 2.0)], SCHEMA).write.parquet(src2)
     q2 = stream_cdc_upsert(
@@ -129,4 +144,8 @@ def test_recovery_resumes_from_latest_version(spark, tmp_path):
         sequence_cols=["seq"],
     )
     q2.awaitTermination(120)
-    assert _final_state(spark, snap) == {1: (1, 1.0), 2: (1, 2.0)}
+    assert _final_state(spark, snap) == {
+        1: (1, 1.0),
+        2: (1, 2.0),
+        3: (1, 3.0),
+    }
