@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     # scale); dedup_lsh_jaccard_verified is the headline composition
     "dedup_lsh_jaccard_verified",
     "dedup_incremental_new_batch",
+    "dedup_levenshtein_verified",
     "embedding_cosine_topk",
     "embedding_cosine_neardup",
     "ann_topk_ivf_probe",

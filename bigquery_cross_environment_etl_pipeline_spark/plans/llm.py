@@ -1606,3 +1606,46 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with arbitrary batch sizes leave the default (AQE decides)
         broadcast_batch=True,
     )
+
+
+def _lev_verified_oracle() -> str:
+    """MinHash band candidates verified by exact edit distance — both
+    engines implement the same Levenshtein definition over chars."""
+    base = _minhash_oracle()
+    sig_and_cand = base.split("SELECT c.doc_a, c.doc_b,")[0]
+    return f"""{sig_and_cand}
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    WHERE levenshtein(da.text, db.text) <= 25
+    """
+
+
+@register("dedup_levenshtein_verified", oracle=_lev_verified_oracle())
+def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification on MinHash candidates: the
+    char-level near-dup metric (catches small in-place edits that
+    shingle Jaccard underweights), runnable only because candidate
+    generation already shrank the pair set — Levenshtein is O(len²)
+    per pair, so it can never run all-pairs. Both engines share the
+    same definition, so the distances hash-match exactly. Same
+    composition contract as dedup_lsh_jaccard_verified: candidates
+    from bands (shuffle O(docs × bands × 16 B)), the text column
+    joined in only for surviving candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 25)
+    )

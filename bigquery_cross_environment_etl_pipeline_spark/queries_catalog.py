@@ -137,6 +137,7 @@ _SECONDARY = [
     "load_observed_metrics",
     "config_update_values",
     "dedup_incremental_new_batch",
+    "dedup_levenshtein_verified",
     "load_time_travel_counts",
     "retention_purge_accounting",
     "schema_evolution_union",
