@@ -28,10 +28,22 @@ from pyspark.sql import functions as F
 TimeLike = dt.datetime | str
 
 
+def _ts_literal(value: TimeLike) -> Column:
+    """Timestamp literal that is HOST-TIMEZONE-FREE: PySpark converts a
+    naive ``datetime`` through the OS timezone (``time.mktime``) before
+    the session zone is ever consulted, so ``F.lit(datetime(...))``
+    shifts with the host's TZ (caught by a TZ=America/New_York parity
+    run). Rendering to a wall-clock string first makes the literal
+    parse through the session zone (pinned UTC) instead."""
+    if isinstance(value, dt.datetime):
+        value = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return F.lit(value).cast("timestamp")
+
+
 def half_open_interval(ts_col: str | Column, start: TimeLike, end: TimeLike) -> Column:
     """``start <= ts < end`` — the reference's core incremental predicate."""
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return (c >= F.lit(start).cast("timestamp")) & (c < F.lit(end).cast("timestamp"))
+    return (c >= _ts_literal(start)) & (c < _ts_literal(end))
 
 
 def window_scan(
