@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "excess_shippers_q20",
     "regional_market_share",
     "bigram_topk",
+    # round-4 additions: TPC-H completion + corpus repetition scoring
+    "pricing_summary_q1",
+    "forecast_revenue_change_q6",
+    "important_part_revenue_q11",
+    "disjunctive_revenue_q19",
+    "corpus_dup_ngram_fraction",
+    "vocab_oov_rate",
 ]
 
 
@@ -130,7 +137,12 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    payload = {
+
+    # Full per-query detail goes to a sidecar file + stderr; the final
+    # stdout line stays compact (≤ ~1500 chars) so the driver's tail
+    # capture can always parse it (round 3 lesson: a 68-query inline
+    # map overflowed the ~2000-char window → BENCH_r03 parsed=null).
+    detail = {
         "metric": "headline_query_suite_total",
         "value": total,
         "unit": "sec",
@@ -138,8 +150,39 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        detail["errors"] = errors
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+
+    # compact stdout line: totals + the 10 slowest queries (2 dp)
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items() if isinstance(v, (int, float))),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    payload = {
+        "metric": "headline_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(payload)
+    if len(line) > 1500:  # hard budget: drop the map rather than overflow
+        payload["queries"] = {}
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
 
 

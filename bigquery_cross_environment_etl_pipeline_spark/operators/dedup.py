@@ -258,7 +258,7 @@ def verified_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_verify_blocked(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -268,12 +268,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over blocked candidate pairs.
+    """Exact n-gram Jaccard over blocked candidate pairs — a VERIFY
+    UTILITY, not a candidate generator (renamed in round 4 to make
+    that contract unmissable).
 
-    Blocking (same ``block_col``, |len delta| <= ``max_len_delta``) keeps
-    the pair count linear-ish; the Jaccard itself is
-    |A ∩ B| / |A ∪ B| over distinct shingle sets — array_intersect /
-    array_union are engine-side.
+    Blocking (same ``block_col``, |len delta| <= ``max_len_delta``)
+    bounds pairs only when blocks stay small; block cardinality is
+    FIXED, so within-block pair counts grow quadratically with data
+    (measured 5x wall-time at 10x rows). Use it to spot-verify a
+    bounded slice or as ground truth in tests; the scale path is
+    minhash_lsh_candidates -> verified_jaccard_pairs, where banding
+    makes the candidate count data-independent per band. The Jaccard
+    itself is |A ∩ B| / |A ∪ B| over distinct shingle sets —
+    array_intersect / sizes are engine-side.
     """
     # Shingles are hashed to 48-bit ints BEFORE the pair join: the
     # intersect/union then compares fixed-width integers instead of
@@ -332,6 +339,53 @@ def ngram_jaccard_pairs(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") > threshold)
+    )
+
+
+def dup_ngram_doc_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    distinct word n-grams that also appear in >= ``min_docs`` corpus
+    documents — the cross-document repetition signal
+    (Gopher/RefinedWeb-style "duplicate n-gram fraction") used to score
+    boilerplate/templated text before span-level dedup.
+
+    Dataflow (all engine-side, no Python): distinct 48-bit-hashed
+    shingles per doc -> global document frequency (one groupBy on the
+    shingle hash, map-side partial counts) -> join back co-partitioned
+    on the same hash -> per-doc ratio. Shuffle volume is
+    O(total distinct shingles x 8 B), linear in corpus size; no pair
+    join anywhere, so the op is scale-safe where pairwise dedup is
+    not. Docs shorter than ``n`` words have no shingles and drop out
+    (mirrored by the oracle). The fraction is ONE IEEE division of two
+    exact bigints — hash-stable across engines.
+    """
+    hashed = F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+    )
+    per_doc = df.select(
+        F.col(id_col), F.explode(F.array_distinct(hashed)).alias("sh")
+    )
+    docfreq = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        per_doc.join(docfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams").cast("double"),
+        )
     )
 
 

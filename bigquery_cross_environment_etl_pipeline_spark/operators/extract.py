@@ -36,6 +36,11 @@ def _ts_literal(value: TimeLike) -> Column:
     run). Rendering to a wall-clock string first makes the literal
     parse through the session zone (pinned UTC) instead."""
     if isinstance(value, dt.datetime):
+        if value.tzinfo is not None:
+            # aware datetimes: normalize to UTC wall-clock before
+            # rendering — strftime alone would drop the offset and
+            # shift the instant by it in the UTC session zone
+            value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
         value = value.strftime("%Y-%m-%d %H:%M:%S.%f")
     return F.lit(value).cast("timestamp")
 

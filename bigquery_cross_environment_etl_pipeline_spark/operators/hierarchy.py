@@ -27,13 +27,15 @@ from pyspark.sql import functions as F
 
 from .iterative import iter_checkpoint
 
-#: Link-count bound under which the closure is walked on the driver
-#: (same hybrid design as components.DRIVER_UF_MAX_EDGES): an org/
-#: category hierarchy's LINK table is one row per node — tiny relative
-#: to the facts that join against the closure — so the walk is usually
-#: driver-cheap; past the bound the distributed doubling runs unchanged.
-DRIVER_CLOSURE_MAX_LINKS = int(
-    os.environ.get("SPARK_GRAFT_CLOSURE_DRIVER_LINKS", "1000000")
+#: Bound on the MATERIALIZED CLOSURE size (links × horizon pairs, the
+#: worst case the driver walk can produce) under which the closure is
+#: walked on the driver (same hybrid design as
+#: components.DRIVER_UF_MAX_EDGES). Gating on link count alone was
+#: wrong: 1M links × a 32-hop horizon is up to 32M Python tuples —
+#: several GB — so the gate must bound what gets BUILT, not what gets
+#: collected. 10M pairs ≈ 160 MB of tuples: comfortably driver-sized.
+DRIVER_CLOSURE_MAX_PAIRS = int(
+    os.environ.get("SPARK_GRAFT_CLOSURE_DRIVER_PAIRS", "10000000")
 )
 
 
@@ -45,13 +47,15 @@ def ancestor_closure(
 
     ``max_depth`` bounds the hierarchy depth; the distributed path
     converges in ``ceil(log2(max_depth)) + 1`` doubling rounds
-    regardless of node count. Below ``driver_threshold`` links the
-    closure is walked on the driver instead (bounded collect — the
-    parent map is one int pair per node) and returned as one
-    DataFrame; both paths produce the identical pair set.
+    regardless of node count. When ``links × horizon`` — the worst-case
+    materialized closure — fits under ``driver_threshold`` pairs, the
+    closure is walked on the driver instead (bounded collect, bounded
+    build) and returned as one DataFrame; both paths produce the
+    identical pair set, including on multi-parent (DAG) link tables,
+    where the driver walk is a BFS over ALL parents per node.
     """
     if driver_threshold is None:
-        driver_threshold = DRIVER_CLOSURE_MAX_LINKS
+        driver_threshold = DRIVER_CLOSURE_MAX_PAIRS
     base = iter_checkpoint(
         links.select(F.col("node"), F.col("parent").alias("anc"))
     )
@@ -60,18 +64,27 @@ def ancestor_closure(
     # underestimated max_depth truncates identically instead of the
     # result silently depending on which path the data size selects
     horizon = 2 ** rounds
-    if base.count() <= driver_threshold:
-        parent = {r["node"]: r["anc"] for r in base.collect()}
+    n_links = base.count()
+    if n_links * horizon <= driver_threshold:
+        from collections import defaultdict
+
+        parents: dict[object, list[object]] = defaultdict(list)
+        for r in base.collect():
+            parents[r["node"]].append(r["anc"])
         pairs = set()
-        for n in parent:
-            a = parent[n]
+        for n in parents:
+            # BFS up the DAG: frontier k holds ancestors at distance k;
+            # `seen` dedups shared ancestors so reconvergent paths cost
+            # one visit each (closure is reachability, not path count)
+            seen: set[object] = set()
+            frontier = set(parents[n])
             hops = 1
-            while True:
-                pairs.add((n, a))
-                if a not in parent or hops >= horizon:
-                    break
-                a = parent[a]
+            while frontier and hops <= horizon:
+                new = frontier - seen
+                seen |= new
+                frontier = {a for x in new for a in parents.get(x, ())}
                 hops += 1
+            pairs.update((n, a) for a in seen)
         spark = base.sparkSession
         from pyspark.sql.types import StructField, StructType
 

@@ -154,6 +154,12 @@ def compact(
     clustering (vs ``coalesce``, which concatenates arbitrary inputs
     and destroys min/max selectivity).
     """
+    import os
+
+    if os.path.abspath(dest_path) == os.path.abspath(path):
+        # overwrite-in-place would delete the lazily-read source before
+        # the rewrite finishes; require a staging dir + rename instead
+        raise ValueError("compact(): dest_path must differ from path")
     df = spark.read.parquet(path)
     files_before = df.inputFiles()
     if sort_cols:

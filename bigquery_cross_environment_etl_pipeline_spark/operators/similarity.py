@@ -153,13 +153,30 @@ def _assign_to_centroids(
     dim: int,
 ) -> DataFrame:
     """(vec_id, _cid) argmax-cosine assignment: broadcast the centroid
-    table, one corpus pass, ``max_by`` aggregation — shuffle volume
-    O(n), never O(n^2)."""
+    table, one corpus pass, struct-max aggregation — shuffle volume
+    O(n), never O(n^2).
+
+    The argmax is ``max(struct(_sim, -_cid))`` rather than ``max_by``:
+    max_by picks an ARBITRARY winner on tied similarities (possible
+    when a vector equals a centroid, or on duplicate vectors), while
+    the struct max deterministically takes the LOWEST centroid id —
+    which is what lets the DuckDB oracle replay the assignment exactly
+    (row_number ORDER BY sim DESC, cid ASC)."""
     with_norm = embeddings.withColumn("_nrm", norm_expr(vec_col, dim))
     scored = with_norm.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", dot_expr(vec_col, "_cvec", dim) / (F.col("_nrm") * F.col("_cnrm"))
     )
-    return scored.groupBy(id_col).agg(F.max_by("_cid", "_sim").alias("_cid"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("s"), (-F.col("_cid")).alias("nc")
+                )
+            ).alias("_m")
+        )
+        .select(F.col(id_col), (-F.col("_m.nc")).alias("_cid"))
+    )
 
 
 def kmeans_refine(

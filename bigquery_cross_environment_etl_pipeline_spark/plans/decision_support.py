@@ -30,6 +30,10 @@ def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
 
 
+def _dec2(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
 # --- TPC-H Q7 shape: bilateral trade volume ---------------------------------
 @register(
     "bilateral_trade_volume",
@@ -676,4 +680,197 @@ def excess_shippers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_name", "s_nationkey"
+    )
+
+
+# --- TPC-H Q1: the pricing summary report -----------------------------------
+@register(
+    "pricing_summary_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the canonical columnar-scan + wide-aggregate workload:
+    one lineitem pass, eight aggregates per (returnflag, linestatus).
+    Every sum runs in exact DECIMAL (order-independent, hash-stable);
+    each average is ONE IEEE division of two exact operands — the only
+    float op — so both engines produce bitwise-identical doubles. At
+    100 TB this plan is scan-bound by design: map-side partial
+    aggregation collapses each partition to ~6 rows before the
+    exchange, and only the 2 projected date-filtered columns' pages
+    leave the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = _dec2("l_quantity")
+    price = _dec2("l_extendedprice")
+    disc = _dec2("l_discount")
+    tax = _dec2("l_tax")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2)
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(qty).cast("double") / n.cast("double")).alias("avg_qty"),
+        (F.sum(price).cast("double") / n.cast("double")).alias("avg_price"),
+        (F.sum(disc).cast("double") / n.cast("double")).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --- TPC-H Q6: the forecast revenue-change filter-scan -----------------------
+@register(
+    "forecast_revenue_change_q6",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter-scan-aggregate, zero joins — the query
+    whose entire cost is how little you read. All three predicates
+    (shipdate range, discount band, quantity cap) push to the parquet
+    scan as min/max + value filters; the discount band compares exact
+    DECIMAL(18,2) (a raw-double BETWEEN on 0.05/0.07 is representation-
+    dependent). One global aggregate: partial sums map-side, a 1-row
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec2("l_discount")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (disc >= F.lit("0.05").cast("decimal(18,2)"))
+        & (disc <= F.lit("0.07").cast("decimal(18,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(F.sum(_dec2("l_extendedprice") * disc), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- TPC-H Q11 shape: group share of a global aggregate ----------------------
+@register(
+    "important_part_revenue_q11",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS part_revenue
+    FROM pr
+    WHERE rev * (SELECT COUNT(*) FROM pr) * 10 > 13 * (SELECT SUM(rev) FROM pr)
+    """,
+)
+def important_part_revenue_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape on the trimmed schema (no partsupp table): parts whose
+    revenue exceeds 1.3x the MEAN part revenue — the group-vs-global-
+    aggregate threshold, self-normalizing so the selectivity holds at
+    every scale factor. The global total and part count are a second
+    aggregation of the ALREADY-GROUPED relation (|parts| rows, not the
+    fact), attached as a broadcast 1-row cross join; the share
+    comparison is division-free (rev·n·10 > 13·total) in exact
+    DECIMAL. The fact shuffles once on partkey; everything downstream
+    reuses it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    total = pr.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") * F.col("n_parts") * 10 > F.col("total_rev") * 13)
+        .select(
+            "l_partkey",
+            F.round(F.col("rev"), 2).cast("double").alias("part_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-branch predicate ---------------------
+@register(
+    "disjunctive_revenue_q19",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under a three-branch OR of conjunctive
+    (brand, size, quantity) predicates — the disjunction-handling
+    test. Catalyst extracts the common l_partkey equi-key so the join
+    stays a hash join (never a nested-loop over the OR), pushes the
+    branch-local part predicates below the broadcast, and evaluates
+    the residual disjunction post-join. part is broadcast; the fact
+    never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+
+    def branch(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (qty >= q_lo)
+            & (qty <= q_hi)
+        )
+
+    return joined.filter(
+        branch("Brand#1", 15, 1, 11)
+        | branch("Brand#2", 25, 10, 20)
+        | branch("Brand#3", 35, 20, 30)
+    ).agg(
+        F.round(
+            F.sum(_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )

@@ -697,7 +697,66 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("ann_topk_ivf")
+def _duck_dot64(a: str, b: str, dim: int = 64) -> str:
+    """Unrolled left-associated dot chain — bitwise-identical to the
+    engine's ``aggregate`` fold (operators/similarity.dot_expr) and to
+    the driver-side Python ``sum()`` in ann_topk_ivf_probe."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def _ivf_oracle(
+    n_centroids: int = 8, nprobe: int = 4, k: int = 10, qid: int = 7
+) -> str:
+    """Exact replay of the IVF pipeline — every stage is deterministic
+    (seed centroids = lowest-id vectors, struct-max assignment with
+    lowest-cid tie-break, sim-then-cid probe ranking, cosine-then-id
+    top-k), and every float op is the same left-fold IEEE chain, so
+    ANN-by-construction does not mean unverifiable: the oracle builds
+    the identical index and probes it the identical way."""
+    dot = _duck_dot64
+    return f"""
+    WITH nrm AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
+                          DESC, c.cid ASC
+               ) AS rn
+        FROM nrm n CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
+      LIMIT {nprobe}
+    )
+    SELECT n.vec_id,
+           ({dot('n.embedding', 'q.qvec')}) / (n.nrm * q.qnrm) AS cosine
+    FROM nrm n
+    JOIN assign a ON n.vec_id = a.vec_id
+    JOIN probe p ON a.cid = p.cid
+    CROSS JOIN q
+    WHERE n.vec_id <> {qid}
+    ORDER BY cosine DESC, n.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_ivf", oracle=_ivf_oracle())
 def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors served from the PERSISTED
     index (built once per dataset on first call — the amortized
@@ -707,9 +766,12 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt the index (a full-corpus assignment pass) inside the query;
     serving cost is now the probe alone, identical to the steady-state
     per-query cost at 100 TB. Same parameters and results as the
-    inline-rebuild form (deterministic seeds). Approximate -> rows-only;
-    recall vs brute force and pruning correctness asserted in
-    tests/test_scale_ops.py."""
+    inline-rebuild form (deterministic seeds). Round 4: gained an EXACT
+    DuckDB oracle — the whole pipeline (seed centroids, struct-max
+    assignment, probe ranking, final top-k) is deterministic with
+    fold-chain float math, so the oracle replays it stage for stage.
+    Recall vs brute force and pruning correctness additionally asserted
+    in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2376,16 +2438,20 @@ def pandas_udaf_grouped_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("bigint")
     def cents_sum(v: pd.Series) -> int:
-        return int(v.round(0).astype("int64").sum())
+        return int(v.sum())
 
     @pandas_udf("bigint")
     def n_rows(v: pd.Series) -> int:
         return int(len(v))
 
     # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
-    # aggregates in one agg — both metrics ride the pandas path
+    # aggregates in one agg — both metrics ride the pandas path.
+    # Cents are rounded ENGINE-side (F.round = HALF_UP, matching
+    # DuckDB round()'s half-away-from-zero) before the UDAF: pandas
+    # Series.round is banker's/half-even and diverges on exact .5
+    # ties, so the Python boundary only ever sums integers.
     events = load_table(spark, sf_dir, "events").withColumn(
-        "cents", (F.col("value") * 100)
+        "cents", F.round(F.col("value") * 100).cast("bigint")
     )
     return events.groupBy("event_type").agg(
         cents_sum(F.col("cents")).alias("total_cents"),

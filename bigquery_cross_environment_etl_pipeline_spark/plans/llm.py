@@ -297,7 +297,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_verify_blocked",
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, source, n_chars, list(DISTINCT {_duck_hash48('s')}) AS sh
@@ -316,16 +316,110 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard > 0.0
     """,
 )
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_verify_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over blocked pairs (same source, length
-    delta <= 50) — DEMOTED from the driver-checked window in round 3:
+    delta <= 50) — a VERIFY UTILITY, renamed in round 4 (was
+    dedup_ngram_jaccard_pairs) so the name states the contract:
     (source, length-bucket) blocks have fixed cardinality, so
     within-block pair counts grow quadratically with data (measured
-    5.5x wall-time at 10x data). Kept registered as the exact-verify
-    utility; the scale path is dedup_lsh_jaccard_verified, where
+    5.5x wall-time at 10x data). Registered only as the exact-verify
+    ground truth; the scale path is dedup_lsh_jaccard_verified, where
     MinHash+LSH banding generates the candidates."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+    return dedup.ngram_jaccard_verify_blocked(docs, threshold=0.0)
+
+
+@register(
+    "corpus_dup_ngram_fraction",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_duck_hash48('s')} AS sh
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+           UNNEST({_DUCK_SHINGLES}) AS t(s)
+    ),
+    docfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_ngrams,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM sh s JOIN docfreq d ON s.sh = d.sh
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition scoring (round-4 new op): each doc's
+    fraction of distinct 3-gram shingles that appear in >= 2 corpus
+    documents — the Gopher/RefinedWeb "duplicate n-gram fraction"
+    quality signal that catches boilerplate and templated text BEFORE
+    any pairwise dedup runs. Linear dataflow (explode -> doc-frequency
+    groupBy -> co-partitioned join back), no pair join, so it scales
+    where blocked pair generation cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_ngram_doc_fraction(docs, n=3, min_docs=2)
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w FROM
+        (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+        UNNEST(ws) AS t(w)
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rk
+        FROM tok GROUP BY w
+      ) WHERE rk <= 30
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage scoring (round-4 new op): build the corpus
+    top-30 token vocabulary (frequency-ranked, deterministic
+    freq-DESC/token-ASC tie-break), then score every document's
+    out-of-vocabulary token rate — the tokenizer-fit / gibberish
+    signal a curation pipeline runs before committing to a vocab. The
+    vocabulary is corpus-derived in one word-count pass (map-side
+    partial counts) and BROADCAST into the scoring join, so the token
+    stream shuffles only for its per-doc regroup; the rate is one IEEE
+    division of exact bigints."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    # top-30 as orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a global row_number window whose
+    # single-partition gather would pull every distinct token
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(30)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
 
 
 @register(
@@ -685,11 +779,40 @@ def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_lsh")  # approximate by design -> rows-only check
+def _ann_lsh_oracle(qid: int = 0, k: int = 10, n_planes: int = 4) -> str:
+    """Exact replay of the single-bucket LSH probe: the bucket key is
+    the deterministic sign pattern of planes 0..n_planes-1 (seed 42,
+    plane_offset 0 — the band-0 key of the banded machinery), and the
+    cosine is the inline three-dot form ``cosine_expr`` evaluates, so
+    'approximate algorithm' still means 'exactly verifiable output'."""
+    dim, seed = similarity.DIM, 42
+    bkt = _duck_band_key("embedding", 0, n_planes, dim, seed)
+    cos = (
+        f"({_duck_dot('a.embedding', 'q.qv')}) / "
+        f"(sqrt({_duck_dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({_duck_dot('q.qv', 'q.qv')}))"
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = {qid})
+    SELECT a.vec_id, {cos} AS cosine
+    FROM b a CROSS JOIN q
+    WHERE a.bkt = q.qb AND a.vec_id <> {qid}
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_lsh", oracle=_ann_lsh_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-k (the 100 TB scale path: bucket first,
-    score one bucket). Approximate — verified rows-only here and by
-    recall tests against the brute-force baseline in tests/."""
+    score one bucket). Round 4: gained an EXACT DuckDB oracle — the
+    hyperplanes are a deterministic md5-derived family and every float
+    op is the shared left-fold chain, so the oracle replays the bucket
+    key and the in-bucket scoring bit for bit. Recall vs the
+    brute-force baseline additionally asserted in tests/."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb, query_id=0, k=10, n_planes=4)
 

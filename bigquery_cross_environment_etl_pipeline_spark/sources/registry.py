@@ -82,12 +82,16 @@ def dataset_fingerprint(sf_dir: str, table: str) -> str:
     import os
 
     p = os.path.join(sf_dir, f"{table}.parquet")
-    stats: list[tuple[str, int]] = []
+    # (name, size, mtime_ns): size alone misses a regenerated dataset
+    # whose files happen to keep identical byte counts
+    stats: list[tuple[str, int, int]] = []
     if os.path.isdir(p):
         for f in sorted(os.listdir(p)):
             fp = os.path.join(p, f)
             if os.path.isfile(fp):
-                stats.append((f, os.path.getsize(fp)))
+                st = os.stat(fp)
+                stats.append((f, st.st_size, st.st_mtime_ns))
     elif os.path.isfile(p):
-        stats.append((os.path.basename(p), os.path.getsize(p)))
+        st = os.stat(p)
+        stats.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
     return hashlib.md5(repr(stats).encode()).hexdigest()[:10]

@@ -51,7 +51,7 @@ def test_minhash_lsh_finds_planted_near_dup(spark, docs_with_dups):
 
 
 def test_ngram_jaccard_scores_planted_near_dup(spark, docs_with_dups):
-    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    pairs = dedup.ngram_jaccard_verify_blocked(docs_with_dups, threshold=0.5)
     hits = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
     assert hits.get((3, 100003)) == 1.0
     assert 0.8 < hits.get((5, 200005), 0.0) < 1.0
@@ -383,3 +383,16 @@ def test_adc_query_overlaps_exact_euclidean(spark):
     )[:10]
     overlap = {r["vec_id"] for r in rows} & set(exact)
     assert len(overlap) >= 2, f"ADC overlap too low: {overlap}"
+
+
+def test_dup_ngram_fraction_flags_planted_duplicate(spark, docs_with_dups):
+    """A doc duplicated verbatim must score dup_fraction == 1.0 on both
+    copies; the near-dup copy scores high but below 1.0 on the longer
+    side (its appended tail adds fresh shingles)."""
+    scored = dedup.dup_ngram_doc_fraction(docs_with_dups)
+    frac = {r["doc_id"]: r["dup_fraction"] for r in scored.collect()}
+    assert frac[3] == 1.0 and frac[100003] == 1.0
+    assert frac[5] == 1.0          # every shingle of 5 recurs in 200005
+    assert 0.8 < frac[200005] < 1.0
+    # a doc-count-invariant: fractions are within [0, 1] everywhere
+    assert all(0.0 <= v <= 1.0 for v in frac.values())

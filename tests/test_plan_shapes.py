@@ -91,3 +91,42 @@ def test_decontamination_broadcasts_eval_side(spark):
     plan = _plan(spark, "benchmark_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q1_single_exchange_and_pruned_scan(spark):
+    """TPC-H Q1 must be scan-bound: one partial->final agg exchange,
+    shipdate pushed to the scan, no joins."""
+    plan = _plan(spark, "pricing_summary_q1")
+    n = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n <= 1, f"Q1 planned {n} exchanges"
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[-1]
+
+
+def test_q6_all_predicates_reach_scan_zero_joins(spark):
+    """Q6 is a pure filter-scan-aggregate: date + quantity predicates
+    push to parquet; the only exchange is the 1-row final agg gather."""
+    plan = _plan(spark, "forecast_revenue_change_q6")
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters")[-1]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    n = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n <= 1
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """The OR-of-conjunctions must not degrade the equi join: part is
+    broadcast, no nested-loop/cartesian, fact never shuffles."""
+    plan = _plan(spark, "disjunctive_revenue_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_ngram_fraction_exchange_budget(spark):
+    """Linear repetition-scoring dataflow: shingle-hash agg + join back
+    + per-doc agg — bounded exchanges, no pair join anywhere."""
+    plan = _plan(spark, "corpus_dup_ngram_fraction")
+    assert "CartesianProduct" not in plan
+    n = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n <= 4, f"dup-ngram planned {n} exchanges"
