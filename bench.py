@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "disjunctive_revenue_q19",
     "corpus_dup_ngram_fraction",
     "vocab_oov_rate",
+    "embedding_knn_graph",
+    "deterministic_split_assignment",
 ]
 
 

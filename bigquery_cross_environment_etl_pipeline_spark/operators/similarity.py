@@ -686,6 +686,74 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+def knn_graph_lsh(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_EMB_BANDS,
+    n_planes: int = N_EMB_PLANES,
+    dim: int = DIM,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN GRAPH: top-``k`` cosine neighbors for EVERY
+    vector, candidates restricted to banded-LSH collisions — the
+    all-vectors generalization of the single-query probe, and the
+    input structure semantic clustering / diversity curation builds on
+    at corpus scale.
+
+    Dataflow: one banded candidate stage (same O(vectors × n_bands)
+    shuffle as ``cosine_neardup_pairs_lsh`` — no all-pairs product),
+    symmetrized to directed edges, one exact Arrow-batched dot per
+    candidate edge (norms once per vector), then a per-source
+    ``row_number`` window that keeps k edges. The window partitions on
+    the source id, so the shuffle carries only candidate edges —
+    bounded by band collisions, not |V|². Vectors with zero collisions
+    have no edges (isolated nodes), mirrored by the oracle.
+    Deterministic end to end (md5 hyperplanes, fold-chain floats,
+    cosine-then-id tie-break) -> exactly verifiable.
+    """
+    from pyspark.sql import Window as W
+
+    cands = embedding_lsh_candidates(
+        embeddings, id_col, vec_col, n_bands, n_planes, dim, seed
+    )
+    sym = cands.union(
+        cands.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    fold_dot = _fold_dot_udf(dim)
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(fold_dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    cos = fold_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = (
+        sym.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            F.col("vec_a").alias("src"),
+            F.col("vec_b").alias("dst"),
+            cos.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_id: int,

@@ -805,6 +805,71 @@ def _ann_lsh_oracle(qid: int = 0, k: int = 10, n_planes: int = 4) -> str:
     """
 
 
+def _knn_graph_oracle(k: int = 3) -> str:
+    """Exact replay of the LSH-bounded kNN graph: identical band keys,
+    symmetrized candidate edges, fold-chain cosines, per-source
+    row_number with the cosine-DESC/dst-ASC tie-break."""
+    n_bands, n_planes = similarity.N_EMB_BANDS, similarity.N_EMB_PLANES
+    dim, seed = similarity.DIM, 42
+    keyed_cols = ", ".join(
+        f"{_duck_band_key('embedding', b, n_planes, dim, seed)} AS bk{b}"
+        for b in range(n_bands)
+    )
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"      FROM keyed a JOIN keyed b"
+        f" ON a.bk{b} = b.bk{b} AND a.vec_id < b.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH keyed AS MATERIALIZED (
+      SELECT vec_id, {keyed_cols} FROM embeddings
+    ),
+    cand AS (
+{cand_union}
+    ),
+    sym AS (
+      SELECT vec_a, vec_b FROM cand
+      UNION ALL
+      SELECT vec_b, vec_a FROM cand
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT s.vec_a AS src, s.vec_b AS dst,
+             ({_duck_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)
+               AS cosine
+      FROM sym s
+      JOIN nrm a ON s.vec_a = a.vec_id
+      JOIN nrm b ON s.vec_b = b.vec_id
+    )
+    SELECT src, dst, cosine, rank FROM (
+      SELECT src, dst, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY src ORDER BY cosine DESC, dst ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_knn_graph", oracle=_knn_graph_oracle())
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors approximate kNN graph (round-4 new op): top-3 cosine
+    neighbors per vector with candidates bounded by banded hyperplane
+    LSH — the graph that semantic clustering, diversity sampling, and
+    graph-based label propagation consume at corpus scale. One banded
+    candidate stage (no all-pairs product), exact Arrow-batched verify
+    dots, per-source heap via a partitioned window over candidate
+    edges only. Deterministic end to end, replayed exactly by the
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph_lsh(emb, k=3)
+
+
 @register("ann_topk_lsh", oracle=_ann_lsh_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-k (the 100 TB scale path: bucket first,
@@ -1099,6 +1164,60 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curate_corpus(
         docs, token_budget=5000, lang="en", min_tokens=5, min_stopword_ratio=0.05
+    )
+
+
+@register(
+    "deterministic_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN {_duck_hash48("'split-' || doc_id")} % 10000 < 9000
+                    THEN 'train'
+                  WHEN {_duck_hash48("'split-' || doc_id")} % 10000 < 9500
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY source, split
+    """,
+)
+def deterministic_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (90/5/5, round-4 new op): the
+    split decision is a salted content-independent hash of the doc id
+    — NOT an engine-seeded RNG and NOT row order — so assignment is
+    stable across engines, runs, partitionings, and incremental
+    re-runs (a doc never migrates between splits when the corpus
+    grows: the property that keeps eval sets uncontaminated). The
+    query reports per-(source, split) accounting; the assignment
+    column itself rides the scan with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )
 
 

@@ -140,6 +140,8 @@ _SECONDARY = [
     "important_part_revenue_q11",
     "disjunctive_revenue_q19",
     "vocab_oov_rate",
+    "embedding_knn_graph",
+    "deterministic_split_assignment",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",

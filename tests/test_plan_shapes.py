@@ -130,3 +130,16 @@ def test_dup_ngram_fraction_exchange_budget(spark):
     assert "CartesianProduct" not in plan
     n = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n <= 4, f"dup-ngram planned {n} exchanges"
+
+
+def test_knn_graph_no_cartesian_partitioned_window(spark):
+    """The kNN graph must stay candidate-bounded: band-key equi joins
+    (no cartesian/NL product), Arrow-batched verify dots, and a window
+    partitioned on the source id — never a single-partition gather."""
+    plan = _plan(spark, "embedding_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    import re
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert spec.strip(), "unpartitioned window in kNN graph"
