@@ -810,14 +810,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     return index_path
 
 
-@register("ann_topk_ivf_probe")
+@register("ann_topk_ivf_probe", oracle=_ivf_oracle())
 def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only IVF ANN against a PERSISTED index (built once per
     dataset on first call, under $SPARK_GRAFT_INDEX_DIR). The measured
     path is the per-query serving cost: centroid ranking on the tiny
     centroid table, then a partition-pruned scan of the nprobe matching
-    ``_cid=`` partitions. Approximate -> rows-only; pruning + member
-    correctness asserted in tests/test_scale_ops.py."""
+    ``_cid=`` partitions. Round 4: exact oracle (same parameters and
+    deterministic pipeline as ann_topk_ivf, so the same stage-replay
+    SQL applies); pruning + member correctness additionally asserted
+    in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -831,14 +833,78 @@ def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_batch_topk_ivf")
+def _ivf_batch_oracle(
+    n_centroids: int = 8, nprobe: int = 4, k: int = 10, n_queries: int = 5
+) -> str:
+    """Stage replay of the batched IVF probe: shared assignment, a
+    per-query centroid ranking (row_number partitioned on qid), and a
+    per-query top-k over the union of probed cells — the same
+    determinism argument as ``_ivf_oracle``, vectorized over the
+    query set."""
+    dot = _duck_dot64
+    return f"""
+    WITH nrm AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
+                          DESC, c.cid ASC
+               ) AS rn
+        FROM nrm n CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qvec, nrm AS qnrm
+      FROM nrm WHERE vec_id < {n_queries}
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ({dot('c.cvec', 'q.qvec')}) / (c.cnrm * q.qnrm)
+                          DESC, c.cid ASC
+               ) AS pr
+        FROM cent c CROSS JOIN q
+      ) WHERE pr <= {nprobe}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT q.qid, n.vec_id,
+             ({dot('n.embedding', 'q.qvec')}) / (n.nrm * q.qnrm) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ({dot('n.embedding', 'q.qvec')}) / (n.nrm * q.qnrm)
+                        DESC, n.vec_id ASC
+             ) AS BIGINT) AS rn
+      FROM nrm n
+      JOIN assign a ON n.vec_id = a.vec_id
+      JOIN probe p ON a.cid = p.cid
+      JOIN q ON p.qid = q.qid
+      WHERE n.vec_id <> q.qid
+    ) WHERE rn <= {k}
+    """
+
+
+@register("ann_batch_topk_ivf", oracle=_ivf_batch_oracle())
 def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED IVF probe: top-10 for five query vectors served by ONE
     partition-pruned scan of the persisted index (union of all probed
     cells, per-query cell restriction via a broadcast (qid, _cid) probe
-    table). The serving-batch dual of the exact embedding_batch_topk —
-    approximate -> rows-only; agreement with the single-query probe is
-    asserted in tests/test_scale_ops.py."""
+    table). The serving-batch dual of the exact embedding_batch_topk.
+    Round 4: exact oracle — assignment, per-query probe ranking, and
+    per-query top-k are all deterministic stage replays; agreement
+    with the single-query probe additionally asserted in
+    tests/test_scale_ops.py."""
     from ..operators.similarity import ann_batch_topk_ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
