@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "vocab_oov_rate",
     "embedding_knn_graph",
     "deterministic_split_assignment",
+    "corpus_source_report",
 ]
 
 

@@ -191,20 +191,41 @@ def kmeans_refine(
     dataflow shape of k-means||'s final Lloyd phase).
 
     Each iteration is two stages: (1) assignment — broadcast centroids,
-    one corpus pass, ``max_by`` argmax; (2) update — element-wise mean
-    of each cluster's members as ``dim`` independent ``avg`` aggregates,
-    which Spark partial-aggregates map-side, so the shuffle carries
+    one corpus pass, struct-max argmax (deterministic lowest-id
+    tie-break); (2) update — element-wise mean of each cluster's
+    members as ``dim`` independent aggregates, which Spark
+    partial-aggregates map-side, so the shuffle carries
     #partitions x #centroids rows regardless of corpus size. A centroid
     that loses all members keeps its previous position (coalesce), so
-    the index never silently shrinks. Deterministic given deterministic
-    seeds: means are exact per-cluster aggregates, no RNG.
+    the index never silently shrinks.
+
+    The mean is computed in Q.40 FIXED POINT (``floor(x * 2^40)``
+    summed as DECIMAL, two exact-operand divisions), NOT ``avg`` over
+    doubles: float summation is order-dependent, so an ``avg``-based
+    refinement produces a (slightly) different index on every
+    partitioning — breaking idempotent 100 TB index rebuilds and any
+    cross-run comparison. Fixed-point sums are order-independent and
+    overflow-safe in DECIMAL(38,0) up to ~10^26 members per cell;
+    the 2^-40 quantization (~1e-12) is far below float32 input
+    precision. With this, the whole refinement is deterministic given
+    deterministic seeds: no RNG, no reassociation.
     """
+    scale = float(1 << 40)
     for _ in range(n_iters):
         assigned = _assign_to_centroids(embeddings, centroids, id_col, vec_col, dim)
         members = embeddings.join(assigned, id_col)
         means = members.groupBy("_cid").agg(
             *[
-                F.avg(F.col(vec_col)[i].cast("double")).alias(f"_m{i}")
+                (
+                    (
+                        F.sum(
+                            F.floor(F.col(vec_col)[i].cast("double") * scale)
+                            .cast("decimal(38,0)")
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    / F.lit(scale)
+                ).alias(f"_m{i}")
                 for i in range(dim)
             ]
         )

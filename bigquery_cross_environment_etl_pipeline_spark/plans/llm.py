@@ -1168,6 +1168,64 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h,
+             len({_DUCK_WORDS}) AS n_tok
+      FROM documents
+    ),
+    copies AS (SELECT h, COUNT(*) AS n_copies FROM d GROUP BY h)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(d.n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_doc_tokens,
+           CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs
+    FROM d JOIN copies c ON d.h = c.h
+    GROUP BY d.source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting report (round-4 new op): doc and
+    token counts, average document length, exact-duplicate membership
+    (corpus-wide md5 digest counts attributed back per source), and a
+    short-doc tally — the one-pass health dashboard a curation run
+    publishes per ingest source. All signals are engine-side column
+    expressions plus two hash-keyed aggregations; no Python, no pair
+    joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(text.tokens(F.col("text"))).alias("n_tok"),
+    )
+    copies = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        d.join(copies, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_doc_tokens"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("n_chars") < 100, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_short_docs"),
+        )
+    )
+
+
+@register(
     "deterministic_split_assignment",
     oracle=f"""
     WITH assigned AS (

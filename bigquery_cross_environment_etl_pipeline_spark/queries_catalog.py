@@ -142,6 +142,7 @@ _SECONDARY = [
     "vocab_oov_rate",
     "embedding_knn_graph",
     "deterministic_split_assignment",
+    "corpus_source_report",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",

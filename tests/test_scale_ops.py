@@ -419,3 +419,30 @@ def test_dynamic_partition_pruning_on_date_layout(spark, tmp_path):
         F.col("_dt").isin(dt.date(2024, 1, 5), dt.date(2024, 1, 6))
     ).count()
     assert joined.count() == expected
+
+
+def test_kmeans_refine_is_partitioning_invariant(spark):
+    """Lloyd means must be bit-identical regardless of partitioning —
+    the idempotent-rebuild property. Fixed-point sums guarantee it;
+    a float avg() would fail this on reassociation."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed = (
+        emb.orderBy("vec_id").limit(4)
+        .select(
+            F.col("vec_id").alias("_cid"),
+            F.col("embedding").alias("_cvec"),
+            similarity.norm_expr("embedding").alias("_cnrm"),
+        )
+    )
+    a = similarity.kmeans_refine(emb.repartition(1), seed, n_iters=2)
+    b = similarity.kmeans_refine(emb.repartition(13, "vec_id"), seed, n_iters=2)
+    ra = {r["_cid"]: list(r["_cvec"]) for r in a.collect()}
+    rb = {r["_cid"]: list(r["_cvec"]) for r in b.collect()}
+    assert ra == rb
