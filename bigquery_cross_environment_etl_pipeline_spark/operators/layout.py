@@ -170,3 +170,40 @@ def compact(
     out.write.mode("overwrite").parquet(dest_path)
     files_after = spark.read.parquet(dest_path).inputFiles()
     return len(files_before), len(files_after)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows hash-distributed into
+    ``n_buckets`` files per partition on ``keys`` (and sorted within
+    buckets when ``sort``), registered in the session catalog.
+
+    This is the pre-paid join/aggregation layout: two tables bucketed
+    on the same keys into the same bucket count join with ZERO
+    exchanges — the bucket id IS the partitioning, so a sort-merge
+    join reads co-located buckets directly (proved by
+    tests/test_layout.py::test_bucketed_join_plans_zero_exchange).
+    At 100 TB this converts every repeated fact-fact join or
+    aggregation on the bucket keys from a full shuffle into a local
+    merge — the open-format equivalent of the co-located join the
+    reference's warehouse (BigQuery) performs on clustered tables
+    (core/services/billing_etl.py routes all joins to the warehouse;
+    this is the engine-side analog).
+
+    Bucket pruning: an equality predicate on the first bucket key
+    scans 1/n_buckets of the files. Pick ``n_buckets`` so one bucket
+    of the FACT table fits an executor's memory at target scale
+    (#buckets grows with data; the bucket function is stable, so
+    append jobs keep co-location).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *keys
+    )
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)

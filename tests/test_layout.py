@@ -155,3 +155,44 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
         1 for (a, b), (c, d) in zip(bounds, bounds[1:]) if c < b
     )
     assert overlaps == 0, f"range clustering lost: {bounds}"
+
+
+def test_bucketed_join_plans_zero_exchange(spark):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with ZERO exchanges — the co-located join that makes repeated
+    fact-fact joins shuffle-free at scale."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.layout import (
+        write_bucketed,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4)
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 4)
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.o_orderkey == b.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # results identical to the unbucketed join
+            assert joined.count() == (
+                orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
