@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "embedding_knn_graph",
     "deterministic_split_assignment",
     "corpus_source_report",
+    "corpus_span_dedup",
 ]
 
 

@@ -389,6 +389,68 @@ def dup_ngram_doc_fraction(
     )
 
 
+def duplicated_span_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    min_docs: int = 2,
+) -> DataFrame:
+    """SPAN-LEVEL dedup transform: mask every token covered by a word
+    n-gram that appears in >= ``min_docs`` corpus documents, and emit
+    the cleaned text — the distributed form of exact-substring
+    deduplication (remove repeated spans, keep the rest of the doc),
+    one level finer than doc-level dedup.
+
+    Dataflow, all engine-side: positional shingles (posexplode) ->
+    global document frequency on the 48-bit shingle hash -> duplicated
+    shingles explode into their ``n`` covered token positions ->
+    distinct (doc, position) mask -> one index-aware ``filter`` lambda
+    rebuilds the cleaned token stream in order (no sort, no window:
+    the token array itself is the order). Shuffle volume is O(total
+    shingles x 12 B) for the frequency pass plus O(duplicated
+    positions) for the mask — linear, no pair join. A doc with no
+    duplicated span passes through byte-identical.
+
+    Returns (id, n_tokens, n_masked, cleaned_text).
+    """
+    hashed = F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+    )
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks"), hashed.alias("_sh")
+    )
+    pos_sh = base.select(
+        F.col(id_col), F.posexplode("_sh").alias("pos", "h")
+    )
+    docfreq = pos_sh.groupBy("h").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    dup_pos = (
+        pos_sh.join(docfreq.filter(F.col("df") >= min_docs), "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[F.col("pos") + F.lit(d) for d in range(n)])
+            ).alias("mpos"),
+        )
+        .distinct()
+    )
+    masked = dup_pos.groupBy(id_col).agg(
+        F.collect_set("mpos").alias("_masked")
+    )
+    empty = F.array().cast("array<int>")
+    m = F.coalesce(F.col("_masked"), empty)
+    cleaned = F.filter("_toks", lambda tok, i: ~F.array_contains(m, i))
+    return base.join(masked, id_col, "left").select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("_masked"), F.lit(0)).cast("bigint").alias("n_masked"),
+        F.array_join(cleaned, " ").alias("cleaned_text"),
+    )
+
+
 def contamination_counts(
     train: DataFrame,
     eval_docs: DataFrame,

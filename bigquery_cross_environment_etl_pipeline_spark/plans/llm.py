@@ -1168,6 +1168,54 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_span_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    pos_sh AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             {_duck_hash48("w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2]")} AS h
+      FROM base,
+           UNNEST([x FOR x IN generate_series(1, len(w) - 2)]) AS u(i)
+    ),
+    docfreq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM pos_sh GROUP BY h
+    ),
+    dup_pos AS (
+      SELECT DISTINCT p.doc_id, p.pos + d.d AS mpos
+      FROM pos_sh p
+      JOIN docfreq f ON p.h = f.h AND f.df >= 2,
+      UNNEST([0, 1, 2]) AS d(d)
+    ),
+    masked AS (
+      SELECT doc_id, list(mpos) AS ml FROM dup_pos GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(m.ml), 0) AS BIGINT) AS n_masked,
+           COALESCE(array_to_string(
+             [b.w[i] FOR i IN generate_series(1, len(b.w))
+              IF NOT list_contains(COALESCE(m.ml, []), i - 1)], ' '
+           ), '') AS cleaned_text
+    FROM base b LEFT JOIN masked m ON b.doc_id = m.doc_id
+    """,
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup transform (round-4 new op): every token covered
+    by a corpus-duplicated 3-gram is masked and the CLEANED text
+    emitted — the distributed analog of exact-substring deduplication
+    (repeated spans removed, unique content kept), one level finer
+    than doc-level dedup and the standard finisher after boilerplate
+    detection. Linear dataflow (positional shingles -> global doc
+    frequency -> position mask -> index-aware filter rebuild); no pair
+    join anywhere, so it scales where suffix-array approaches need
+    specialized infrastructure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_span_mask(docs, n=3, min_docs=2)
+
+
+@register(
     "corpus_source_report",
     oracle=f"""
     WITH d AS (

@@ -143,6 +143,7 @@ _SECONDARY = [
     "embedding_knn_graph",
     "deterministic_split_assignment",
     "corpus_source_report",
+    "corpus_span_dedup",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",

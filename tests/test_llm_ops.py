@@ -396,3 +396,30 @@ def test_dup_ngram_fraction_flags_planted_duplicate(spark, docs_with_dups):
     assert 0.8 < frac[200005] < 1.0
     # a doc-count-invariant: fractions are within [0, 1] everywhere
     assert all(0.0 <= v <= 1.0 for v in frac.values())
+
+
+def test_span_dedup_masks_planted_duplicate_and_keeps_unique(spark, docs_with_dups):
+    """A doc duplicated verbatim must be fully masked on BOTH copies
+    (cleaned text empty); the near-dup's appended tail must survive;
+    a doc with no cross-doc spans must pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    unique_text = "qav1 qav2 qav3 qav4 qav5 qav6 qav7"
+    docs = docs_with_dups.unionByName(
+        spark.createDataFrame(
+            [(300000, unique_text, "en", "src0", len(unique_text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.duplicated_span_mask(docs).collect()
+    }
+    assert out[3]["n_masked"] == out[3]["n_tokens"]
+    assert out[3]["cleaned_text"] == "" == out[100003]["cleaned_text"]
+    # near-dup: everything shared is masked, the fresh tail remains
+    tail = out[200005]["cleaned_text"]
+    assert 0 < out[200005]["n_masked"] < out[200005]["n_tokens"]
+    assert "token" in tail  # from " extra tail token"
+    # a doc with a unique vocabulary passes through byte-identical
+    assert out[300000]["n_masked"] == 0
+    assert out[300000]["cleaned_text"] == unique_text
