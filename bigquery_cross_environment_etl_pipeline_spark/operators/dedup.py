@@ -36,6 +36,11 @@ N_MINHASH = 8
 N_BANDS = 4  # bands of 2 hashes each
 SHINGLE_N = 3
 
+#: Bump on ANY semantic change to signature construction (shingle n,
+#: hash family, band layout): persisted signature-index cache keys
+#: carry this so old indexes are never served to new-semantics probes.
+SIG_INDEX_VERSION = 1
+
 #: one md5 per shingle, then per-seed AFFINE rehash over exact int64:
 #: h_j = (a_j * hash48(s) + b_j) mod 2^48. a_j is odd and < 2^13 so the
 #: product stays < 2^61 (no int64 overflow in either engine); b_j < 2^48.

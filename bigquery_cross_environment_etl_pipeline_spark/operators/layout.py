@@ -156,9 +156,10 @@ def compact(
     """
     import os
 
-    if os.path.abspath(dest_path) == os.path.abspath(path):
+    if os.path.realpath(dest_path) == os.path.realpath(path):
         # overwrite-in-place would delete the lazily-read source before
-        # the rewrite finishes; require a staging dir + rename instead
+        # the rewrite finishes; require a staging dir + rename instead.
+        # realpath, not abspath: a symlinked dest must not sneak past.
         raise ValueError("compact(): dest_path must differ from path")
     df = spark.read.parquet(path)
     files_before = df.inputFiles()
@@ -178,6 +179,7 @@ def write_bucketed(
     keys: list[str],
     n_buckets: int,
     sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a BUCKETED table: rows hash-distributed into
     ``n_buckets`` files per partition on ``keys`` (and sorted within
@@ -199,9 +201,9 @@ def write_bucketed(
     scans 1/n_buckets of the files. Pick ``n_buckets`` so one bucket
     of the FACT table fits an executor's memory at target scale
     (#buckets grows with data; the bucket function is stable, so
-    append jobs keep co-location).
+    ``mode="append"`` ingest jobs keep co-location).
     """
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+    writer = df.write.mode(mode).format("parquet").bucketBy(
         n_buckets, *keys
     )
     if sort:

@@ -39,6 +39,14 @@ from .iterative import iter_checkpoint
 
 DIM = 64
 
+#: Bump on ANY semantic change to index construction (assignment
+#: tie-break, centroid math, seeding): persisted-index cache keys carry
+#: this alongside the dataset fingerprint, so an index built by older
+#: code is never served to oracles/probes that assume the new
+#: semantics. v2 = round-4 struct-max assignment + fixed-point Lloyd
+#: means (v1 was max_by + float avg).
+IVF_BUILD_VERSION = 2
+
 
 def dot_expr(a: str | Column, b: str | Column, dim: int = DIM) -> Column:
     """Dot product of two array<float> columns as a sequential left fold
@@ -204,11 +212,12 @@ def kmeans_refine(
     doubles: float summation is order-dependent, so an ``avg``-based
     refinement produces a (slightly) different index on every
     partitioning — breaking idempotent 100 TB index rebuilds and any
-    cross-run comparison. Fixed-point sums are order-independent and
-    overflow-safe in DECIMAL(38,0) up to ~10^26 members per cell;
-    the 2^-40 quantization (~1e-12) is far below float32 input
-    precision. With this, the whole refinement is deterministic given
-    deterministic seeds: no RNG, no reassociation.
+    cross-run comparison. The floor runs on DECIMAL(38,6) (a BIGINT
+    floor would silently clamp any |component| >= 2^23), so components
+    are exact up to ~10^19 and cell sums to ~10^26 members; the 2^-40
+    quantization (~1e-12) is far below float32 input precision. With
+    this, the whole refinement is deterministic given deterministic
+    seeds: no RNG, no reassociation.
     """
     scale = float(1 << 40)
     for _ in range(n_iters):
@@ -219,8 +228,10 @@ def kmeans_refine(
                 (
                     (
                         F.sum(
-                            F.floor(F.col(vec_col)[i].cast("double") * scale)
-                            .cast("decimal(38,0)")
+                            F.floor(
+                                (F.col(vec_col)[i].cast("double") * scale)
+                                .cast("decimal(38,6)")
+                            )
                         ).cast("double")
                         / F.count(F.lit(1)).cast("double")
                     )

@@ -697,14 +697,16 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _duck_dot64(a: str, b: str, dim: int = 64) -> str:
-    """Unrolled left-associated dot chain — bitwise-identical to the
-    engine's ``aggregate`` fold (operators/similarity.dot_expr) and to
-    the driver-side Python ``sum()`` in ann_topk_ivf_probe."""
-    return " + ".join(
-        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
-        for i in range(1, dim + 1)
-    )
+def _duck_dot64(a: str, b: str) -> str:
+    """Unrolled left-associated dot chain at the engine's vector DIM —
+    bitwise-identical to ``similarity.dot_expr``'s fold and to the
+    driver-side Python ``sum()`` in ann_topk_ivf_probe. Delegates to
+    the single shared generator in plans/llm.py so the chain shape and
+    the dimension can never drift between the two oracle families."""
+    from ..operators import similarity
+    from .llm import _duck_dot
+
+    return _duck_dot(a, b, similarity.DIM)
 
 
 def _ivf_oracle(
@@ -795,13 +797,17 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     of serving a stale index."""
     import os
 
-    from ..operators.similarity import ivf_index_persist
+    from ..operators.similarity import IVF_BUILD_VERSION, ivf_index_persist
     from ..sources.registry import dataset_fingerprint
 
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = dataset_fingerprint(sf_dir, "embeddings")
-    index_path = f"{base}/ivf_{tag}_{fp}_c8_r{refine_iters}"
+    # the cache key carries the BUILD-ALGORITHM version besides the
+    # data fingerprint: a semantic change to assignment/refinement
+    # (e.g. the round-4 tie-break change) must invalidate old indexes,
+    # or the stage-replay oracles would compare against stale layout
+    index_path = f"{base}/ivf_v{IVF_BUILD_VERSION}_{tag}_{fp}_c8_r{refine_iters}"
     if not os.path.exists(index_path + "/centroids/_SUCCESS"):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_index_persist(
@@ -938,60 +944,6 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ann_topk_ivf_probe(
         spark, index_path, qvec, k=10, nprobe=4, exclude_id=7
-    )
-
-
-# --- disjunctive predicate join (TPC-H Q19 shape) -------------------------------------------
-@register(
-    "discounted_brand_revenue_disjunctive",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
-             AS revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
-       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
-       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
-    """,
-)
-def discounted_brand_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: an OR of three conjunctive brand/size/quantity
-    arms across BOTH join sides. The optimizer test this exists for:
-    Catalyst extracts the common single-side conjuncts from the
-    disjunction (brand IN (...), size <= 35, quantity bounds) and
-    pushes them below the join into each scan, so the join sees
-    pre-filtered inputs instead of evaluating the full disjunction on
-    the cross product — written as one declarative filter, no manual
-    splitting."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
-        (F.col("p_brand") == brand)
-        & F.col("p_size").between(1, smax)
-        & (F.col("l_quantity") >= qlo)
-        & (F.col("l_quantity") <= qhi)
-    )
-    price, disc = (
-        F.col("l_extendedprice").cast("decimal(18,4)"),
-        F.col("l_discount").cast("decimal(18,4)"),
-    )
-    return (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .filter(
-            arm("Brand#11", 15, 1, 20)
-            | arm("Brand#22", 25, 10, 30)
-            | arm("Brand#33", 35, 20, 40)
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.sum(price * (F.lit(1) - disc)), 2)
-            .cast("double")
-            .alias("revenue"),
-        )
     )
 
 

@@ -611,9 +611,19 @@ def _duck_band_key(vec: str, band: int, n_planes: int, dim: int, seed: int) -> s
     return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
-def _emb_lsh_verified_oracle(threshold: float) -> str:
-    """Banded-LSH candidates + exact cosine verify, mirroring
-    ``similarity.cosine_neardup_pairs_lsh`` band for band."""
+def _banded_cte_prefix() -> str:
+    """Shared WITH-clause prefix for every banded-LSH embedding oracle:
+    band-keyed vectors, distinct same-band candidate pairs
+    (vec_a < vec_b), and per-vector norms — ONE generator so the key
+    expressions, the MATERIALIZED hints, and the candidate join shape
+    can never drift between the near-dup, cluster, and kNN-graph
+    oracles.
+
+    MATERIALIZED: each band self-join references keyed twice — without
+    the hint DuckDB re-inlines the 4096-term key expressions per
+    branch (measured 3.7x slower). Norms likewise compute once per
+    VECTOR, not per pair; sqrt(dot) then multiply is the identical
+    IEEE sequence Spark executes, so values stay bitwise-equal."""
     n_bands, n_planes = similarity.N_EMB_BANDS, similarity.N_EMB_PLANES
     dim, seed = similarity.DIM, 42
     keyed_cols = ", ".join(
@@ -626,13 +636,7 @@ def _emb_lsh_verified_oracle(threshold: float) -> str:
         f" ON a.bk{b} = b.bk{b} AND a.vec_id < b.vec_id"
         for b in range(n_bands)
     )
-    # MATERIALIZED: each band self-join references keyed twice — without
-    # the hint DuckDB re-inlines the 4096-term key expressions per
-    # branch (measured 3.7x slower). Norms likewise compute once per
-    # VECTOR, not per pair; sqrt(dot) then multiply is the identical
-    # IEEE sequence Spark executes, so values stay bitwise-equal.
-    return f"""
-    WITH keyed AS MATERIALIZED (
+    return f"""keyed AS MATERIALIZED (
       SELECT vec_id, {keyed_cols} FROM embeddings
     ),
     cand AS (
@@ -642,7 +646,14 @@ def _emb_lsh_verified_oracle(threshold: float) -> str:
       SELECT vec_id, embedding,
              sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
       FROM embeddings
-    )
+    )"""
+
+
+def _emb_lsh_verified_oracle(threshold: float) -> str:
+    """Banded-LSH candidates + exact cosine verify, mirroring
+    ``similarity.cosine_neardup_pairs_lsh`` band for band."""
+    return f"""
+    WITH {_banded_cte_prefix()}
     SELECT * FROM (
       SELECT c.vec_a, c.vec_b,
              ({_duck_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)
@@ -806,37 +817,16 @@ def _ann_lsh_oracle(qid: int = 0, k: int = 10, n_planes: int = 4) -> str:
 
 
 def _knn_graph_oracle(k: int = 3) -> str:
-    """Exact replay of the LSH-bounded kNN graph: identical band keys,
-    symmetrized candidate edges, fold-chain cosines, per-source
-    row_number with the cosine-DESC/dst-ASC tie-break."""
-    n_bands, n_planes = similarity.N_EMB_BANDS, similarity.N_EMB_PLANES
-    dim, seed = similarity.DIM, 42
-    keyed_cols = ", ".join(
-        f"{_duck_band_key('embedding', b, n_planes, dim, seed)} AS bk{b}"
-        for b in range(n_bands)
-    )
-    cand_union = "\n      UNION\n".join(
-        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-        f"      FROM keyed a JOIN keyed b"
-        f" ON a.bk{b} = b.bk{b} AND a.vec_id < b.vec_id"
-        for b in range(n_bands)
-    )
+    """Exact replay of the LSH-bounded kNN graph: identical band keys
+    and candidate pairs (the shared ``_banded_cte_prefix``),
+    symmetrized edges, fold-chain cosines, per-source row_number with
+    the cosine-DESC/dst-ASC tie-break."""
     return f"""
-    WITH keyed AS MATERIALIZED (
-      SELECT vec_id, {keyed_cols} FROM embeddings
-    ),
-    cand AS (
-{cand_union}
-    ),
+    WITH {_banded_cte_prefix()},
     sym AS (
       SELECT vec_a, vec_b FROM cand
       UNION ALL
       SELECT vec_b, vec_a FROM cand
-    ),
-    nrm AS MATERIALIZED (
-      SELECT vec_id, embedding,
-             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
     ),
     scored AS (
       SELECT s.vec_a AS src, s.vec_b AS dst,
@@ -1923,7 +1913,8 @@ def _sig_index(spark: SparkSession, sf_dir: str) -> str:
     # index instead of serving stale signatures (the oracle recomputes
     # from CURRENT data, so staleness here would hash-mismatch)
     fp = dataset_fingerprint(sf_dir, "documents")
-    index_path = f"{base}/sigs_{tag}_{fp}"
+    # build-algorithm version in the key, same reasoning as _ivf_index
+    index_path = f"{base}/sigs_v{dedup.SIG_INDEX_VERSION}_{tag}_{fp}"
     if not os.path.exists(index_path + "/_SUCCESS"):
         docs = load_table(spark, sf_dir, "documents")
         dedup.signature_index_persist(
