@@ -1203,6 +1203,72 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
 
 
+@register(
+    "streaming_topk_trending",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    counts AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f')
+               AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events, wm
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rank FROM (
+      SELECT window_start, event_type, n_events,
+             CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type ASC
+             ) AS BIGINT) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-topics serving pattern: the STREAMING windowed-count
+    query drains its finalized windows (watermark-closed, append mode)
+    into the serving store, and a ranking pass publishes the top-3
+    event types per day window — the standard "streaming aggregation
+    feeds a batch-ranked leaderboard" composition. The streaming side
+    is identical to streaming_windowed_counts (same watermark
+    finalization contract), so the oracle replays it as a batch
+    GROUP BY with the same cutoff plus the rank window; determinism
+    comes from the count-DESC/type-ASC tie-break."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"topk_trend_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_src_") as tmp:
+        src = f"{tmp}/src"
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        agg = stream_windowed_counts(
+            read_stream(spark, src, schema), window_size="1 day"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sink = spark.sql(
+        f"SELECT window_start, event_type, n_events FROM {name}"
+    ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return sink.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= 3)
+
+
 # --- streaming sessionization (now oracle-checked) ------------------------------------------
 @register(
     "streaming_session_counts",

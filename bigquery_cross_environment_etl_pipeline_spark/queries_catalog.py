@@ -144,6 +144,7 @@ _SECONDARY = [
     "deterministic_split_assignment",
     "corpus_source_report",
     "corpus_span_dedup",
+    "streaming_topk_trending",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
