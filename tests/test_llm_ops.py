@@ -423,3 +423,42 @@ def test_span_dedup_masks_planted_duplicate_and_keeps_unique(spark, docs_with_du
     # a doc with a unique vocabulary passes through byte-identical
     assert out[300000]["n_masked"] == 0
     assert out[300000]["cleaned_text"] == unique_text
+
+
+def test_span_dedup_invariants_on_random_corpus(spark):
+    """Structural invariants on a seeded random corpus: token
+    accounting must balance (n_masked = n_tokens - |cleaned tokens|),
+    masks stay within bounds, and any 3-gram shared by two docs is
+    masked in BOTH."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicated_span_mask(docs).collect()}
+    texts = dict(rows)
+    # cross-doc shared shingles, computed independently in Python
+    def sh3(t):
+        w = t.split()
+        return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    owners = {}
+    for i, t in texts.items():
+        for s in sh3(t):
+            owners.setdefault(s, set()).add(i)
+    shared = {s for s, o in owners.items() if len(o) > 1}
+    for i, t in texts.items():
+        r = out[i]
+        n_clean = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert r["n_tokens"] == len(t.split())
+        assert r["n_masked"] == r["n_tokens"] - n_clean
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        doc_shared = sh3(t) & shared
+        if doc_shared:
+            assert r["n_masked"] >= 3, (i, doc_shared)
+        else:
+            assert r["n_masked"] == 0 and r["cleaned_text"] == t
