@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "deterministic_split_assignment",
     "corpus_source_report",
     "corpus_span_dedup",
+    "contrastive_negative_samples",
 ]
 
 

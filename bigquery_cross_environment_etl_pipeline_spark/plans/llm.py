@@ -488,6 +488,64 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_negative_samples",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, u.slot,
+             {_duck_hash48("'neg-' || vec_id || '-' || u.slot")}
+               % (SELECT COUNT(*) FROM embeddings) AS cand
+      FROM embeddings, UNNEST([0, 1, 2, 3]) AS u(slot)
+    )
+    SELECT vec_id,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(CASE WHEN cand = vec_id
+                     THEN (cand + 1) % (SELECT COUNT(*) FROM embeddings)
+                     ELSE cand END AS BIGINT) AS neg_id
+    FROM s
+    """,
+)
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (round-4 new op): k=4 pseudo-random negative ids per anchor vector
+    via a salted hash of (anchor, slot) modulo corpus size — NOT an
+    engine-seeded RNG, so the sample is identical across engines,
+    runs, and partitionings (reproducible contrastive batches, the
+    same auditability property as the mixture sampler). Accidental
+    self-pairs rotate to the next id. Pure column expressions over one
+    explode; zero shuffles, zero joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    slots = emb.select("vec_id").withColumn(
+        "slot", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+    )
+    cand = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg-"),
+                        F.col("vec_id").cast("string"),
+                        F.lit("-"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )
+    neg = F.when(cand == F.col("vec_id"), (cand + 1) % n).otherwise(cand)
+    return slots.select(
+        "vec_id",
+        F.col("slot").cast("bigint").alias("slot"),
+        neg.cast("bigint").alias("neg_id"),
+    )
+
+
+@register(
     "corpus_sequence_packing",
     oracle=f"""
     WITH counted AS (

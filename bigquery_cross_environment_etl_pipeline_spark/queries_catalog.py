@@ -145,6 +145,7 @@ _SECONDARY = [
     "corpus_source_report",
     "corpus_span_dedup",
     "streaming_topk_trending",
+    "contrastive_negative_samples",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
