@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "corpus_source_report",
     "corpus_span_dedup",
     "contrastive_negative_samples",
+    "incremental_agg_maintenance",
 ]
 
 

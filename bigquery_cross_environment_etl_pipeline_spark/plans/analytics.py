@@ -1057,3 +1057,50 @@ def order_value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFram
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_d"),
     )
+
+
+# --- incremental aggregate maintenance (merge partials, don't rescan) --------
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    maintained state (per-type counts + DECIMAL sums over the history
+    before 2024-01-20) is MERGED with the delta batch's partial
+    aggregate via one full-outer coalesce-add — the history is never
+    rescanned. The oracle recomputes from scratch over everything,
+    proving merge-of-partials == full recompute (exactly the algebra
+    map-side combine relies on; DECIMAL sums make it bitwise). At
+    100 TB this is the nightly pattern: aggregate the day's delta
+    (tiny), merge into the materialized rollup — O(delta + groups)
+    instead of O(history)."""
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    events = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(vdec).alias(f"s_{tag}"),
+        )
+
+    state = partial(events.filter(F.col("ts") < cutoff), "a")
+    delta = partial(events.filter(F.col("ts") >= cutoff), "b")
+    zero = F.lit(0).cast("decimal(18,4)")
+    merged = state.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return merged

@@ -146,6 +146,7 @@ _SECONDARY = [
     "corpus_span_dedup",
     "streaming_topk_trending",
     "contrastive_negative_samples",
+    "incremental_agg_maintenance",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
