@@ -44,8 +44,10 @@ DIM = 64
 #: this alongside the dataset fingerprint, so an index built by older
 #: code is never served to oracles/probes that assume the new
 #: semantics. v2 = round-4 struct-max assignment + fixed-point Lloyd
-#: means (v1 was max_by + float avg).
-IVF_BUILD_VERSION = 2
+#: means (v1 was max_by + float avg); v3 = empty-cell fallback fix in
+#: kmeans_refine (null-mean check instead of the never-firing array
+#: coalesce).
+IVF_BUILD_VERSION = 3
 
 
 def dot_expr(a: str | Column, b: str | Column, dim: int = DIM) -> Column:
@@ -241,12 +243,21 @@ def kmeans_refine(
             ]
         )
         new_vec = F.array(*[F.col(f"_m{i}") for i in range(dim)])
+        # Empty-cell fallback must test a MEAN COLUMN, not the array:
+        # F.array(null, null, ...) is itself non-null, so
+        # coalesce(new_vec, old) would happily install an all-null
+        # centroid when a cell loses every member (caught in round 4 —
+        # the coalesce form shipped untested because the demo corpus
+        # never empties a cell). _m0 is null exactly when the left
+        # join found no member row.
         refreshed = (
             centroids.select("_cid", F.col("_cvec").alias("_old"))
             .join(means, "_cid", "left")
             .select(
                 "_cid",
-                F.coalesce(new_vec, F.col("_old").cast("array<double>")).alias("_cvec"),
+                F.when(F.col("_m0").isNull(), F.col("_old").cast("array<double>"))
+                .otherwise(new_vec)
+                .alias("_cvec"),
             )
             .withColumn("_cnrm", norm_expr("_cvec", dim))
         )

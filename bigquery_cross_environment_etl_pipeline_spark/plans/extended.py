@@ -924,7 +924,123 @@ def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf_kmeans")
+def _lloyd_oracle(
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    nprobe: int = 4,
+    k: int = 10,
+    qid: int = 7,
+) -> str:
+    """Stage replay of the Lloyd-refined IVF pipeline — ``n_iters``
+    full k-means iterations IN SQL, then the standard probe. Possible
+    because round 4 made refinement deterministic AND
+    order-independent: means are Q.40 fixed-point (floor on
+    DECIMAL(38,6) — tie-free, since no IEEE double equals an exact
+    x.5e-6 decimal tie), assignment is the lowest-cid struct-max, and
+    every float chain is the shared left fold. Each iteration is one
+    assignment CTE (argmax over the previous centroid CTE) plus one
+    64-column fixed-point mean CTE with the empty-cell keep-old
+    fallback replayed as a per-dimension COALESCE."""
+    dim = 64
+    dot = _duck_dot64
+    scale = float(1 << 40)
+
+    def mean_cols(prev: str) -> str:
+        return ",\n             ".join(
+            f"(CAST(SUM(FLOOR(CAST(n.embedding[{i + 1}]"
+            f" * {scale!r} AS DECIMAL(38,6)))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE)) / {scale!r} AS m{i}"
+            for i in range(dim)
+        )
+
+    def cvec_from_means(c: str, m: str) -> str:
+        # per-dim coalesce replays the keep-old-position fallback
+        return (
+            "list_value("
+            + ", ".join(
+                f"COALESCE({m}.m{i}, {c}.cvec[{i + 1}])" for i in range(dim)
+            )
+            + ")"
+        )
+
+    ctes = [
+        f"""nrm AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cent0 AS MATERIALIZED (
+      SELECT vec_id AS cid,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec,
+             nrm AS cnrm
+      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
+    )"""
+    ]
+    prev = "cent0"
+    for it in range(1, n_iters + 1):
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
+                          DESC, c.cid ASC
+               ) AS rn
+        FROM nrm n CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    means{it} AS (
+      SELECT a.cid,
+             {mean_cols(prev)}
+      FROM assign{it} a JOIN nrm n ON a.vec_id = n.vec_id
+      GROUP BY a.cid
+    ),
+    cent{it} AS MATERIALIZED (
+      SELECT c.cid,
+             {cvec_from_means('c', 'm')} AS cvec
+      FROM {prev} c LEFT JOIN means{it} m ON c.cid = m.cid
+    ),
+    centn{it} AS MATERIALIZED (
+      SELECT cid, cvec, sqrt({dot('cvec', 'cvec')}) AS cnrm FROM cent{it}
+    )"""
+        )
+        prev = f"centn{it}"
+    ctes.append(
+        f"""assignF AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
+                          DESC, c.cid ASC
+               ) AS rn
+        FROM nrm n CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
+    probe AS (
+      SELECT cid FROM {prev} CROSS JOIN q
+      ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
+      LIMIT {nprobe}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT n.vec_id,
+           ({dot('n.embedding', 'q.qvec')}) / (n.nrm * q.qnrm) AS cosine
+    FROM nrm n
+    JOIN assignF a ON n.vec_id = a.vec_id
+    JOIN probe p ON a.cid = p.cid
+    CROSS JOIN q
+    WHERE n.vec_id <> {qid}
+    ORDER BY cosine DESC, n.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_ivf_kmeans", oracle=_lloyd_oracle())
 def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a PERSISTED index whose centroids were refined with
     2 Lloyd iterations at build time (operators/similarity.kmeans_refine:
@@ -932,7 +1048,10 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations — better-balanced cells, better recall per probed
     fraction). Like ann_topk_ivf, the refinement is index MAINTENANCE
     paid once per dataset; the query itself is the partition-pruned
-    probe. Approximate -> rows-only; recall asserted in
+    probe. Round 4: EXACT oracle — fixed-point Lloyd means made the
+    refinement order-independent and tie-free, so the whole pipeline
+    (2 k-means iterations included) replays stage-for-stage in SQL
+    (``_lloyd_oracle``); recall additionally asserted in
     tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 

@@ -446,3 +446,35 @@ def test_kmeans_refine_is_partitioning_invariant(spark):
     ra = {r["_cid"]: list(r["_cvec"]) for r in a.collect()}
     rb = {r["_cid"]: list(r["_cvec"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_kmeans_refine_keeps_position_when_cell_empties(spark):
+    """A centroid whose cell loses every member must keep its previous
+    position, not become an all-null vector (round-4 fix: an array of
+    nulls is itself non-null, so the old coalesce fallback never
+    fired). Two identical seed centroids force every vector — the
+    higher-id twin included — into the lower cell by the
+    lowest-cid tie-break, emptying cell 1."""
+    from pyspark.sql import functions as F
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
+
+    dim = similarity.DIM
+    v = [1.0] + [0.0] * (dim - 1)
+    u = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(0, v), (1, v), (2, u)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed = (
+        emb.orderBy("vec_id").limit(2)
+        .select(
+            F.col("vec_id").alias("_cid"),
+            F.col("embedding").alias("_cvec"),
+            similarity.norm_expr("embedding").alias("_cnrm"),
+        )
+    )
+    # vec 2 is orthogonal to both centroids: sim 0 with each, tie-break
+    # -> cid 0 as well, so cell 1 is guaranteed empty
+    refined = {r["_cid"]: r["_cvec"] for r in
+               similarity.kmeans_refine(emb, seed, n_iters=1, dim=dim).collect()}
+    assert refined[1] == v, "emptied cell must keep its old position"
+    assert all(x is not None for x in refined[0])
