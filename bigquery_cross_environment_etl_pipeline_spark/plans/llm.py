@@ -1763,26 +1763,31 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
-    """Relational mirror of pq_encode: distances via the same
-    left-associated (x-y)^2 chains, argmin as min-id-at-min-distance."""
+def _pq_subspace_chain(left: str) -> str:
+    """Left-associated subspace squared-L2 chain starting at the 0.0
+    accumulator — identical to the Catalyst fold, the numpy encoder,
+    and the driver-side Python loop."""
     sub_d = similarity.DIM // similarity.PQ_M
-    # left-assoc chain over one subspace, array indices computed from s
     terms = []
     for i in range(1, sub_d + 1):
-        x = f"CAST(e.embedding[s.s * {sub_d} + {i}] AS DOUBLE)"
+        x = f"CAST({left}[s.s * {sub_d} + {i}] AS DOUBLE)"
         y = f"CAST(c.ce[s.s * {sub_d} + {i}] AS DOUBLE)"
         terms.append(f"(({x} - {y}) * ({x} - {y}))")
-    # 0.0 + t1 + t2 ... matches the aggregate fold's initial accumulator
-    chain = "0.0 + " + " + ".join(terms)
-    return f"""
-    WITH cent AS (
+    return "0.0 + " + " + ".join(terms)
+
+
+def _pq_code_ctes() -> str:
+    """Shared WITH-prefix computing each vector's PQ code ids: codebook
+    slice, per-(vec, subspace, centroid) distances via the shared
+    chain, argmin as min-id-at-min-distance. Used by both the encoding
+    oracle and the ADC serving oracle so the assignment can't drift."""
+    return f"""cent AS (
       SELECT vec_id AS c, embedding AS ce FROM embeddings
       WHERE vec_id < {similarity.PQ_K}
     ),
     subs AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS s),
     dists AS (
-      SELECT e.vec_id, s.s, c.c, {chain} AS d
+      SELECT e.vec_id, s.s, c.c, {_pq_subspace_chain('e.embedding')} AS d
       FROM embeddings e, subs s, cent c
     ),
     w AS (
@@ -1792,11 +1797,48 @@ def _pq_oracle() -> str:
     ),
     code AS (
       SELECT vec_id, s,
-             CAST(min(CASE WHEN d = md THEN c END) AS VARCHAR) AS cs
+             min(CASE WHEN d = md THEN c END) AS ci
       FROM w GROUP BY vec_id, s
-    )
-    SELECT vec_id, string_agg(cs, ',' ORDER BY s) AS pq_code
+    )"""
+
+
+def _pq_oracle() -> str:
+    """Relational mirror of pq_encode: distances via the same
+    left-associated (x-y)^2 chains, argmin as min-id-at-min-distance."""
+    return f"""
+    WITH {_pq_code_ctes()}
+    SELECT vec_id, string_agg(CAST(ci AS VARCHAR), ',' ORDER BY s) AS pq_code
     FROM code GROUP BY vec_id
+    """
+
+
+def _pq_adc_oracle(qid: int = 7, k: int = 10) -> str:
+    """Stage replay of ADC serving: the query's (M x K) subspace
+    distance table recomputed with the shared chain, one lookup per
+    (vector, subspace), and the final distance rebuilt as the EXPLICIT
+    subspace-ordered chain (0.0 + d0 + ... + d7) — a bare SUM() would
+    reassociate and drift from Spark's fixed fold order."""
+    dist_chain = " + ".join(
+        f"MAX(CASE WHEN s = {s} THEN dv END)" for s in range(similarity.PQ_M)
+    )
+    return f"""
+    WITH {_pq_code_ctes()},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    qtab AS (
+      SELECT s.s, c.c, {_pq_subspace_chain('q.qv')} AS d
+      FROM subs s, cent c, q
+    ),
+    looked AS (
+      SELECT code.vec_id, code.s, qtab.d AS dv
+      FROM code JOIN qtab ON code.s = qtab.s AND code.ci = qtab.c
+    )
+    SELECT vec_id, adc_dist FROM (
+      SELECT vec_id, 0.0 + {dist_chain} AS adc_dist
+      FROM looked GROUP BY vec_id
+    )
+    WHERE vec_id <> {qid}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
     """
 
 
@@ -1819,7 +1861,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb, cents)
 
 
-@register("ann_topk_pq_adc")
+@register("ann_topk_pq_adc", oracle=_pq_adc_oracle())
 def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC DISTANCE COMPUTATION top-k — the PQ serving path: the
     query builds one (M × K) lookup table of subspace distances to the
@@ -1829,8 +1871,10 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pq_encode`` (persisted alongside the IVF index in a deployment;
     computed inline here), the table rides in as literal arrays, and
     per-partition heaps (TakeOrderedAndProject) deliver the top-k.
-    Approximate by design → rows-only; ADC-vs-exact recall is asserted
-    in tests/test_llm_ops.py.
+    Round 4: EXACT oracle (``_pq_adc_oracle``) — codes, the query's
+    distance table, and the subspace-ordered distance chain all replay
+    in SQL; ADC-vs-exact recall additionally asserted in
+    tests/test_llm_ops.py.
 
     At 100 TB this is why PQ exists: the scan reads 8-byte codes
     instead of 256-byte vectors (32× less IO), the distance is integer
