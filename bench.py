@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "corpus_span_dedup",
     "contrastive_negative_samples",
     "incremental_agg_maintenance",
+    "backfill_window_accounting",
+    "multimodal_payload_dedup",
 ]
 
 

@@ -416,3 +416,36 @@ def paginated_scan_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(200)
         .limit(100)
     )
+
+
+# --- parallel backfill planning + accounting (round 4) -----------------------
+@register(
+    "backfill_window_accounting",
+    oracle="""
+    SELECT CAST(floor(CAST(epoch_us(ts - TIMESTAMP '2024-01-01 00:00:00')
+                           AS BIGINT) / 324000000000) AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+    GROUP BY 1
+    """,
+)
+def backfill_window_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel historical backfill, externally verified end to end:
+    ``backfill_windows`` splits the 30-day range into 8 half-open
+    windows (each an independent extract/load/checkpoint unit — a
+    failed window retries alone), ``backfill_scan`` runs them as ONE
+    declarative union plan, and the per-window row accounting proves
+    the windows partition the range exactly: the oracle reassigns
+    every event arithmetically (floor of the microsecond offset over
+    the 3.75-day step) and must agree row for row."""
+    from ..operators.extract import backfill_scan, backfill_windows
+
+    events = load_table(spark, sf_dir, "events")
+    windows = backfill_windows("2024-01-01", "2024-01-31", 8)
+    scanned = backfill_scan(events, "ts", windows)
+    return (
+        scanned.groupBy(F.col("_backfill_window").cast("bigint").alias("window_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -1264,6 +1264,36 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_payload_dedup",
+    oracle="""
+    SELECT md5(text) AS digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup over BINARY media payloads (round-4): group by
+    the payload digest, keep the lowest asset id, account the bytes a
+    dedup would reclaim — the first pass every multimodal ingest runs
+    (identical images/audio recur constantly in crawled data). The
+    digest is computed ON THE BINARY COLUMN (md5 of the raw bytes,
+    never a decode), so the op works for any modality and the 100 TB
+    cost is one hash per asset plus a digest-keyed aggregate."""
+    from ..operators.multimodal import synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs)
+    return assets.groupBy(F.md5("payload").alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("asset_id").alias("keeper_id"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )
+
+
+@register(
     "corpus_source_report",
     oracle=f"""
     WITH d AS (

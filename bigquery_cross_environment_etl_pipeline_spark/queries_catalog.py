@@ -147,6 +147,8 @@ _SECONDARY = [
     "streaming_topk_trending",
     "contrastive_negative_samples",
     "incremental_agg_maintenance",
+    "backfill_window_accounting",
+    "multimodal_payload_dedup",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
