@@ -432,16 +432,15 @@ def duplicated_span_mask(
     docfreq = pos_sh.groupBy("h").agg(
         F.countDistinct(id_col).alias("df")
     )
-    dup_pos = (
-        pos_sh.join(docfreq.filter(F.col("df") >= min_docs), "h")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array(*[F.col("pos") + F.lit(d) for d in range(n)])
-            ).alias("mpos"),
-        )
-        .distinct()
+    dup_pos = pos_sh.join(docfreq.filter(F.col("df") >= min_docs), "h").select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(d) for d in range(n)])
+        ).alias("mpos"),
     )
+    # collect_set dedups overlapping-span positions itself — a separate
+    # .distinct() before it would spend a whole extra shuffle on work
+    # the aggregate already does (round-4 bench: one exchange saved)
     masked = dup_pos.groupBy(id_col).agg(
         F.collect_set("mpos").alias("_masked")
     )

@@ -134,8 +134,11 @@ _PRIORITY = [
 #: gate; if the driver's cap is looser they are the first to benefit;
 #: either way their order is deterministic for the bench and docs.
 _SECONDARY = [
-    # round-4 new queries not yet in the window (queued for the r5
-    # rotation; pytest-parity-verified like everything else)
+    # round-4 new queries not yet in the window — the round-5 rotation
+    # should pin THIS head block into _PRIORITY (evicting round-4
+    # hash-green twins), exactly as round 4 pinned the round-3 set.
+    # All are pytest-parity-verified and individually sf0.01
+    # hash-checked this round.
     "forecast_revenue_change_q6",
     "important_part_revenue_q11",
     "disjunctive_revenue_q19",
