@@ -142,23 +142,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 4)
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    sf = float(m.group(1).rstrip(".")) if m else None
-
-    # Full per-query detail goes to a sidecar file + stderr; the final
-    # stdout line stays compact (≤ ~1500 chars) so the driver's tail
-    # capture can always parse it (round 3 lesson: a 68-query inline
-    # map overflowed the ~2000-char window → BENCH_r03 parsed=null).
-    detail = {
-        "metric": "headline_query_suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        detail["errors"] = errors
+    line, detail = compose_output(timings, errors, SF_DIR)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -168,8 +152,37 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail), file=sys.stderr)
+    print(line)
+    spark.stop()
 
-    # compact stdout line: totals + the 10 slowest queries (2 dp)
+
+#: hard budget for the final stdout line — the driver's tail capture is
+#: ~2000 chars; round 3 shipped parsed=null because a 68-query inline
+#: map overflowed it. Enforced in compose_output AND unit-tested
+#: (tests/test_bench_output.py) so the regression class stays dead.
+LINE_BUDGET = 1500
+
+
+def compose_output(
+    timings: dict, errors: dict, sf_dir: str
+) -> tuple[str, dict]:
+    """(compact stdout line, full detail dict). The line carries
+    totals + the 10 slowest queries (2 dp); the full per-query map
+    goes to the detail sidecar/stderr. If the line would exceed
+    LINE_BUDGET the query map is dropped entirely rather than ever
+    overflowing the driver's capture window."""
+    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 4)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    detail = {
+        "metric": "headline_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        detail["errors"] = errors
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items() if isinstance(v, (int, float))),
@@ -187,11 +200,10 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(payload)
-    if len(line) > 1500:  # hard budget: drop the map rather than overflow
+    if len(line) > LINE_BUDGET:  # drop the map rather than overflow
         payload["queries"] = {}
         line = json.dumps(payload)
-    print(line)
-    spark.stop()
+    return line, detail
 
 
 if __name__ == "__main__":

@@ -88,3 +88,25 @@ def test_backfill_windows_partition_the_range(spark, events):
     per_win = union.groupBy("_backfill_window").count().collect()
     assert len(per_win) == 7
     assert sum(r["count"] for r in per_win) == n_whole
+
+
+def test_ts_literal_converts_aware_datetimes_to_utc(spark):
+    """An offset-aware datetime must denote the same INSTANT as its
+    UTC conversion (round-4 ADVICE fix: strftime alone dropped the
+    tzinfo and shifted aware non-UTC inputs by their offset)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators.extract import (
+        _ts_literal,
+    )
+
+    est = dt.timezone(dt.timedelta(hours=-5))
+    aware = dt.datetime(2024, 1, 10, 7, 30, 0, tzinfo=est)   # 12:30 UTC
+    naive_utc = dt.datetime(2024, 1, 10, 12, 30, 0)
+    row = spark.range(1).select(
+        F.date_format(_ts_literal(aware), "yyyy-MM-dd HH:mm:ss").alias("a"),
+        F.date_format(_ts_literal(naive_utc), "yyyy-MM-dd HH:mm:ss").alias("b"),
+    ).first()
+    assert row["a"] == row["b"] == "2024-01-10 12:30:00"

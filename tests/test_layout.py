@@ -196,3 +196,42 @@ def test_bucketed_join_plans_zero_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_append_keeps_colocation(spark):
+    """mode='append' ingest into a bucketed table must preserve the
+    zero-exchange join property — the bucket function is stable, so
+    appended files land in the right buckets."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.layout import (
+        write_bucketed,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (
+        load_table,
+    )
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    half_a = orders.filter(orders.o_orderkey % 2 == 0)
+    half_b = orders.filter(orders.o_orderkey % 2 == 1)
+    write_bucketed(half_a, "t_orders_app", ["o_orderkey"], 4)
+    write_bucketed(half_b, "t_orders_app", ["o_orderkey"], 4, mode="append")
+    write_bucketed(li, "t_li_app", ["l_orderkey"], 4)
+    try:
+        a = spark.table("t_orders_app")
+        b = spark.table("t_li_app")
+        assert a.count() == orders.count()
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.o_orderkey == b.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == orders.join(
+                li, orders.o_orderkey == li.l_orderkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_app")
+        spark.sql("DROP TABLE IF EXISTS t_li_app")
