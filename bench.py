@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "incremental_agg_maintenance",
     "backfill_window_accounting",
     "multimodal_payload_dedup",
+    "daily_count_anomaly_zscore",
 ]
 
 

@@ -1104,3 +1104,74 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return merged
+
+
+# --- metric anomaly detection from exact trailing sums -----------------------
+@register(
+    "daily_count_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day, c,
+             COUNT(*)  OVER w AS n,
+             SUM(c)    OVER w AS s,
+             SUM(c * c) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           c AS n_events,
+           CAST(n AS BIGINT) AS n_history,
+           CASE WHEN (CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) > 0
+                THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+                ELSE NULL END AS z_score
+    FROM framed WHERE n >= 3
+    """,
+)
+def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection on a metric stream (round-4): each
+    day's event count per type is z-scored against its OWN trailing
+    7-day window, with mean/variance derived from EXACT integer sums
+    (n, Σc, Σc²) — never Welford-merge stddev, whose float
+    accumulation is partial-aggregation-order-dependent and therefore
+    unverifiable bitwise. One groupBy + one windowed pass; the same
+    shape monitors pipeline health metrics (row counts, reject rates)
+    at any scale, since the window state per type is a handful of
+    integers. Degenerate histories (variance 0) yield NULL rather
+    than a division blow-up."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    n = F.count("c").over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    nd, sd, ssd = n.cast("double"), s.cast("double"), ss.cast("double")
+    var = (ssd - sd * sd / nd) / nd
+    z = (F.col("c").cast("double") - sd / nd) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_events"),
+            n.alias("n_history"),
+            F.when(var > 0, z).otherwise(F.lit(None)).alias("z_score"),
+        )
+        .filter(F.col("n_history") >= 3)
+    )

@@ -152,6 +152,7 @@ _SECONDARY = [
     "incremental_agg_maintenance",
     "backfill_window_accounting",
     "multimodal_payload_dedup",
+    "daily_count_anomaly_zscore",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
