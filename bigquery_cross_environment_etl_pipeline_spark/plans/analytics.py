@@ -1091,15 +1091,27 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vdec).alias(f"s_{tag}"),
         )
 
+    # the split must PARTITION the input: `ts >= cutoff` alone drops
+    # NULL-ts rows from BOTH sides (NULL fails both predicates) while
+    # the full recompute counts them — so the delta side takes the
+    # NEGATION of the state predicate, not a mirrored comparison
     state = partial(events.filter(F.col("ts") < cutoff), "a")
-    delta = partial(events.filter(F.col("ts") >= cutoff), "b")
+    delta = partial(
+        events.filter((F.col("ts") >= cutoff) | F.col("ts").isNull()), "b"
+    )
     zero = F.lit(0).cast("decimal(18,4)")
     merged = state.join(delta, "event_type", "full_outer").select(
         "event_type",
         (F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)))
         .cast("bigint")
         .alias("n_events"),
-        (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
+        # SUM over an all-NULL group is NULL, and the merged sum must
+        # reproduce that — zero-filling both sides would turn NULL
+        # into 0.0 where the full recompute says NULL
+        F.when(F.col("s_a").isNull() & F.col("s_b").isNull(), F.lit(None))
+        .otherwise(
+            F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero)
+        )
         .cast("double")
         .alias("total_value"),
     )
@@ -1119,7 +1131,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, day, c,
              COUNT(*)  OVER w AS n,
              SUM(c)    OVER w AS s,
-             SUM(c * c) OVER w AS ss
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER w AS ss
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -1161,7 +1173,11 @@ def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("c").over(w)
     s = F.sum("c").over(w)
-    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    # c*c in DECIMAL, not long: long multiplication wraps silently past
+    # 2^63 (daily counts >= ~1.1e9 at the scale this query advertises)
+    # while the oracle's HUGEINT stays exact — promote both sides
+    cdec = F.col("c").cast("decimal(38,0)")
+    ss = F.sum(cdec * cdec).over(w)
     nd, sd, ssd = n.cast("double"), s.cast("double"), ss.cast("double")
     var = (ssd - sd * sd / nd) / nd
     z = (F.col("c").cast("double") - sd / nd) / F.sqrt(var)

@@ -945,7 +945,7 @@ def _lloyd_oracle(
     dot = _duck_dot64
     scale = float(1 << 40)
 
-    def mean_cols(prev: str) -> str:
+    def mean_cols() -> str:
         return ",\n             ".join(
             f"(CAST(SUM(FLOOR(CAST(n.embedding[{i + 1}]"
             f" * {scale!r} AS DECIMAL(38,6)))) AS DOUBLE)"
@@ -992,7 +992,7 @@ def _lloyd_oracle(
     ),
     means{it} AS (
       SELECT a.cid,
-             {mean_cols(prev)}
+             {mean_cols()}
       FROM assign{it} a JOIN nrm n ON a.vec_id = n.vec_id
       GROUP BY a.cid
     ),
@@ -1295,6 +1295,16 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     so the driver's bitwise hash compare holds. Window-for-window
     equality with the batch computation is additionally asserted in
     tests/test_streaming.py."""
+    return _drain_windowed_counts(spark, sf_dir)
+
+
+def _drain_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared drain harness for every windowed-counts streaming query:
+    events through a file stream -> watermark -> 1-day tumbling windows
+    -> append-mode memory sink, AvailableNow drained SYNCHRONOUSLY —
+    the awaitTermination result is CHECKED, because a timed-out drain
+    would leave a partially-filled sink and silently publish wrong
+    finalized counts downstream."""
     import tempfile
     import uuid
 
@@ -1316,7 +1326,9 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream drain did not finish within 300s")
     return spark.sql(
         f"SELECT window_start, event_type, n_events, total_value FROM {name}"
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
@@ -1352,34 +1364,13 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     event types per day window — the standard "streaming aggregation
     feeds a batch-ranked leaderboard" composition. The streaming side
     is identical to streaming_windowed_counts (same watermark
-    finalization contract), so the oracle replays it as a batch
-    GROUP BY with the same cutoff plus the rank window; determinism
-    comes from the count-DESC/type-ASC tie-break."""
-    import tempfile
-    import uuid
-
-    from ..streaming.incremental import read_stream, stream_windowed_counts
-
-    events = load_table(spark, sf_dir, "events")
-    name = f"topk_trend_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="stream_src_") as tmp:
-        src = f"{tmp}/src"
-        events.write.parquet(src)
-        schema = spark.read.parquet(src).schema
-        agg = stream_windowed_counts(
-            read_stream(spark, src, schema), window_size="1 day"
-        )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    sink = spark.sql(
-        f"SELECT window_start, event_type, n_events FROM {name}"
-    ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
+    finalization contract — literally the shared ``_drain_windowed_counts``
+    harness), so the oracle replays it as a batch GROUP BY with the
+    same cutoff plus the rank window; determinism comes from the
+    count-DESC/type-ASC tie-break."""
+    sink = _drain_windowed_counts(spark, sf_dir).select(
+        "window_start", "event_type", "n_events"
+    )
     w = W.partitionBy("window_start").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )

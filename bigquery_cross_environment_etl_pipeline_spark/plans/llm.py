@@ -514,10 +514,14 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-pairs rotate to the next id. Pure column expressions over one
     explode; zero shuffles, zero joins."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # the corpus size rides IN the plan as a broadcast 1-row aggregate
+    # (mirroring the oracle's scalar subquery) — an eager emb.count()
+    # here would run a whole extra Spark job at plan-construction time
+    # on every invocation before the measured query even starts
+    n_row = emb.agg(F.count(F.lit(1)).alias("_n"))
     slots = emb.select("vec_id").withColumn(
         "slot", F.explode(F.array(*[F.lit(i) for i in range(4)]))
-    )
+    ).crossJoin(F.broadcast(n_row))
     cand = (
         F.conv(
             F.substring(
@@ -535,9 +539,9 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % n
+        % F.col("_n")
     )
-    neg = F.when(cand == F.col("vec_id"), (cand + 1) % n).otherwise(cand)
+    neg = F.when(cand == F.col("vec_id"), (cand + 1) % F.col("_n")).otherwise(cand)
     return slots.select(
         "vec_id",
         F.col("slot").cast("bigint").alias("slot"),
