@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "backfill_window_accounting",
     "multimodal_payload_dedup",
     "daily_count_anomaly_zscore",
+    "keyset_pagination_page",
 ]
 
 

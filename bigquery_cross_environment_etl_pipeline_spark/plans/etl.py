@@ -418,6 +418,33 @@ def paginated_scan_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O2 at scale: keyset pagination (seek, don't skip) -----------------------
+@register(
+    "keyset_pagination_page",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id > 299
+    ORDER BY event_id LIMIT 100
+    """,
+)
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the scale-correct counterpart of
+    paginated_scan_page3's LIMIT/OFFSET form: the client passes the
+    last key it saw and the page is ``key > last ORDER BY key LIMIT
+    n``. OFFSET must materialize-and-discard every earlier row (page
+    1000 costs 1000 pages of work, and the discard grows per page),
+    while the seek predicate pushes to the parquet scan (min/max
+    prunes whole files) and TakeOrderedAndProject heaps deliver
+    exactly one page of work per page — O(page), flat at any depth."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") > 299)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
 # --- parallel backfill planning + accounting (round 4) -----------------------
 @register(
     "backfill_window_accounting",

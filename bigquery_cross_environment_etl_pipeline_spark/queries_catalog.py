@@ -153,6 +153,7 @@ _SECONDARY = [
     "backfill_window_accounting",
     "multimodal_payload_dedup",
     "daily_count_anomaly_zscore",
+    "keyset_pagination_page",
     "ann_topk_pq_adc",
     "streaming_stateful_user_totals",
     "embedding_label_centroids",
