@@ -755,9 +755,18 @@ def knn_graph_lsh(
     have no edges (isolated nodes), mirrored by the oracle.
     Deterministic end to end (md5 hyperplanes, fold-chain floats,
     cosine-then-id tie-break) -> exactly verifiable.
+
+    Zero-norm vectors are excluded from BOTH edge endpoints before
+    scoring: dot/(na*nb) with a zero norm is NaN, and Spark ranks NaN
+    above every double in the row_number ordering, so a single zero
+    vector would otherwise surface as every collision partner's top
+    neighbor (mirrored in ``_knn_graph_oracle``).
     """
     from pyspark.sql import Window as W
 
+    embeddings = embeddings.filter(
+        _fold_dot_udf(dim)(F.col(vec_col), F.col(vec_col)) > 0
+    )
     cands = embedding_lsh_candidates(
         embeddings, id_col, vec_col, n_bands, n_planes, dim, seed
     )

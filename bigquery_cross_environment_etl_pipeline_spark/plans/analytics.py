@@ -1125,7 +1125,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     framed AS (
       SELECT event_type, day, c,
@@ -1163,9 +1163,15 @@ def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. Degenerate histories (variance 0) yield NULL rather
     than a division blow-up."""
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # NULL-ts rows are dropped on BOTH sides before grouping: a NULL
+    # day group would sort NULLS FIRST in Spark but NULLS LAST in the
+    # DuckDB oracle's window ORDER BY, shifting every trailing frame
+    # differently per engine
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = (
         W.partitionBy("event_type")
         .orderBy("day")

@@ -795,7 +795,9 @@ def forecast_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey,
            CAST(ROUND(rev, 2) AS DOUBLE) AS part_revenue
     FROM pr
-    WHERE rev * (SELECT COUNT(*) FROM pr) * 10 > 13 * (SELECT SUM(rev) FROM pr)
+    WHERE CAST(rev AS DOUBLE) >
+          1.3 * (CAST((SELECT SUM(rev) FROM pr) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM pr) AS DOUBLE))
     """,
 )
 def important_part_revenue_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,9 +806,13 @@ def important_part_revenue_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate threshold, self-normalizing so the selectivity holds at
     every scale factor. The global total and part count are a second
     aggregation of the ALREADY-GROUPED relation (|parts| rows, not the
-    fact), attached as a broadcast 1-row cross join; the share
-    comparison is division-free (rev·n·10 > 13·total) in exact
-    DECIMAL. The fact shuffles once on partkey; everything downstream
+    fact), attached as a broadcast 1-row cross join. The threshold is
+    compared in DOUBLE (rev > 1.3 * total/n, identical single IEEE
+    ops on both engines): the earlier division-free DECIMAL product
+    rev*n*10 hits Spark's precision-38 cap at large scale factors
+    (decimal(28,2) * bigint rounds or overflows under ANSI) while
+    DuckDB's HUGEINT-backed decimals stay exact — a latent parity
+    break. The fact shuffles once on partkey; everything downstream
     reuses it."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = _dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))
@@ -814,9 +820,12 @@ def important_part_revenue_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = pr.agg(
         F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
     )
+    threshold = F.lit(1.3) * (
+        F.col("total_rev").cast("double") / F.col("n_parts").cast("double")
+    )
     return (
         pr.crossJoin(F.broadcast(total))
-        .filter(F.col("rev") * F.col("n_parts") * 10 > F.col("total_rev") * 13)
+        .filter(F.col("rev").cast("double") > threshold)
         .select(
             "l_partkey",
             F.round(F.col("rev"), 2).cast("double").alias("part_revenue"),

@@ -255,19 +255,27 @@ def pandas_udf_transform_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_median_applyinpandas",
     oracle="""
     SELECT user_id, median(value) AS median_value
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id < 256 GROUP BY user_id
     """,
 )
 def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregate (median) via applyInPandas — the UDAF
-    extension shape: per-group pandas frame in, one row out."""
+    extension shape: per-group pandas frame in, one row out.
+
+    Round 5 (verdict item 5): bounded to user_id < 256 — this query is
+    a deliberate Python-boundary COST DEMO (its 8x-faster builtin
+    control sits beside it on the SAME subset), and at full corpus it
+    was the #2 bench entry every round, drowning production-path
+    signal in suite totals. The subset keeps the Arrow round-trip and
+    per-group Python cost measurable without making it a headline
+    weight; the user_id predicate pushes to the parquet scan."""
 
     def median_of(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": [pdf["user_id"].iloc[0]], "median_value": [pdf["value"].median()]}
         )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 256)
     return events.select("user_id", "value").groupBy("user_id").applyInPandas(
         median_of, "user_id bigint, median_value double"
     )
@@ -405,18 +413,20 @@ def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_median_builtin",
     oracle="""
     SELECT user_id, median(value) AS median_value
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id < 256 GROUP BY user_id
     """,
 )
 def grouped_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same grouped median as `grouped_median_applyinpandas`, via
     the built-in `F.median` — no Python worker, no Arrow transfer, one
-    shuffle. Kept side-by-side with the applyInPandas form to document
-    the UDAF-extension trade-off: built-ins when the aggregate exists
-    (JVM-side, ~5x faster here), applyInPandas only for aggregates
-    Spark genuinely lacks. Spark's median == DuckDB's median bitwise
-    (both interpolate the middle pair with one IEEE add/divide)."""
-    events = load_table(spark, sf_dir, "events")
+    shuffle, over the SAME user_id < 256 subset so the pair stays an
+    apples-to-apples cost comparison. Kept side-by-side with the
+    applyInPandas form to document the UDAF-extension trade-off:
+    built-ins when the aggregate exists (JVM-side), applyInPandas only
+    for aggregates Spark genuinely lacks. Spark's median == DuckDB's
+    median bitwise (both interpolate the middle pair with one IEEE
+    add/divide)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 256)
     return events.groupBy("user_id").agg(
         F.median("value").alias("median_value")
     )
@@ -1335,6 +1345,109 @@ def _drain_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_data_watermark_replay",
+    oracle="""
+    WITH feed AS (
+      SELECT ts, event_type FROM events
+      WHERE user_id < 30 AND ts IS NOT NULL
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM feed)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM feed, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def late_data_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 with DRIVER-VISIBLE evidence (round-5): late data arriving
+    behind the declared watermark allowance is dropped, on-time data is
+    counted exactly once.
+
+    The feed is three explicit micro-batches (one file each,
+    maxFilesPerTrigger=1, mtime- and name-ordered): batch 0 carries
+    events before Jan 10, batch 1 carries [Jan 10, Jan 20) — advancing
+    the watermark to ~Jan 19 and EVICTING (finalizing) every earlier
+    window at its end — and batch 2 carries the rest of the month PLUS
+    a REDELIVERY of every pre-Jan-5 row. Three batches, not two, is
+    load-bearing: Spark drops a late row only once its window has been
+    finalized — a late row whose window is still live in the state
+    store MERGES (that is the declared lateness allowance), and
+    eviction happens at the END of the batch that advances the
+    watermark. So the redelivery must arrive one batch AFTER the
+    watermark passed it; batch 2's `numRowsDroppedByWatermark` is
+    exactly the redelivered rows. This is the reference's silent skip
+    of rows older than the checkpoint (core/services/billing_etl.py
+    window derivation), as Spark's declared lateness budget (T6).
+
+    The oracle counts each original row ONCE (no redelivery) over the
+    same finalized-window cutoff (window end <= global max ts - 10min,
+    the append-mode emission contract proven by
+    streaming_windowed_counts): the hash can only match if the stream
+    dropped the late duplicates — a doubled early window breaks it."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream
+
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("ts").isNotNull()
+    )
+    jan10 = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    jan20 = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    jan5 = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    batch0 = events.filter(F.col("ts") < jan10)
+    batch1 = events.filter((F.col("ts") >= jan10) & (F.col("ts") < jan20))
+    batch2 = events.filter(F.col("ts") >= jan20).unionByName(
+        events.filter(F.col("ts") < jan5)  # the late redelivery
+    )
+    name = f"late_replay_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="late_replay_") as tmp:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i, df in enumerate([batch0, batch1, batch2]):
+            stage = f"{tmp}/stage{i}"
+            df.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dest = f"{src}/batch-{i}.parquet"
+            shutil.move(f"{stage}/{part}", dest)
+            # deterministic micro-batch order under BOTH file-source
+            # listing policies: by mod time AND by path
+            os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+        schema = spark.read.parquet(src).schema
+        agg = (
+            read_stream(spark, src, schema, max_files_per_trigger=1)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream drain did not finish within 300s")
+    return spark.sql(
+        f"SELECT window_start, event_type, n_events FROM {name}"
+    ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
+
+
+@register(
     "streaming_topk_trending",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
@@ -1461,6 +1574,7 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
       ('database_exists', true),
       ('table_exists', true),
       ('config_written', true),
+      ('refetch_sees_update', true),
       ('bad_provision_rejected', true),
       ('bad_rolled_back', true),
       ('dropped_cascade', true)
@@ -1473,7 +1587,14 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     then force a second provision to FAIL (missing config row) and show
     its rollback left no catalog objects behind. Returns the step/
     assertion log (every arm must come back true — the VALUES oracle
-    pins all seven); temp catalog objects are dropped afterwards."""
+    pins all eight); temp catalog objects are dropped afterwards.
+
+    Round-5 J3 arm ``refetch_sees_update`` (reference
+    core/services/billing_etl.py:85-99): the config lookup BEFORE
+    provisioning observes NULL dataset/table names, and the SAME store
+    re-fetched after the upsert observes the new names — the lookup is
+    self-refreshing (recomputed from storage after the update), never
+    a stale cached row."""
     import tempfile
     import uuid
 
@@ -1495,6 +1616,7 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         steps = StepStatusStore(spark, f"{tmp}/steps")
         try:
+            pre = config.lookup(org)
             res = cat.provision(spark, org, config, steps)
             rows.append(("provision_created", bool(res.created)))
             rows.append(("database_exists", cat.database_exists(spark, dataset)))
@@ -1502,6 +1624,19 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             cfg = config.lookup(org)
             rows.append(
                 ("config_written", cfg is not None and cfg["pulsebillingdataset"] == dataset)
+            )
+            # J3: the pre-provision fetch saw a NULL dataset name; the
+            # post-upsert re-fetch of the SAME store sees the written
+            # name (lookup selects the reference's 5 columns, which
+            # exclude pulsetableid — billing_etl_db.py:64-75)
+            rows.append(
+                (
+                    "refetch_sees_update",
+                    pre is not None
+                    and pre["pulsebillingdataset"] is None
+                    and cfg is not None
+                    and cfg["pulsebillingdataset"] == dataset,
+                )
             )
             # failure path: org with no config row -> rollback, no objects
             bad = cat.provision(spark, org + 1, config, steps)
@@ -1595,6 +1730,13 @@ def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     UNION ALL
     SELECT CAST(1 AS BIGINT), 'log_statuses',
            'IN_PROGRESS+IN_PROGRESS+SUCCESS+SUCCESS', CAST(4 AS BIGINT)
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'null_end_dt_statuses',
+           'IN_PROGRESS+IN_PROGRESS', CAST(2 AS BIGINT)
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'pinned_now_window_ends',
+           '2024-01-15 00:00:00.000000+2024-02-01 00:00:00.000000',
+           CAST(2 AS BIGINT)
     """,
 )
 def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,7 +1748,21 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned ``now`` values — run1 loads [epoch, Jan 15), advances the
     watermark to max(ts)+1µs, run2 loads the rest below Feb 1, and the
     status log holds exactly {IN_PROGRESS, SUCCESS} x 2 — so a VALUES-
-    style oracle over the same events table replays it exactly."""
+    style oracle over the same events table replays it exactly.
+
+    Round-5 arms closing the last pytest-only §2 IDs with driver
+    evidence:
+
+    - P7 ``null_end_dt_statuses``: the two IN_PROGRESS checkpoints
+      insert ``end_date_time=None`` and must read back as exactly two
+      NULL-end rows — the None column stays a NULL in the row, never
+      dropped from the insert or defaulted (reference
+      core/database/billing_etl_db.py:29).
+    - F4 ``pinned_now_window_ends``: each run's extraction window ends
+      at exactly its pinned ``now`` (reference billing_etl.py pins
+      ``datetime.now()`` once per run, §2 F4) — rendered to
+      microsecond precision so any drift to wall-clock now() breaks
+      the hash."""
     import datetime as dt
     import tempfile
 
@@ -1623,11 +1779,20 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2 = process_etl_job(
             spark, 1, events, "ts", dest, ckpt, now=dt.datetime(2024, 2, 1)
         )
-        log = ckpt.read().select("org_id", "project_id", "status").collect()
+        log = ckpt.read().select("status", "end_date_time").collect()
+    null_end = sorted(r["status"] for r in log if r["end_date_time"] is None)
+    ends = [r1.window_end, r2.window_end]
     rows = [
         (r1.org_id, "run1", r1.status, r1.rows_loaded),
         (r2.org_id, "run2", r2.status, r2.rows_loaded),
         (1, "log_statuses", "+".join(sorted(r["status"] for r in log)), len(log)),
+        (1, "null_end_dt_statuses", "+".join(null_end), len(null_end)),
+        (
+            1,
+            "pinned_now_window_ends",
+            "+".join(e.strftime("%Y-%m-%d %H:%M:%S.%f") for e in ends),
+            len(ends),
+        ),
     ]
     return spark.createDataFrame(
         rows, "org_id long, step string, status string, n long"
@@ -2079,11 +2244,17 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value (size + DECIMAL-exact sum). The closure converges in
     ceil(log2(depth)) self-joins — depth ~log2(max user id), so 4-5
     rounds close a hierarchy over millions of ids; the oracle walks
-    the identical tree with a recursive CTE."""
+    the identical tree with a recursive CTE.
+
+    Round 5: max(user_id) comes from the persisted per-dataset stats
+    sidecar (operators/stats.py) instead of an eager full-column
+    aggregate per invocation — computed once per dataset version,
+    then a file read."""
     from ..operators.hierarchy import ancestor_closure
+    from ..operators.stats import table_stats
 
     events = load_table(spark, sf_dir, "events")
-    max_uid = events.agg(F.max("user_id")).first()[0]
+    max_uid = table_stats(spark, sf_dir, "events", ["user_id"])["max"]["user_id"]
     nodes = spark.range(0, int(max_uid) + 1).select(F.col("id").alias("u"))
     vals = (
         nodes.join(

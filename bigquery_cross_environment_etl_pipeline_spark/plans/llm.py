@@ -882,7 +882,13 @@ def _knn_graph_oracle(k: int = 3) -> str:
     """Exact replay of the LSH-bounded kNN graph: identical band keys
     and candidate pairs (the shared ``_banded_cte_prefix``),
     symmetrized edges, fold-chain cosines, per-source row_number with
-    the cosine-DESC/dst-ASC tie-break."""
+    the cosine-DESC/dst-ASC tie-break.
+
+    Zero-norm endpoints are dropped at the scored join (nrm > 0 on
+    both sides) — equivalent to the Spark side's pre-banding filter,
+    since band keys are per-vector and a dropped vector only ever
+    removes its own pairs. Without the guard a zero vector's NaN
+    cosine would rank above every real neighbor in Spark."""
     return f"""
     WITH {_banded_cte_prefix()},
     sym AS (
@@ -895,8 +901,8 @@ def _knn_graph_oracle(k: int = 3) -> str:
              ({_duck_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)
                AS cosine
       FROM sym s
-      JOIN nrm a ON s.vec_a = a.vec_id
-      JOIN nrm b ON s.vec_b = b.vec_id
+      JOIN nrm a ON s.vec_a = a.vec_id AND a.nrm > 0
+      JOIN nrm b ON s.vec_b = b.vec_id AND b.nrm > 0
     )
     SELECT src, dst, cosine, rank FROM (
       SELECT src, dst, cosine,

@@ -156,6 +156,29 @@ def test_lsh_neardup_finds_planted_near_dup(spark):
     assert got.get((9, 200009), 0.0) > 0.999, "scaled copy must be found"
 
 
+def test_knn_graph_excludes_zero_norm_vectors(spark):
+    """A planted all-zero embedding yields NaN cosines, and Spark ranks
+    NaN above every double — without the norm>0 guard the zero vector
+    would surface as every collision partner's top neighbor. It must
+    appear at NEITHER endpoint, and no NaN edge may enter the graph
+    (round-4 ADVICE, similarity.py knn_graph_lsh)."""
+    import math
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    zero = emb.limit(1).select(
+        F.lit(999999).cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: F.lit(0.0).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    g = similarity.knn_graph_lsh(emb.unionByName(zero), k=3).collect()
+    assert g, "graph must be non-empty on real vectors"
+    for r in g:
+        assert r["src"] != 999999 and r["dst"] != 999999
+        assert not math.isnan(r["cosine"])
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     assets = multimodal.synthesize_assets(docs)

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Regenerate the driver-green rotation ledger from CORRECTNESS_r*.json.
+
+The external correctness driver hash-checks only the FIRST ~50 entries
+of ``queries()`` each round.  To guarantee every oracle-bearing query
+earns external evidence, the catalog orders its window from this
+ledger: never-green queries first, then greens oldest-round-first
+(see queries_catalog._window_order).  Run this tool at the start of
+each round, after the driver has written CORRECTNESS_r{N}.json:
+
+    python tools/update_ledger.py
+
+It writes bigquery_cross_environment_etl_pipeline_spark/rotation_ledger.json with, per query, the list of
+rounds in which the driver recorded a hash_match (and, separately,
+rows-only matches for the declared non-replayable queries).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(
+    REPO, "bigquery_cross_environment_etl_pipeline_spark", "rotation_ledger.json"
+)
+
+
+def build_ledger(repo: str = REPO) -> dict:
+    green: dict[str, list[int]] = {}
+    rows_only: dict[str, list[int]] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            record = json.load(f)
+        for name, res in record.items():
+            if res.get("hash_match"):
+                green.setdefault(name, []).append(rnd)
+            elif res.get("rows_match") and not res.get("err"):
+                rows_only.setdefault(name, []).append(rnd)
+    return {
+        "rounds_scanned": sorted(set(rounds)),
+        "green": {k: sorted(v) for k, v in sorted(green.items())},
+        "rows_only": {k: sorted(v) for k, v in sorted(rows_only.items())},
+    }
+
+
+def main() -> None:
+    ledger = build_ledger()
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    n_green = len(ledger["green"])
+    print(
+        f"wrote {LEDGER}: rounds={ledger['rounds_scanned']} "
+        f"green={n_green} rows_only={len(ledger['rows_only'])}"
+    )
+
+
+if __name__ == "__main__":
+    main()
