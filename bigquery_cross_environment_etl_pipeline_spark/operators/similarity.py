@@ -756,17 +756,16 @@ def knn_graph_lsh(
     Deterministic end to end (md5 hyperplanes, fold-chain floats,
     cosine-then-id tie-break) -> exactly verifiable.
 
-    Zero-norm vectors are excluded from BOTH edge endpoints before
-    scoring: dot/(na*nb) with a zero norm is NaN, and Spark ranks NaN
-    above every double in the row_number ordering, so a single zero
-    vector would otherwise surface as every collision partner's top
-    neighbor (mirrored in ``_knn_graph_oracle``).
+    Zero-norm vectors are excluded from BOTH edge endpoints at the
+    scoring joins: dot/(na*nb) with a zero norm is NaN, and Spark
+    ranks NaN above every double in the row_number ordering, so a
+    single zero vector would otherwise surface as every collision
+    partner's top neighbor. The exclusion filters the norm relation
+    the verify joins already compute (``_nrm > 0`` — no extra pass),
+    exactly the oracle's join-time guard in ``_knn_graph_oracle``.
     """
     from pyspark.sql import Window as W
 
-    embeddings = embeddings.filter(
-        _fold_dot_udf(dim)(F.col(vec_col), F.col(vec_col)) > 0
-    )
     cands = embedding_lsh_candidates(
         embeddings, id_col, vec_col, n_bands, n_planes, dim, seed
     )
@@ -778,7 +777,7 @@ def knn_graph_lsh(
         F.col(id_col),
         F.col(vec_col),
         F.sqrt(fold_dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
-    )
+    ).filter(F.col("_nrm") > 0)
     a = e.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("_va"),

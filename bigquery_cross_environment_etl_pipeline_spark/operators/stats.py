@@ -58,21 +58,37 @@ def table_stats(
     version. Missing columns are computed and MERGED into the sidecar,
     so different callers share one file per table.
 
-    Columns must be JSON-representable scalars (numbers/strings);
-    timestamp stats would round-trip as strings and are refused rather
-    than silently retyped."""
-    import datetime as dt
+    Columns must be JSON-representable scalars (long/double/string/
+    boolean Spark types); timestamp or DECIMAL stats would not
+    round-trip through JSON losslessly and are refused at SCHEMA time
+    — before any scan is paid — rather than silently retyped."""
+    from pyspark.sql import types as T
+
     path = _stats_path(sf_dir, table)
-    stats: dict = {"count": None, "min": {}, "max": {}}
+    default: dict = {"count": None, "min": {}, "max": {}}
+    stats = default
     if os.path.isfile(path):
         try:
             with open(path) as f:
-                stats = json.load(f)
-        except ValueError:
-            pass  # corrupt sidecar: recompute below
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                stats = loaded
+        except (ValueError, OSError):
+            pass  # corrupt/unreadable sidecar: recompute below
     missing = [c for c in columns if c not in stats.get("max", {})]
     if stats.get("count") is None or missing:
         df = load_table(spark, sf_dir, table)
+        json_safe = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+        )
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        for c in missing:
+            if not isinstance(by_name.get(c), json_safe):
+                raise TypeError(
+                    f"column {c!r} ({by_name.get(c)}): stats would not "
+                    "round-trip through the JSON sidecar losslessly"
+                )
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in missing:
             aggs.append(F.min(c).alias(f"_min_{c}"))
@@ -82,21 +98,21 @@ def table_stats(
         stats.setdefault("min", {})
         stats.setdefault("max", {})
         for c in missing:
-            lo, hi = row[f"_min_{c}"], row[f"_max_{c}"]
-            if isinstance(lo, (dt.date, dt.datetime)) or isinstance(
-                hi, (dt.date, dt.datetime)
-            ):
-                raise TypeError(
-                    f"column {c!r}: timestamp stats would not round-trip "
-                    "through the JSON sidecar losslessly"
-                )
-            stats["min"][c] = lo
-            stats["max"][c] = hi
+            stats["min"][c] = row[f"_min_{c}"]
+            stats["max"][c] = row[f"_max_{c}"]
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # atomic publish: a concurrent reader sees the old sidecar or
-        # the new one, never a torn write
+        # the new one, never a torn write; the tmp file is removed on
+        # any failure between creation and rename
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, path)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     return stats

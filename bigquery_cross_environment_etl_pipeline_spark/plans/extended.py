@@ -1308,13 +1308,32 @@ def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     return _drain_windowed_counts(spark, sf_dir)
 
 
+def _drain_memory_sink(
+    agg: DataFrame, name: str, mode: str = "append", timeout: int = 300
+) -> None:
+    """Shared publish contract for every streaming query that
+    materializes through a memory sink: Trigger.AvailableNow, drained
+    SYNCHRONOUSLY with the awaitTermination result CHECKED — a
+    timed-out drain would leave a partially-filled sink and silently
+    publish wrong results downstream."""
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"stream drain {name!r} did not finish within {timeout}s"
+        )
+
+
 def _drain_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared drain harness for every windowed-counts streaming query:
     events through a file stream -> watermark -> 1-day tumbling windows
-    -> append-mode memory sink, AvailableNow drained SYNCHRONOUSLY —
-    the awaitTermination result is CHECKED, because a timed-out drain
-    would leave a partially-filled sink and silently publish wrong
-    finalized counts downstream."""
+    -> append-mode memory sink (checked drain: _drain_memory_sink)."""
     import tempfile
     import uuid
 
@@ -1329,16 +1348,7 @@ def _drain_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = stream_windowed_counts(
             read_stream(spark, src, schema), window_size="1 day"
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream drain did not finish within 300s")
+        _drain_memory_sink(agg, name)
     return spark.sql(
         f"SELECT window_start, event_type, n_events, total_value FROM {name}"
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
@@ -1432,16 +1442,7 @@ def late_data_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream drain did not finish within 300s")
+        _drain_memory_sink(agg, name)
     return spark.sql(
         f"SELECT window_start, event_type, n_events FROM {name}"
     ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
@@ -1552,14 +1553,7 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
         events.write.parquet(src)
         schema = spark.read.parquet(src).schema
         agg = stream_session_counts(read_stream(spark, src, schema))
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _drain_memory_sink(agg, name)
     return spark.sql(
         f"SELECT session_start, user_id, n_events, total_value FROM {name}"
     ).withColumn("session_start", F.date_format("session_start", TS_FMT_SPARK))
@@ -1704,14 +1698,7 @@ def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique"))
         )
-        q = (
-            deduped.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _drain_memory_sink(deduped, name, mode="complete")
     return spark.sql(f"SELECT event_type, n_unique FROM {name}")
 
 
@@ -2121,7 +2108,9 @@ def streaming_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
             keys=["user_id"],
             sequence_cols=["ts", "event_id"],
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("CDC stream drain did not finish within 300s")
         import glob
         import os
         import re
@@ -2368,15 +2357,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         events.orderBy("ts").write.parquet(src)
         schema = spark.read.parquet(src).schema
         stream = read_stream(spark, src, schema, max_files_per_trigger=2)
-        q = (
-            stream_user_totals_cents(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _drain_memory_sink(stream_user_totals_cents(stream), name, mode="update")
     # update mode appends one row per (key, micro-batch) to the memory
     # sink; monotonically_increasing_id orders emissions, the window
     # keeps each key's last

@@ -237,13 +237,18 @@ def _window_order(
     then declared rows-only queries last."""
     ledger = ledger if ledger is not None else _load_ledger()
     green: dict[str, list] = ledger.get("green", {})
+    rows_only: dict[str, list] = ledger.get("rows_only", {})
     rank = _stable_rank(names)
 
     def key(n: str):
         if n in _FORCE_WINDOW:
             return (0, _FORCE_WINDOW.index(n), (0, 0))
         if n not in oracle_names:
-            return (3, 0, rank[n])
+            # rows-only queries last, but never-checked ones first
+            # within the section so each earns its (weaker) driver
+            # rows-count row at least once
+            checked = rows_only.get(n)
+            return (3, max(checked) if checked else 0, rank[n])
         rounds = green.get(n)
         if not rounds:
             return (1, 0, rank[n])

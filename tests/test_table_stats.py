@@ -69,3 +69,28 @@ def test_stats_invalidate_on_regenerated_dataset(spark, dataset):
 def test_stats_refuse_timestamp_columns(spark, dataset):
     with pytest.raises(TypeError):
         st.table_stats(spark, dataset, "events", ["ts"])
+
+
+def test_stats_recover_from_non_dict_sidecar(spark, dataset):
+    """Valid JSON that is not an object (e.g. a truncated/hand-edited
+    file holding []) must trigger the recompute path, not crash."""
+    s1 = st.table_stats(spark, dataset, "events", ["user_id"])
+    path = st._stats_path(dataset, "events")
+    with open(path, "w") as f:
+        f.write("[]")
+    s2 = st.table_stats(spark, dataset, "events", ["user_id"])
+    assert s2["max"]["user_id"] == s1["max"]["user_id"]
+
+
+def test_stats_refusal_is_schema_time_and_leaves_no_tmp(spark, dataset):
+    """The type refusal happens before any scan and the atomic-publish
+    tmp file never leaks into the index dir."""
+    idx_dir = os.environ["SPARK_GRAFT_INDEX_DIR"]
+    with pytest.raises(TypeError):
+        st.table_stats(spark, dataset, "events", ["ts"])
+    leftovers = (
+        [f for f in os.listdir(idx_dir) if f.endswith(".tmp")]
+        if os.path.isdir(idx_dir)
+        else []
+    )
+    assert leftovers == []
