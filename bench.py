@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "multimodal_payload_dedup",
     "daily_count_anomaly_zscore",
     "keyset_pagination_page",
+    # round-5 addition: within-doc chunking with overlap
+    "doc_chunk_overlap",
 ]
 
 

@@ -134,6 +134,55 @@ def sequence_packing(
     )
 
 
+def chunk_with_overlap(
+    docs: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fixed-size token chunking with overlap — the
+    RAG-indexing / context-window prep counterpart of
+    ``sequence_packing`` (which concatenates ACROSS documents; this
+    windows WITHIN each document, never mixing sources, with
+    ``chunk_len - stride`` tokens of overlap so no span falls on a
+    cut).
+
+    Chunk starts are ``k * stride`` for ``k = 0 .. max(0,
+    ceil((n_tokens - chunk_len) / stride))`` — every token is covered,
+    the final chunk may run short, and a doc shorter than one chunk
+    yields exactly one chunk. Dataflow: one narrow ``posexplode`` of
+    the per-doc start list and a ``slice`` per chunk — zero shuffles,
+    zero joins; output size is input size times the overlap factor
+    (chunk_len / stride), which is the same at any scale. The slice
+    runs on the exploded row's materialized token array (NOT an
+    ``element_at`` HOF over a recomputed split — the per-element
+    re-evaluation trap documented in the verify skill).
+    """
+    from .text import tokens
+
+    n = F.size("_toks")
+    k_max = F.greatest(
+        F.ceil((n - F.lit(chunk_len)) / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(F.sequence(F.lit(0), k_max)).alias("chunk_id", "_k"),
+    )
+    start = F.col("_k") * stride
+    chunk = F.slice("_toks", start + 1, chunk_len)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_token"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     token_budget: int,

@@ -587,6 +587,55 @@ def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(counted, seq_len=2048)
 
 
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 48
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    e AS (
+      SELECT doc_id, w,
+             UNNEST(generate_series(0,
+               GREATEST(CAST(ceil((len(w) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0)
+                        AS BIGINT), 0))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(len(list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
+                               chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}))
+                AS BIGINT) AS n_chunk_tokens,
+           COALESCE(array_to_string(
+             list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' '), '')
+             AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token chunking with overlap (round-5 new op): 64-token
+    windows at stride 48 — the RAG-indexing / context-window prep
+    counterpart of corpus_sequence_packing (that one concatenates
+    ACROSS docs; this windows WITHIN each doc, 16 tokens of overlap so
+    no span falls on a cut). One narrow posexplode + a slice per
+    chunk: zero shuffles, zero joins, output = input x the overlap
+    factor at any scale (operators/curation.py::chunk_with_overlap).
+    Oracle: the same starts via scalar generate_series (list form —
+    the table-function form can't take lateral column args) and
+    1-based inclusive list_slice, which clamps past-end exactly like
+    Spark's slice."""
+    from ..operators.curation import chunk_with_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_with_overlap(
+        docs, chunk_len=_CHUNK_LEN, stride=_CHUNK_STRIDE
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF-style term weighting
 # ---------------------------------------------------------------------------

@@ -80,6 +80,8 @@ _FORCE_WINDOW: list[str] = [
     # modified this round: max_uid now reads the persisted stats
     # sidecar (operators/stats.py) instead of an eager aggregate
     "hierarchy_subtree_rollup",
+    # new this round: RAG-style within-doc chunking with overlap
+    "doc_chunk_overlap",
 ]
 
 _STABLE_ORDER = [

@@ -124,3 +124,47 @@ def test_sequence_packing_invariants(spark):
         last_tok = r["start_offset"] + r["n_tokens"] - 1
         assert r["spans_boundary"] == (last_tok // 128 > r["pack_id"])
         expect_start += r["n_tokens"]
+
+
+def test_chunk_with_overlap_invariants(spark):
+    """Within-doc chunking: every token position is covered by at least
+    one chunk, consecutive chunks overlap by exactly chunk_len - stride
+    (except a short final chunk), chunk text matches the token slice,
+    and a doc shorter than one chunk yields exactly one chunk."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.curation import (
+        chunk_with_overlap,
+    )
+    from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    CHUNK, STRIDE = 16, 12
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    toks = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in docs.collect()
+    }
+    out = chunk_with_overlap(docs, chunk_len=CHUNK, stride=STRIDE).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks), "every doc must emit chunks"
+    for doc_id, rows in by_doc.items():
+        words = toks[doc_id]
+        rows.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for r in rows:
+            s = r["start_token"]
+            assert s == r["chunk_id"] * STRIDE
+            expect = words[s : s + CHUNK]
+            assert r["n_chunk_tokens"] == len(expect)
+            assert r["chunk_text"] == " ".join(expect)
+            covered.update(range(s, s + len(expect)))
+        assert covered == set(range(len(words))), "chunks must cover every token"
+        if len(words) <= CHUNK:
+            assert len(rows) == 1, "short doc must yield exactly one chunk"
+        # no start beyond the text, and the chunk count is minimal
+        assert rows[-1]["start_token"] < max(len(words), 1)
+        if len(rows) > 1:
+            penult = rows[-2]
+            assert penult["start_token"] + CHUNK < len(words) + STRIDE
