@@ -1449,6 +1449,120 @@ def late_data_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enrich_static_join",
+    oracle="""
+    WITH feed AS (
+      SELECT e.ts, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM feed)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f')
+             AS window_start,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM feed, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join (round-5 new op): the events stream enriched
+    per micro-batch against the static customer dimension (broadcast —
+    a map-side lookup, never a shuffle of the stream), then finalized
+    1-day windows per market segment — the most common streaming
+    enrichment shape, absent from the catalog until now. Inner-join
+    semantics drop unmatched users, mirroring the reference's skip of
+    unknown tenants (config resolved BEFORE processing,
+    core/services/billing_etl.py). The watermark sits downstream of
+    the join, so the emission cutoff is max(MATCHED event time) -
+    lateness, exactly what the oracle's feed CTE computes."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_static_enrich_counts
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_enrich_") as tmp:
+        src = f"{tmp}/src"
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        agg = stream_static_enrich_counts(
+            read_stream(spark, src, schema),
+            dim,
+            join_key_stream="user_id",
+            join_key_dim="c_custkey",
+            group_col="c_mktsegment",
+        )
+        _drain_memory_sink(agg, name)
+    return spark.sql(
+        f"SELECT window_start, c_mktsegment, n_events FROM {name}"
+    ).withColumn("window_start", F.date_format("window_start", TS_FMT_SPARK))
+
+
+@register(
+    "streaming_interval_join_pairs",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (round-5 new op): clicks joined to the
+    same user's purchases within the following hour, both sides
+    genuine streams with watermarks and an event-time interval
+    constraint — the two-sided join state machine
+    (streaming/incremental.py::stream_stream_interval_join), with
+    state bounded by lateness + interval instead of growing forever.
+
+    Determinism: each side is one file, so both sources land in
+    micro-batch 0 and every pair emits there, exactly once —
+    inner-join emission is match-driven and nothing can be evicted
+    before its partner arrives. The oracle is the batch self-join with
+    the identical timestamp-domain interval (epoch-seconds
+    subtraction would misclassify boundary pairs)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_ssjoin_") as tmp:
+        lsrc, rsrc = f"{tmp}/clicks", f"{tmp}/purchases"
+        events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        ).coalesce(1).write.parquet(lsrc)
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ).coalesce(1).write.parquet(rsrc)
+        lschema = spark.read.parquet(lsrc).schema
+        rschema = spark.read.parquet(rsrc).schema
+        joined = stream_stream_interval_join(
+            read_stream(spark, lsrc, lschema),
+            read_stream(spark, rsrc, rschema),
+            key="user_id",
+            interval="1 hour",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        _drain_memory_sink(joined, name)
+    return spark.sql(
+        f"SELECT user_id, click_id, purchase_id FROM {name}"
+    )
+
+
+@register(
     "streaming_topk_trending",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),

@@ -82,6 +82,13 @@ _FORCE_WINDOW: list[str] = [
     "hierarchy_subtree_rollup",
     # new this round: RAG-style within-doc chunking with overlap
     "doc_chunk_overlap",
+    # new this round: stream-static broadcast enrich + stream-stream
+    # interval join (the two previously-uncovered streaming join forms)
+    "streaming_enrich_static_join",
+    "streaming_interval_join_pairs",
+    # new this round: composed IVF-PQ serving stack (pruned cells x
+    # 8-byte codes), persisted PQ sidecar
+    "ann_topk_ivfpq",
 ]
 
 _STABLE_ORDER = [
@@ -232,19 +239,26 @@ def _window_order(
     names: list[str],
     oracle_names: set[str],
     ledger: dict | None = None,
+    force: list[str] | None = None,
 ) -> list[str]:
     """Order the catalog so the driver's ~50-entry check window earns
     the most external evidence: force-recheck first, then never-green
     oracle-bearing queries, then greens least-recently-green first,
-    then declared rows-only queries last."""
+    then declared rows-only queries last.
+
+    ``force`` defaults to _FORCE_WINDOW; the rotation-liveness
+    simulation passes its own (first-round-only) list because the
+    real force list is reset every round, so a multi-round simulation
+    that froze it would overstate the slots force entries consume."""
     ledger = ledger if ledger is not None else _load_ledger()
+    force = _FORCE_WINDOW if force is None else force
     green: dict[str, list] = ledger.get("green", {})
     rows_only: dict[str, list] = ledger.get("rows_only", {})
     rank = _stable_rank(names)
 
     def key(n: str):
-        if n in _FORCE_WINDOW:
-            return (0, _FORCE_WINDOW.index(n), (0, 0))
+        if n in force:
+            return (0, force.index(n), (0, 0))
         if n not in oracle_names:
             # rows-only queries last, but never-checked ones first
             # within the section so each earns its (weaker) driver

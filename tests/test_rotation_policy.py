@@ -27,10 +27,15 @@ def _catalog():
 
 def _simulate(names, oracle_names, ledger, rounds, start_round):
     """Run the driver loop: each round the first WINDOW entries of the
-    computed order gain a green hash row (oracle-bearing only)."""
+    computed order gain a green hash row (oracle-bearing only).
+    _FORCE_WINDOW applies only to the FIRST simulated round — in the
+    real loop it is reset to that round's new/modified queries, so
+    later simulated rounds model it as empty rather than freezing the
+    current list and overcounting the slots it consumes."""
     ledger = copy.deepcopy(ledger)
-    for r in range(start_round, start_round + rounds):
-        order = qc._window_order(names, oracle_names, ledger)
+    for i, r in enumerate(range(start_round, start_round + rounds)):
+        force = None if i == 0 else []
+        order = qc._window_order(names, oracle_names, ledger, force=force)
         for n in order[:WINDOW]:
             if n in oracle_names:
                 ledger.setdefault("green", {}).setdefault(n, []).append(r)

@@ -80,3 +80,78 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert expect[k] == v
     shutil.rmtree(str(tmp_path / "src"))
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """Cross-batch matches must survive: a click in micro-batch 0 whose
+    purchase arrives in micro-batch 1 still pairs, because the
+    watermark lags far enough that the click's join state is never
+    evicted before the partner shows up. Pairs must equal the batch
+    join exactly (no loss, no duplicates)."""
+    import os
+
+    from bigquery_cross_environment_etl_pipeline_spark.streaming.incremental import (
+        read_stream,
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    # clicks in one file; purchases split into TWO mtime-ordered files so
+    # the second half arrives a micro-batch after the clicks it matches
+    clicks.coalesce(1).write.parquet(lsrc)
+    mid = "2024-01-15 00:00:00"
+    os.makedirs(rsrc)
+    for i, part in enumerate(
+        [
+            purchases.filter(F.col("ts") < F.lit(mid).cast("timestamp")),
+            purchases.filter(F.col("ts") >= F.lit(mid).cast("timestamp")),
+        ]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        dest = f"{rsrc}/b{i}.parquet"
+        os.rename(f"{stage}/{f}", dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+    joined = stream_stream_interval_join(
+        read_stream(spark, lsrc, spark.read.parquet(lsrc).schema),
+        read_stream(spark, rsrc, spark.read.parquet(rsrc).schema, max_files_per_trigger=1),
+        key="user_id",
+        interval="1 hour",
+        lateness="40 days",  # never evict within the replayed month
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_x")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_x").collect()
+    )
+    expect = sorted(
+        (r["cid"], r["pid"])
+        for r in clicks.alias("l")
+        .join(
+            purchases.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("l.event_id").alias("cid"), F.col("r.event_id").alias("pid"))
+        .collect()
+    )
+    assert got == expect and got, "cross-batch pairs must match the batch join"
