@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "ann_topk_pq_adc",
+    "ann_topk_ivfpq",
     "json_props_extract",
     "token_topk",
     "grouped_median_applyinpandas",

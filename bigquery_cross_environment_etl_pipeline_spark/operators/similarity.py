@@ -932,3 +932,112 @@ def pq_encode_expr(
     return embeddings.select(
         "vec_id", F.concat_ws(",", *code_cols).alias("pq_code")
     )
+
+
+#: Version tag of the persisted PQ-codes sidecar layout/semantics —
+#: part of its on-disk directory name so a semantic change to encoding
+#: invalidates old sidecars (same discipline as IVF_BUILD_VERSION).
+PQ_STORE_VERSION = 1
+
+
+def ivfpq_codes_persist(
+    spark,
+    index_path: str,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> str:
+    """Materialize the PQ-codes SIDECAR of a persisted IVF index: every
+    assigned vector's 8-id code, partitioned by ``_cid`` exactly like
+    the raw assignments — so an IVF-PQ probe scans only the pruned
+    cells AND only the 8-byte codes instead of 256-byte vectors (the
+    32x IO reduction composed with the nprobe/n_centroids pruning).
+    Build cost is one encoding pass over the already-persisted index;
+    returns the sidecar path (``<index>/pq_v{PQ_STORE_VERSION}``).
+    """
+    pq_path = f"{index_path}/pq_v{PQ_STORE_VERSION}"
+    assigned = spark.read.parquet(index_path + "/assigned")
+    codes = pq_encode(assigned, centroid_rows, vec_col, dim)
+    (
+        assigned.select(id_col, "_cid")
+        .join(codes, id_col)
+        .write.mode("overwrite")
+        .partitionBy("_cid")
+        .parquet(pq_path)
+    )
+    return pq_path
+
+
+def ann_topk_ivfpq_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroid_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ ADC serving — the canonical billion-vector stack (FAISS
+    IVFPQ): rank IVF centroids driver-side (bounded: <= n_centroids
+    rows), scan ONLY the PQ-codes sidecar of the ``nprobe`` pruned
+    ``_cid=`` partitions (static partition pruning + 32x narrower IO
+    than raw vectors), and score each candidate as M integer lookups
+    into the query's (M x K) ADC table — no float math against raw
+    vectors anywhere in the serving path. Requires the sidecar from
+    ``ivfpq_codes_persist``. Codebook centroid ids must be the
+    contiguous 0..K-1 range (they are: the codebook is the PQ_K
+    lowest-id data vectors), matching the LUT's positional indexing.
+    """
+    import math
+
+    sub_d = dim // PQ_M
+    qnrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cents = spark.read.parquet(index_path + "/centroids").collect()
+    scored = sorted(
+        (
+            (
+                sum(float(a) * float(b) for a, b in zip(r["_cvec"], query_vec))
+                / (r["_cnrm"] * qnrm),
+                -r["_cid"],
+            )
+            for r in cents
+        ),
+        reverse=True,
+    )
+    probe_cids = [int(-c) for _, c in scored[:nprobe]]
+
+    # (M x K) ADC table: left-fold subspace squared-L2, driver-side —
+    # the identical IEEE chain as pq_encode / the SQL oracle
+    table = []
+    for s in range(PQ_M):
+        row = []
+        for _, vec in sorted(centroid_rows):
+            acc = 0.0
+            for i in range(s * sub_d, (s + 1) * sub_d):
+                t = float(query_vec[i]) - float(vec[i])
+                acc = acc + t * t
+            row.append(acc)
+        table.append(row)
+
+    pq_path = f"{index_path}/pq_v{PQ_STORE_VERSION}"
+    codes = spark.read.parquet(pq_path).filter(F.col("_cid").isin(probe_cids))
+    if exclude_id is not None:
+        codes = codes.filter(F.col(id_col) != exclude_id)
+    codes_arr = codes.select(
+        id_col,
+        F.transform(F.split("pq_code", ","), lambda x: x.cast("int")).alias(
+            "_codes"
+        ),
+    )
+    dist = F.lit(0.0)
+    for s in range(PQ_M):
+        lut = F.array(*[F.lit(v) for v in table[s]])
+        dist = dist + F.element_at(lut, F.element_at("_codes", s + 1) + 1)
+    return (
+        codes_arr.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

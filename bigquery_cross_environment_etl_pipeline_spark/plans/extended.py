@@ -934,6 +934,111 @@ def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    n_centroids: int = 8, nprobe: int = 4, k: int = 10, qid: int = 7
+) -> str:
+    """Composed stage replay of the full IVF-PQ serving stack: the IVF
+    half (seed centroids, struct-max assignment, probe ranking) from
+    ``_ivf_oracle`` with centroids renamed ``icent`` to leave the PQ
+    half's CTE names free, the PQ half (codebook, per-subspace code
+    assignment, query ADC table) verbatim from the shared
+    ``_pq_code_ctes``/``_pq_subspace_chain`` generators, and the final
+    distance rebuilt as the explicit subspace-ordered chain. Every
+    stage deterministic, every float op the shared left fold — so the
+    composition is exactly as verifiable as its two halves."""
+    from ..operators import similarity
+    from .llm import _pq_code_ctes, _pq_subspace_chain
+
+    dot = _duck_dot64
+    dist_chain = " + ".join(
+        f"MAX(CASE WHEN s = {s} THEN dv END)" for s in range(similarity.PQ_M)
+    )
+    return f"""
+    WITH nrm AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    icent AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
+                          DESC, c.cid ASC
+               ) AS rn
+        FROM nrm n CROSS JOIN icent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
+    probe AS (
+      SELECT cid FROM icent, q
+      ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
+      LIMIT {nprobe}
+    ),
+    {_pq_code_ctes()},
+    qtab AS (
+      SELECT s.s, c.c, {_pq_subspace_chain('q.qvec')} AS d
+      FROM subs s, cent c, q
+    ),
+    looked AS (
+      SELECT code.vec_id, code.s, qtab.d AS dv
+      FROM code
+      JOIN assign a ON code.vec_id = a.vec_id
+      JOIN probe p ON a.cid = p.cid
+      JOIN qtab ON code.s = qtab.s AND code.ci = qtab.c
+      WHERE code.vec_id <> {qid}
+    )
+    SELECT vec_id, adc_dist FROM (
+      SELECT vec_id, 0.0 + {dist_chain} AS adc_dist
+      FROM looked GROUP BY vec_id
+    )
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-k — the COMPOSED serving stack this engine's ANN
+    pieces exist for (FAISS-style IVFPQ): the persisted IVF index
+    prunes the scan to nprobe ``_cid=`` partitions, the persisted
+    PQ-codes SIDECAR (built once per index,
+    similarity.ivfpq_codes_persist) makes that scan read 8-byte codes
+    instead of 256-byte vectors, and each candidate costs M integer
+    LUT lookups against the query's driver-built (M x K) ADC table.
+    At 100 TB the two factors multiply: nprobe/n_centroids of the data
+    x 1/32 of the bytes, with zero float math against raw vectors in
+    the serving path. Recall vs the PQ-only and exact paths asserted
+    in tests/test_scale_ops.py; the oracle replays both index halves
+    stage-for-stage."""
+    import os
+
+    from ..operators import similarity
+    from ..operators.similarity import ann_topk_ivfpq_probe, ivfpq_codes_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = _ivf_index(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    pq_path = f"{index_path}/pq_v{similarity.PQ_STORE_VERSION}"
+    if not os.path.exists(pq_path + "/_SUCCESS"):
+        ivfpq_codes_persist(spark, index_path, cents)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    return ann_topk_ivfpq_probe(
+        spark, index_path, qvec, cents, k=10, nprobe=4, exclude_id=7
+    )
+
+
 def _lloyd_oracle(
     n_centroids: int = 8,
     n_iters: int = 2,

@@ -478,3 +478,62 @@ def test_kmeans_refine_keeps_position_when_cell_empties(spark):
                similarity.kmeans_refine(emb, seed, n_iters=1, dim=dim).collect()}
     assert refined[1] == v, "emptied cell must keep its old position"
     assert all(x is not None for x in refined[0])
+
+
+def test_ivfpq_sidecar_prunes_and_recall(spark, tmp_path):
+    """The composed IVF-PQ serving path: the PQ-codes sidecar is
+    partitioned by centroid id (probe scans prune to nprobe cells and
+    read 8-byte codes, never raw vectors), its ADC ranking agrees with
+    the PQ-only ADC ranking on the shared candidate set, and recall vs
+    the exact cosine top-k stays useful."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    similarity.ivf_index_persist(spark, emb, path, n_centroids=8)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    pq_path = similarity.ivfpq_codes_persist(spark, path, cents)
+
+    # sidecar is _cid-partitioned and a probe's filter prunes the scan
+    codes = spark.read.parquet(pq_path)
+    probe = codes.filter(F.col("_cid").isin([0, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "_cid" in plan.split("PartitionFilters")[-1]
+    ), "sidecar scan must prune to the probed cells"
+    # sidecar holds a code for every indexed vector
+    assert codes.count() == emb.count()
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    got = similarity.ann_topk_ivfpq_probe(
+        spark, path, qvec, cents, k=10, nprobe=4, exclude_id=7
+    ).collect()
+    assert len(got) == 10
+
+    # ADC distances must equal the PQ-only ADC values for the same ids
+    # (the IVF layer prunes candidates; it must not change the math)
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        ann_topk_pq_adc,
+    )
+
+    full_adc = {
+        r["vec_id"]: r["adc_dist"]
+        for r in ann_topk_pq_adc(spark, SF_SMOKE).limit(10**6).collect()
+    }
+    for r in got:
+        if r["vec_id"] in full_adc:
+            assert r["adc_dist"] == full_adc[r["vec_id"]]
+
+    # recall vs exact cosine: half the cells x 8-id codes still finds
+    # a useful share of the true neighbors
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, query_id=7, k=10).collect()
+    }
+    recall = len(exact & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.2, f"IVF-PQ recall too low: {recall}"
