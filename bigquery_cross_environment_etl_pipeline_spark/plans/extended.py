@@ -1668,6 +1668,89 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_left_outer_join_nulls",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) l
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join (round-5 new op): every
+    click pairs with same-user purchases in the following hour, and a
+    click with NO such purchase still emits — with NULL purchase
+    columns — once the watermark PROVES no partner can arrive. This is
+    the state-machine half the inner join doesn't exercise:
+    watermark-driven null emission from evicted join state.
+
+    Determinism layout: batch 0 carries all real rows on both sides
+    (every match emits there); batches 1-2 are far-future sentinel
+    rows on BOTH sides (filtered out of the result) whose only job is
+    to advance both watermarks past every real click's match horizon —
+    null emission happens a batch AFTER the advance (eviction at
+    batch end, as in late_data_watermark_replay), hence two trailing
+    advancer batches, not one. With every unmatched click flushed, the
+    stream output equals the batch LEFT JOIN exactly — which is the
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import read_stream, stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    sides = {
+        "l": events.filter(F.col("event_type") == "click"),
+        "r": events.filter(F.col("event_type") == "purchase"),
+    }
+    name = f"lojoin_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_lojoin_") as tmp:
+        for tag, df in sides.items():
+            base = f"{tmp}/{tag}"
+            os.makedirs(base)
+            sentinel = lambda ts: spark.createDataFrame(
+                [(-1, ts, -1)], "user_id long, ts string, event_id long"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            batches = [
+                df.select("user_id", "ts", "event_id"),
+                sentinel("2035-01-01 00:00:00"),
+                sentinel("2035-01-02 00:00:00"),
+            ]
+            for i, b in enumerate(batches):
+                stage = f"{tmp}/{tag}_stage{i}"
+                b.coalesce(1).write.parquet(stage)
+                part = next(
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                )
+                dest = f"{base}/batch-{i}.parquet"
+                shutil.move(f"{stage}/{part}", dest)
+                os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+        schema = spark.read.parquet(f"{tmp}/l").schema
+        joined = stream_stream_interval_join(
+            read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),
+            read_stream(spark, f"{tmp}/r", schema, max_files_per_trigger=1),
+            key="user_id",
+            interval="1 hour",
+            how="left_outer",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        _drain_memory_sink(joined, name)
+    return spark.sql(
+        f"SELECT user_id, click_id, purchase_id FROM {name} WHERE user_id >= 0"
+    )
+
+
+@register(
     "streaming_topk_trending",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),

@@ -89,6 +89,9 @@ _FORCE_WINDOW: list[str] = [
     # new this round: composed IVF-PQ serving stack (pruned cells x
     # 8-byte codes), persisted PQ sidecar
     "ann_topk_ivfpq",
+    # new this round: stream-stream LEFT OUTER join (watermark-driven
+    # null emission from evicted join state)
+    "streaming_left_outer_join_nulls",
 ]
 
 _STABLE_ORDER = [

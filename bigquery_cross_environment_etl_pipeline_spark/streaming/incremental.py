@@ -277,6 +277,7 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     interval: str = "1 hour",
     lateness: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join with an event-time interval constraint:
     right rows within ``[left_ts, left_ts + interval]`` for the same
@@ -296,7 +297,15 @@ def stream_stream_interval_join(
     The interval comparison stays in the TIMESTAMP domain
     (right_ts <= left_ts + INTERVAL) — an epoch-seconds subtraction
     would truncate and misclassify boundary pairs (verify-skill
-    gotcha)."""
+    gotcha).
+
+    ``how="left_outer"`` adds watermark-driven NULL emission: an
+    unmatched left row emits with NULL right columns once the global
+    watermark proves no partner can still arrive (left_ts + interval
+    behind the watermark) — emission therefore happens a batch AFTER
+    the watermark advance, so a bounded replay needs trailing
+    watermark-advancer batches on BOTH sides (the same
+    eviction-at-batch-end mechanics as late_data_watermark_replay)."""
     l = left.withWatermark(left_ts, lateness).alias("l")
     r = right.withWatermark(right_ts, lateness).alias("r")
     lc, rc = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
@@ -305,4 +314,5 @@ def stream_stream_interval_join(
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rc >= lc)
         & (rc <= lc + F.expr(f"INTERVAL {interval}")),
+        how,
     )
