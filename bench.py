@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "text_pii_redaction",
     "grouped_median_builtin",
     "nation_trade_pagerank",
+    "nation_trade_shortest_paths",
     "nation_trade_triangles",
     "bilateral_trade_volume",
     "slow_suppliers_multi_anti",

@@ -237,3 +237,125 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --- single-source shortest paths (Bellman-Ford relaxation) -----------------
+_SSSP_ITERS = 6
+_SSSP_SOURCE = 0
+
+
+def _sssp_oracle(iters: int = _SSSP_ITERS, source: int = _SSSP_SOURCE) -> str:
+    """Unrolled min-plus relaxation in DuckDB — one tiny CTE per
+    iteration (the pagerank-oracle pattern; a recursive CTE would
+    enumerate paths combinatorially on this dense graph). The NULL
+    handling is an explicit CASE, identical on both engines, so no
+    engine-specific least/NULL semantics are in play."""
+    head = f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             GREATEST(1::BIGINT, 1000000::BIGINT // CAST(COUNT(*) AS BIGINT))
+               AS cost
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT n_nationkey AS k,
+             CASE WHEN n_nationkey = {source}
+                  THEN 0::BIGINT END AS d
+      FROM nation
+    )"""
+    step = """,
+    d{next} AS (
+      SELECT n.k,
+             CASE WHEN n.d IS NULL THEN m.c
+                  WHEN m.c IS NULL THEN n.d
+                  WHEN m.c < n.d THEN m.c
+                  ELSE n.d END AS d
+      FROM d{cur} n LEFT JOIN (
+        SELECT e.dst AS k, MIN(p.d + e.cost) AS c
+        FROM edges e JOIN d{cur} p ON e.src = p.k
+        WHERE p.d IS NOT NULL
+        GROUP BY e.dst
+      ) m ON n.k = m.k
+    )"""
+    tail = f"""
+    SELECT n_name, d.d AS dist
+    FROM d{iters} d JOIN nation ON d.k = n_nationkey
+    WHERE d.d IS NOT NULL
+    """
+    return (
+        head
+        + "".join(step.format(cur=k, next=k + 1) for k in range(iters))
+        + tail
+    )
+
+
+@register("nation_trade_shortest_paths", oracle=_sssp_oracle())
+def nation_trade_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the weighted trade graph —
+    Bellman-Ford as distributed min-plus relaxation, the third
+    iterative-graph primitive beside PageRank and triangles. Edge cost
+    is integer ``GREATEST(1, 1000000 DIV w)`` (stronger trade = cheaper
+    hop), so every relaxation is exact integer math with a
+    deterministic fixed point; ``_SSSP_ITERS`` bounded iterations cover
+    the graph's diameter with margin, and BOTH engines run exactly that
+    many relaxations, so parity holds even pre-convergence.
+
+    Scale notes: identical shape to pagerank_scaled — the data-sized
+    work is the one-pass fact-table edge aggregation; each iteration
+    broadcasts the |V|-row distance vector against the cached edge
+    relation and costs O(|E|) independent of corpus size, with
+    iter_checkpoint keeping plan depth constant. On a huge graph the
+    same loop runs with the distance vector as a shuffled (not
+    broadcast) relation — only the join hint changes."""
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        trade_edges(spark, sf_dir)
+        .select(
+            "src",
+            "dst",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("CAST(1000000 AS BIGINT) DIV w"),
+            ).alias("cost"),
+        )
+        .cache()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("k"))
+    dist = nodes.withColumn(
+        "d",
+        F.when(F.col("k") == _SSSP_SOURCE, F.lit(0).cast("long")),
+    )
+    for _ in range(_SSSP_ITERS):
+        reach = dist.filter(F.col("d").isNotNull()).select(
+            F.col("k").alias("_src"), F.col("d").alias("_d")
+        )
+        relax = (
+            edges.join(F.broadcast(reach), edges.src == F.col("_src"))
+            .select(
+                F.col("dst").alias("k"),
+                (F.col("_d") + F.col("cost")).alias("cand"),
+            )
+            .groupBy("k")
+            .agg(F.min("cand").alias("c"))
+        )
+        dist = (
+            dist.join(relax, "k", "left")
+            .select(
+                "k",
+                F.when(F.col("d").isNull(), F.col("c"))
+                .when(F.col("c").isNull(), F.col("d"))
+                .when(F.col("c") < F.col("d"), F.col("c"))
+                .otherwise(F.col("d"))
+                .alias("d"),
+            )
+            .transform(iter_checkpoint)
+        )
+    return (
+        dist.filter(F.col("d").isNotNull())
+        .join(F.broadcast(nation), dist.k == nation.n_nationkey)
+        .select("n_name", F.col("d").alias("dist"))
+    )

@@ -92,6 +92,9 @@ _FORCE_WINDOW: list[str] = [
     # new this round: stream-stream LEFT OUTER join (watermark-driven
     # null emission from evicted join state)
     "streaming_left_outer_join_nulls",
+    # new this round: Bellman-Ford min-plus relaxation (third
+    # iterative-graph primitive)
+    "nation_trade_shortest_paths",
 ]
 
 _STABLE_ORDER = [
