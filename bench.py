@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "json_props_extract",
     "token_topk",
+    "bm25_topk_retrieval",
     "grouped_median_applyinpandas",
     "shipping_priority_top10",
     "returned_item_customers",

@@ -686,6 +686,129 @@ def tfidf_style_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 top-k retrieval ---------------------------------------------------
+_BM25_TERMS = ("window", "stream", "hash")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # per-term score: ratio idf x saturated tf, every float op a single
+    # IEEE mul/div/add with the same expression tree as the Spark side
+    s = (
+        "(((stats.n_docs - CAST(df.df AS DOUBLE)) + 0.5)"
+        " / (CAST(df.df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf.n AS DOUBLE) * {_BM25_K1 + 1.0!r})"
+        f" / (CAST(tf.n AS DOUBLE) + {_BM25_K1!r}"
+        f" * ({1.0 - _BM25_B!r} + {_BM25_B!r}"
+        " * (CAST(doclen.len AS DOUBLE) / stats.avglen))))"
+    )
+    fold = " + ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, w AS token
+      FROM documents, UNNEST({_DUCK_WORDS}) AS t(w)
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE token IN ({terms_in}) GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE token IN ({terms_in}) GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, {s} AS s
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, 0.0 + {fold} AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@register("bm25_topk_retrieval", oracle=_bm25_oracle())
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval — the sparse half of a RAG /
+    training-data retrieval stack beside the dense ANN family: per-term
+    saturated-tf x idf scoring for a literal query, folded per document
+    in FIXED term order, TakeOrderedAndProject heaps for the top-k.
+
+    Exactness discipline: the idf keeps tfidf_style_weights' ratio
+    form ((N - df + 0.5) / (df + 0.5), no ln — JVM and libm log()
+    drift in the last ulp), every float op is a single IEEE mul/div/add
+    with the identical expression tree in both engines, and the
+    per-doc fold is an explicit term-ordered chain, not a SUM whose
+    order the engine picks. Corpus stats (N, avglen) ride in as a
+    broadcast 1-row relation — no eager driver-side pre-pass.
+
+    At 100 TB: tf/df/doclen are one tokenize pass (map-side partial
+    aggs); the per-term score join broadcasts the |terms|-row df
+    relation; top-k is per-partition heaps, no global sort. A real
+    deployment persists tf/df/doclen as an inverted-index sidecar
+    (the pattern operators/stats.py establishes) and serves queries
+    from it; the scoring dataflow is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("len").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avglen"),
+    )
+    hits = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    df_counts = hits.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    dfd = F.col("df").cast("double")
+    nd = F.col("n").cast("double")
+    idf = ((F.col("n_docs") - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
+    tf_sat = (nd * F.lit(_BM25_K1 + 1.0)) / (
+        nd
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B)
+            * (F.col("len").cast("double") / F.col("avglen"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", (idf * tf_sat).alias("s"))
+    )
+    fold = F.lit(0.0)
+    for t in _BM25_TERMS:
+        fold = fold + F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+    return (
+        scored.groupBy("doc_id")
+        .agg(fold.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

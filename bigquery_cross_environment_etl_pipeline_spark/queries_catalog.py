@@ -95,6 +95,8 @@ _FORCE_WINDOW: list[str] = [
     # new this round: Bellman-Ford min-plus relaxation (third
     # iterative-graph primitive)
     "nation_trade_shortest_paths",
+    # new this round: BM25 sparse retrieval (ln-free exact scoring)
+    "bm25_topk_retrieval",
 ]
 
 _STABLE_ORDER = [
