@@ -1118,6 +1118,87 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+# --- incremental JOIN-view maintenance (delta-only join, merge partials) -----
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the step beyond
+    incremental_agg_maintenance: the maintained rollup is defined over
+    orders JOIN customer, and when a delta batch of orders arrives,
+    ONLY the delta is joined to the dimension and aggregated; its
+    partial merges into the maintained state with one full-outer
+    coalesce-add. The history is never re-joined or re-scanned
+    (one-sided delta maintenance: the dimension is append-stable here,
+    the reference's config-table pattern). The oracle recomputes the
+    whole join from scratch, proving delta-join + merge == full
+    recompute — the algebra holds because join distributes over union
+    on the fact side and the aggregate is distributive with DECIMAL
+    (order-independent) sums.
+
+    At 100 TB: the maintained state is the persisted MV (groups-sized,
+    tiny); per batch the cost is join(delta, dim) + O(groups) merge
+    instead of re-joining the full fact history — with the dim side
+    broadcast (or co-bucketed) exactly as the nightly pipeline would."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(dim), df.o_custkey == dim.c_custkey)
+            .groupBy(
+                "c_mktsegment",
+                F.year("o_orderdate").cast("bigint").alias("order_year"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(price).alias(f"s_{tag}"),
+            )
+        )
+
+    # negated-predicate split so a NULL o_orderdate could never vanish
+    # from both sides (same partition discipline as the agg variant)
+    state = partial(orders.filter(F.col("o_orderdate") < cutoff), "a")
+    delta = partial(
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        ),
+        "b",
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return state.join(
+        delta, ["c_mktsegment", "order_year"], "full_outer"
+    ).select(
+        "c_mktsegment",
+        "order_year",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_orders"),
+        F.when(F.col("s_a").isNull() & F.col("s_b").isNull(), F.lit(None))
+        .otherwise(
+            F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero)
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 # --- metric anomaly detection from exact trailing sums -----------------------
 @register(
     "daily_count_anomaly_zscore",

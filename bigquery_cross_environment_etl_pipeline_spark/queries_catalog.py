@@ -97,6 +97,8 @@ _FORCE_WINDOW: list[str] = [
     "nation_trade_shortest_paths",
     # new this round: BM25 sparse retrieval (ln-free exact scoring)
     "bm25_topk_retrieval",
+    # new this round: delta-only JOIN-view maintenance (merge partials)
+    "incremental_join_maintenance",
 ]
 
 _STABLE_ORDER = [
