@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "json_props_extract",
     "token_topk",
     "bm25_topk_retrieval",
+    "bm25_topk_from_index",
     "grouped_median_applyinpandas",
     "shipping_priority_top10",
     "returned_item_customers",

@@ -809,6 +809,49 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted BM25 inverted index for ``sf_dir`` (build
+    on first use under $SPARK_GRAFT_INDEX_DIR) — fingerprint- and
+    version-keyed exactly like the IVF/PQ caches, so a regenerated
+    corpus or a tokenization change rebuilds instead of serving stale
+    postings."""
+    import os
+
+    from ..operators.retrieval import BM25_INDEX_VERSION, bm25_index_persist
+    from ..sources.registry import dataset_fingerprint
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = dataset_fingerprint(sf_dir, "documents")
+    index_path = f"{base}/bm25_v{BM25_INDEX_VERSION}_{tag}_{fp}"
+    if not os.path.exists(index_path + "/stats/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents")
+        bm25_index_persist(spark, docs, index_path)
+    return index_path
+
+
+@register("bm25_topk_from_index", oracle=_bm25_oracle())
+def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index
+    (operators/retrieval.py) — the sparse analog of ann_topk_ivf_probe:
+    the corpus was tokenized once into hash-bucketed postings +
+    doc-length + stats relations, and the query pays only a
+    partition-pruned postings scan (~|terms|/64 of the index) plus a
+    |terms|-row df aggregate. Identical scoring expression tree to the
+    inline bm25_topk_retrieval, so the SAME oracle attests both: a
+    drifting index (stale postings, wrong doclen) breaks the hash."""
+    from ..operators.retrieval import bm25_topk_from_index
+
+    return bm25_topk_from_index(
+        spark,
+        _bm25_index(spark, sf_dir),
+        _BM25_TERMS,
+        k=_BM25_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

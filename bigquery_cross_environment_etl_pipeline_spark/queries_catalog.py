@@ -99,6 +99,8 @@ _FORCE_WINDOW: list[str] = [
     "bm25_topk_retrieval",
     # new this round: delta-only JOIN-view maintenance (merge partials)
     "incremental_join_maintenance",
+    # new this round: BM25 served from the persisted inverted index
+    "bm25_topk_from_index",
 ]
 
 _STABLE_ORDER = [

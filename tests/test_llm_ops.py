@@ -485,3 +485,49 @@ def test_span_dedup_invariants_on_random_corpus(spark):
             assert r["n_masked"] >= 3, (i, doc_shared)
         else:
             assert r["n_masked"] == 0 and r["cleaned_text"] == t
+
+
+def test_bm25_index_serves_identical_to_inline(spark, tmp_path):
+    """The persisted inverted index must change the COST, not the
+    answer: bucketed postings prune at the scan, and the served top-k
+    equals the inline (tokenize-per-query) scorer row for row."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators import retrieval
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        bm25_topk_retrieval,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "bm25")
+    retrieval.bm25_index_persist(spark, docs, path)
+
+    # postings probe prunes to the query terms' hash buckets
+    buckets = [
+        int(r["_tb"])
+        for r in spark.createDataFrame(
+            [(t,) for t in _BM25_TERMS], "token string"
+        )
+        .select(retrieval._token_bucket(F.col("token")).alias("_tb"))
+        .distinct()
+        .collect()
+    ]
+    probe = spark.read.parquet(path + "/postings").filter(
+        F.col("_tb").isin(buckets)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "_tb" in plan.split("PartitionFilters")[-1]
+    ), "term probe must prune postings partitions"
+
+    served = retrieval.bm25_topk_from_index(
+        spark, path, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    ).collect()
+    inline = bm25_topk_retrieval(spark, SF_SMOKE).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in served] == [
+        (r["doc_id"], r["bm25"]) for r in inline
+    ]
+    assert len(served) == _BM25_TOPK
