@@ -852,6 +852,92 @@ def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hybrid retrieval: reciprocal-rank fusion -------------------------------
+_RRF_C = 60  # the standard RRF damping constant
+_RRF_QID = 7  # dense query: the embedding of doc 7; sparse: _BM25_TERMS
+
+
+def _rrf_oracle() -> str:
+    from ..operators import similarity as _sim
+
+    dim = _sim.DIM
+    cos = f"({_duck_dot('a.embedding', 'q.qv', dim)}) / " \
+          f"(sqrt({_duck_dot('a.embedding', 'a.embedding', dim)})" \
+          f" * sqrt({_duck_dot('q.qv', 'q.qv', dim)}))"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QID}),
+    dense AS (
+      SELECT vec_id AS doc_id, {cos} AS cosine
+      FROM embeddings a, q WHERE a.vec_id <> {_RRF_QID}
+      ORDER BY cosine DESC, vec_id LIMIT {_BM25_TOPK}
+    ),
+    dr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                  AS BIGINT) AS d_rank
+      FROM dense
+    ),
+    sr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS BIGINT) AS s_rank
+      FROM ({_bm25_oracle()}) s
+    )
+    SELECT doc_id,
+           COALESCE(1.0 / ({float(_RRF_C)!r} + CAST(d_rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / ({float(_RRF_C)!r} + CAST(s_rank AS DOUBLE)), 0.0)
+             AS rrf,
+           d_rank, s_rank
+    FROM dr FULL JOIN sr USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    """
+
+
+@register("hybrid_rrf_fusion", oracle=_rrf_oracle())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the dense and
+    sparse top-k lists (the standard RAG retrieval composition):
+    exact-cosine top-20 for the query embedding, BM25 top-20 for the
+    query terms, each ranked with deterministic tie-breaks, fused as
+    rrf = Σ 1/(60 + rank) over the lists the document appears in.
+    Rank fusion is why hybrid search needs no score calibration — only
+    RANKS cross the modality boundary, and 1/(60+rank) is a single
+    IEEE add + divide, so the fused scores hash-match exactly.
+
+    At 100 TB both inputs are the already-indexed serving paths
+    (IVF-PQ probe for dense, inverted-index probe for sparse); the
+    fusion itself touches 2k rows regardless of corpus size. Here the
+    dense arm is the exact baseline so the oracle stays a pure replay;
+    swapping in ann_topk_ivfpq changes the candidate list, not the
+    fusion dataflow."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = similarity.cosine_topk(emb, query_id=_RRF_QID, k=_BM25_TOPK)
+    dw = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    dr = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(dw).cast("bigint").alias("d_rank"),
+    )
+    sparse = bm25_topk_retrieval(spark, sf_dir)
+    sw = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sr = sparse.select(
+        "doc_id",
+        F.row_number().over(sw).cast("bigint").alias("s_rank"),
+    )
+    c = F.lit(float(_RRF_C))
+    rrf = F.coalesce(
+        F.lit(1.0) / (c + F.col("d_rank").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (c + F.col("s_rank").cast("double")), F.lit(0.0)
+    )
+    return (
+        dr.join(sr, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"), "d_rank", "s_rank")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

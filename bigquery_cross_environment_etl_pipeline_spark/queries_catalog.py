@@ -101,6 +101,8 @@ _FORCE_WINDOW: list[str] = [
     "incremental_join_maintenance",
     # new this round: BM25 served from the persisted inverted index
     "bm25_topk_from_index",
+    # new this round: reciprocal-rank fusion of dense + sparse arms
+    "hybrid_rrf_fusion",
 ]
 
 _STABLE_ORDER = [
