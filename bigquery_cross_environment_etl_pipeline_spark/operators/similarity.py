@@ -373,6 +373,31 @@ def ivf_index_persist(
     centroids.write.mode("overwrite").parquet(index_path + "/centroids")
 
 
+def _rank_probe_cids(
+    cent_rows, query_vec: list[float], qnrm: float, nprobe: int
+) -> list[int]:
+    """Driver-side centroid ranking shared by EVERY IVF probe path
+    (single-query, batch, and IVF-PQ): rank cells by (cosine, -cid)
+    descending — highest cosine first, LOWEST cid on ties — and keep
+    the top ``nprobe``. The tie-break and the left-to-right float sum
+    are load-bearing: the stage-replay oracles replay them verbatim,
+    so any change here is a semantic index change (bump
+    IVF_BUILD_VERSION and the oracles together). Bounded work:
+    n_centroids rows, serving-constant-sized."""
+    scored = sorted(
+        (
+            (
+                sum(float(a) * float(b) for a, b in zip(r["_cvec"], query_vec))
+                / (r["_cnrm"] * qnrm),
+                -r["_cid"],
+            )
+            for r in cent_rows
+        ),
+        reverse=True,
+    )
+    return [int(-c) for _, c in scored[:nprobe]]
+
+
 def ann_topk_ivf_probe(
     spark,
     index_path: str,
@@ -394,18 +419,7 @@ def ann_topk_ivf_probe(
 
     qnrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     cents = spark.read.parquet(index_path + "/centroids").collect()
-    scored = sorted(
-        (
-            (
-                sum(float(a) * float(b) for a, b in zip(r["_cvec"], query_vec))
-                / (r["_cnrm"] * qnrm),
-                -r["_cid"],
-            )
-            for r in cents
-        ),
-        reverse=True,
-    )
-    probe_cids = [int(-c) for _, c in scored[:nprobe]]
+    probe_cids = _rank_probe_cids(cents, query_vec, qnrm, nprobe)
 
     index = spark.read.parquet(index_path + "/assigned").filter(
         F.col("_cid").isin(probe_cids)
@@ -437,7 +451,18 @@ def ivf_index_append(
     the delta (broadcast centroids, max_by argmax), so nightly ingest
     adds O(delta) work regardless of index size. Centroids drift as the
     distribution shifts; rebuild (``ivf_index_persist``) on a cadence,
-    exactly like any IVF serving system."""
+    exactly like any IVF serving system.
+
+    Any PQ-codes sidecar (``ivfpq_codes_persist``) is INVALIDATED by
+    the append — its ``_SUCCESS`` marker is removed — because the
+    sidecar encodes only the vectors present at its build time; a
+    stale sidecar would silently exclude every appended vector from
+    IVF-PQ probes. The next ``ann_topk_ivfpq`` serve re-encodes
+    (mode("overwrite"), so the stale files are replaced atomically at
+    the Spark-commit level)."""
+    import glob as _glob
+    import os as _os
+
     centroids = spark.read.parquet(index_path + "/centroids")
     assigned = _assign_to_centroids(new_embeddings, centroids, id_col, vec_col, dim)
     (
@@ -446,6 +471,8 @@ def ivf_index_append(
         .partitionBy("_cid")
         .parquet(index_path + "/assigned")
     )
+    for marker in _glob.glob(f"{index_path}/pq_v*/_SUCCESS"):
+        _os.remove(marker)
 
 
 def ann_batch_topk_ivf_probe(
@@ -478,18 +505,9 @@ def ann_batch_topk_ivf_probe(
     for qid, vec in query_vecs.items():
         v = [float(x) for x in vec]
         qnrm = math.sqrt(sum(x * x for x in v))
-        ranked = sorted(
-            (
-                (
-                    sum(float(a) * b for a, b in zip(r["_cvec"], v))
-                    / (r["_cnrm"] * qnrm),
-                    -r["_cid"],
-                )
-                for r in cents
-            ),
-            reverse=True,
-        )
-        probe_pairs += [(qid, int(-c)) for _, c in ranked[:nprobe]]
+        probe_pairs += [
+            (qid, cid) for cid in _rank_probe_cids(cents, v, qnrm, nprobe)
+        ]
         qrows.append((qid, v, qnrm))
 
     all_cids = sorted({cid for _, cid in probe_pairs})
@@ -847,6 +865,7 @@ def pq_encode(
     centroid_rows: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     dim: int = DIM,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Product-quantization encoder: the vector split into ``PQ_M``
     subspaces, each mapped to the id of its nearest sub-centroid —
@@ -893,7 +912,7 @@ def pq_encode(
             out[:, s] = cids[np.argmin(acc, axis=1)]
         return pd.Series([",".join(map(str, row)) for row in out])
 
-    return embeddings.select("vec_id", codes(F.col(vec_col)).alias("pq_code"))
+    return embeddings.select(id_col, codes(F.col(vec_col)).alias("pq_code"))
 
 
 def pq_encode_expr(
@@ -901,6 +920,7 @@ def pq_encode_expr(
     centroid_rows: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     dim: int = DIM,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Pure-column-expression PQ encoder — the oracle-shaped reference
     implementation the numpy hot path is equality-tested against: per
@@ -930,7 +950,7 @@ def pq_encode_expr(
             code = F.when(d == m, cid).otherwise(code)
         code_cols.append(code.cast("string"))
     return embeddings.select(
-        "vec_id", F.concat_ws(",", *code_cols).alias("pq_code")
+        id_col, F.concat_ws(",", *code_cols).alias("pq_code")
     )
 
 
@@ -958,7 +978,7 @@ def ivfpq_codes_persist(
     """
     pq_path = f"{index_path}/pq_v{PQ_STORE_VERSION}"
     assigned = spark.read.parquet(index_path + "/assigned")
-    codes = pq_encode(assigned, centroid_rows, vec_col, dim)
+    codes = pq_encode(assigned, centroid_rows, vec_col, dim, id_col)
     (
         assigned.select(id_col, "_cid")
         .join(codes, id_col)
@@ -996,18 +1016,7 @@ def ann_topk_ivfpq_probe(
     sub_d = dim // PQ_M
     qnrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     cents = spark.read.parquet(index_path + "/centroids").collect()
-    scored = sorted(
-        (
-            (
-                sum(float(a) * float(b) for a, b in zip(r["_cvec"], query_vec))
-                / (r["_cnrm"] * qnrm),
-                -r["_cid"],
-            )
-            for r in cents
-        ),
-        reverse=True,
-    )
-    probe_cids = [int(-c) for _, c in scored[:nprobe]]
+    probe_cids = _rank_probe_cids(cents, query_vec, qnrm, nprobe)
 
     # (M x K) ADC table: left-fold subspace squared-L2, driver-side —
     # the identical IEEE chain as pq_encode / the SQL oracle

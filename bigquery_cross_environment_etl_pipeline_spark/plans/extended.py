@@ -719,23 +719,22 @@ def _duck_dot64(a: str, b: str) -> str:
     return _duck_dot(a, b, similarity.DIM)
 
 
-def _ivf_oracle(
-    n_centroids: int = 8, nprobe: int = 4, k: int = 10, qid: int = 7
-) -> str:
-    """Exact replay of the IVF pipeline — every stage is deterministic
-    (seed centroids = lowest-id vectors, struct-max assignment with
-    lowest-cid tie-break, sim-then-cid probe ranking, cosine-then-id
-    top-k), and every float op is the same left-fold IEEE chain, so
-    ANN-by-construction does not mean unverifiable: the oracle builds
-    the identical index and probes it the identical way."""
+def _ivf_base_ctes(n_centroids: int, cent_name: str = "cent") -> str:
+    """The IVF index-build half every stage-replay oracle shares —
+    ``nrm`` (vector norms), ``{cent_name}`` (seed centroids = lowest-id
+    vectors), ``assign`` (struct-max assignment, lowest-cid tie-break)
+    — as one generator, so the three composed oracles (`_ivf_oracle`,
+    `_ivf_batch_oracle`, `_ivfpq_oracle`) can never drift apart on
+    assignment semantics (exactly the hazard IVF_BUILD_VERSION exists
+    to version). ``cent_name`` lets the IVF-PQ composition rename its
+    IVF centroids to keep the PQ half's CTE names free."""
     dot = _duck_dot64
-    return f"""
-    WITH nrm AS MATERIALIZED (
+    return f"""nrm AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({dot('embedding', 'embedding')}) AS nrm
       FROM embeddings
     ),
-    cent AS MATERIALIZED (
+    {cent_name} AS MATERIALIZED (
       SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
       FROM nrm ORDER BY vec_id LIMIT {n_centroids}
     ),
@@ -747,15 +746,40 @@ def _ivf_oracle(
                  ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
                           DESC, c.cid ASC
                ) AS rn
-        FROM nrm n CROSS JOIN cent c
+        FROM nrm n CROSS JOIN {cent_name} c
       ) WHERE rn = 1
-    ),
-    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
+    )"""
+
+
+def _ivf_single_query_ctes(
+    nprobe: int, qid: int, cent_name: str = "cent"
+) -> str:
+    """The single-query serving half shared by `_ivf_oracle` and
+    `_ivfpq_oracle`: ``q`` (the query vector + norm) and ``probe``
+    (sim-then-cid centroid ranking, top ``nprobe`` cells) — the SQL
+    replay of similarity._rank_probe_cids."""
+    dot = _duck_dot64
+    return f"""q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
     probe AS (
-      SELECT cid FROM cent, q
+      SELECT cid FROM {cent_name}, q
       ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
       LIMIT {nprobe}
-    )
+    )"""
+
+
+def _ivf_oracle(
+    n_centroids: int = 8, nprobe: int = 4, k: int = 10, qid: int = 7
+) -> str:
+    """Exact replay of the IVF pipeline — every stage is deterministic
+    (seed centroids = lowest-id vectors, struct-max assignment with
+    lowest-cid tie-break, sim-then-cid probe ranking, cosine-then-id
+    top-k), and every float op is the same left-fold IEEE chain, so
+    ANN-by-construction does not mean unverifiable: the oracle builds
+    the identical index and probes it the identical way."""
+    dot = _duck_dot64
+    return f"""
+    WITH {_ivf_base_ctes(n_centroids)},
+    {_ivf_single_query_ctes(nprobe, qid)}
     SELECT n.vec_id,
            ({dot('n.embedding', 'q.qvec')}) / (n.nrm * q.qnrm) AS cosine
     FROM nrm n
@@ -859,26 +883,7 @@ def _ivf_batch_oracle(
     query set."""
     dot = _duck_dot64
     return f"""
-    WITH nrm AS MATERIALIZED (
-      SELECT vec_id, embedding,
-             sqrt({dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
-    ),
-    cent AS MATERIALIZED (
-      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
-    ),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT n.vec_id, c.cid,
-               row_number() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
-                          DESC, c.cid ASC
-               ) AS rn
-        FROM nrm n CROSS JOIN cent c
-      ) WHERE rn = 1
-    ),
+    WITH {_ivf_base_ctes(n_centroids)},
     q AS (
       SELECT vec_id AS qid, embedding AS qvec, nrm AS qnrm
       FROM nrm WHERE vec_id < {n_queries}
@@ -938,48 +943,23 @@ def _ivfpq_oracle(
     n_centroids: int = 8, nprobe: int = 4, k: int = 10, qid: int = 7
 ) -> str:
     """Composed stage replay of the full IVF-PQ serving stack: the IVF
-    half (seed centroids, struct-max assignment, probe ranking) from
-    ``_ivf_oracle`` with centroids renamed ``icent`` to leave the PQ
-    half's CTE names free, the PQ half (codebook, per-subspace code
-    assignment, query ADC table) verbatim from the shared
-    ``_pq_code_ctes``/``_pq_subspace_chain`` generators, and the final
-    distance rebuilt as the explicit subspace-ordered chain. Every
+    half comes from the SHARED ``_ivf_base_ctes``/
+    ``_ivf_single_query_ctes`` generators (centroids named ``icent``
+    to leave the PQ half's CTE names free), the PQ half (codebook,
+    per-subspace code assignment, query ADC table) verbatim from the
+    shared ``_pq_code_ctes``/``_pq_subspace_chain`` generators, and
+    the final distance rebuilt as the explicit subspace-ordered chain. Every
     stage deterministic, every float op the shared left fold — so the
     composition is exactly as verifiable as its two halves."""
     from ..operators import similarity
     from .llm import _pq_code_ctes, _pq_subspace_chain
 
-    dot = _duck_dot64
     dist_chain = " + ".join(
         f"MAX(CASE WHEN s = {s} THEN dv END)" for s in range(similarity.PQ_M)
     )
     return f"""
-    WITH nrm AS MATERIALIZED (
-      SELECT vec_id, embedding,
-             sqrt({dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
-    ),
-    icent AS MATERIALIZED (
-      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-      FROM nrm ORDER BY vec_id LIMIT {n_centroids}
-    ),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT n.vec_id, c.cid,
-               row_number() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY ({dot('n.embedding', 'c.cvec')}) / (n.nrm * c.cnrm)
-                          DESC, c.cid ASC
-               ) AS rn
-        FROM nrm n CROSS JOIN icent c
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
-    probe AS (
-      SELECT cid FROM icent, q
-      ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
-      LIMIT {nprobe}
-    ),
+    WITH {_ivf_base_ctes(n_centroids, cent_name="icent")},
+    {_ivf_single_query_ctes(nprobe, qid, cent_name="icent")},
     {_pq_code_ctes()},
     qtab AS (
       SELECT s.s, c.c, {_pq_subspace_chain('q.qvec')} AS d
@@ -1502,12 +1482,10 @@ def late_data_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the append-mode emission contract proven by
     streaming_windowed_counts): the hash can only match if the stream
     dropped the late duplicates — a doubled early window breaks it."""
-    import os
-    import shutil
     import tempfile
     import uuid
 
-    from ..streaming.incremental import read_stream
+    from ..streaming.incremental import read_stream, write_microbatches
 
     events = load_table(spark, sf_dir, "events").filter(
         (F.col("user_id") < 30) & F.col("ts").isNotNull()
@@ -1523,18 +1501,7 @@ def late_data_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"late_replay_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="late_replay_") as tmp:
         src = f"{tmp}/src"
-        os.makedirs(src)
-        for i, df in enumerate([batch0, batch1, batch2]):
-            stage = f"{tmp}/stage{i}"
-            df.coalesce(1).write.parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.endswith(".parquet")
-            )
-            dest = f"{src}/batch-{i}.parquet"
-            shutil.move(f"{stage}/{part}", dest)
-            # deterministic micro-batch order under BOTH file-source
-            # listing policies: by mod time AND by path
-            os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+        write_microbatches([batch0, batch1, batch2], src)
         schema = spark.read.parquet(src).schema
         agg = (
             read_stream(spark, src, schema, max_files_per_trigger=1)
@@ -1698,12 +1665,14 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     advancer batches, not one. With every unmatched click flushed, the
     stream output equals the batch LEFT JOIN exactly — which is the
     oracle."""
-    import os
-    import shutil
     import tempfile
     import uuid
 
-    from ..streaming.incremental import read_stream, stream_stream_interval_join
+    from ..streaming.incremental import (
+        read_stream,
+        stream_stream_interval_join,
+        write_microbatches,
+    )
 
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sides = {
@@ -1713,25 +1682,17 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     name = f"lojoin_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="stream_lojoin_") as tmp:
         for tag, df in sides.items():
-            base = f"{tmp}/{tag}"
-            os.makedirs(base)
             sentinel = lambda ts: spark.createDataFrame(
                 [(-1, ts, -1)], "user_id long, ts string, event_id long"
             ).withColumn("ts", F.col("ts").cast("timestamp"))
-            batches = [
-                df.select("user_id", "ts", "event_id"),
-                sentinel("2035-01-01 00:00:00"),
-                sentinel("2035-01-02 00:00:00"),
-            ]
-            for i, b in enumerate(batches):
-                stage = f"{tmp}/{tag}_stage{i}"
-                b.coalesce(1).write.parquet(stage)
-                part = next(
-                    f for f in os.listdir(stage) if f.endswith(".parquet")
-                )
-                dest = f"{base}/batch-{i}.parquet"
-                shutil.move(f"{stage}/{part}", dest)
-                os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+            write_microbatches(
+                [
+                    df.select("user_id", "ts", "event_id"),
+                    sentinel("2035-01-01 00:00:00"),
+                    sentinel("2035-01-02 00:00:00"),
+                ],
+                f"{tmp}/{tag}",
+            )
         schema = spark.read.parquet(f"{tmp}/l").schema
         joined = stream_stream_interval_join(
             read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),

@@ -55,6 +55,37 @@ def read_stream(
     return ensure_event_time(reader.load(source_dir))
 
 
+def write_microbatches(dfs, dest_dir: str) -> None:
+    """Lay a list of DataFrames out as ONE parquet file per micro-batch
+    (``batch-0.parquet``, ``batch-1.parquet``, ...) with strictly
+    increasing pinned mtimes.
+
+    This encodes the determinism invariant every file-source
+    batch-replay query relies on: replay order must be stable under
+    BOTH listing policies a file stream may use — modification time
+    AND lexicographic path — so the batch index orders the files by
+    name while ``os.utime`` pins matching 100-second-spaced mtimes.
+    One shared definition (used by the batch-replay queries in
+    plans/extended.py and the streaming tests) so a copy can't drop
+    the utime or the name ordering and turn the replay
+    nondeterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    with tempfile.TemporaryDirectory(prefix="microbatch_stage_") as staging:
+        for i, df in enumerate(dfs):
+            stage = f"{staging}/stage{i}"
+            df.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dest = f"{dest_dir}/batch-{i}.parquet"
+            shutil.move(f"{stage}/{part}", dest)
+            os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+
 def stream_incremental_append(
     stream: DataFrame,
     dest_path: str,

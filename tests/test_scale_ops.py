@@ -537,3 +537,58 @@ def test_ivfpq_sidecar_prunes_and_recall(spark, tmp_path):
     }
     recall = len(exact & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.2, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivf_append_invalidates_pq_sidecar(spark, tmp_path):
+    """ivf_index_append must invalidate the PQ-codes sidecar (drop its
+    _SUCCESS marker): the sidecar encodes only build-time vectors, so a
+    stale one would silently exclude every appended vector from IVF-PQ
+    probes. The _SUCCESS-gated rebuild then re-covers the full index."""
+    import os
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfpq")
+    similarity.ivf_index_persist(spark, base, path, n_centroids=8)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in base.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    pq_path = similarity.ivfpq_codes_persist(spark, path, cents)
+    assert os.path.exists(pq_path + "/_SUCCESS")
+    assert spark.read.parquet(pq_path).count() == base.count()
+
+    similarity.ivf_index_append(spark, delta, path)
+    assert not os.path.exists(pq_path + "/_SUCCESS"), (
+        "append must invalidate the PQ sidecar"
+    )
+    # the rebuild (what ann_topk_ivfpq's ensure step runs next serve)
+    # encodes every vector, appended ones included
+    similarity.ivfpq_codes_persist(spark, path, cents)
+    assert os.path.exists(pq_path + "/_SUCCESS")
+    assert spark.read.parquet(pq_path).count() == emb.count()
+
+
+def test_pq_encode_custom_id_col(spark, tmp_path):
+    """id_col threads through the whole PQ chain (pq_encode hard-coded
+    "vec_id" before round 5, so any non-default id column raised)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    path = str(tmp_path / "ivf_docid")
+    similarity.ivf_index_persist(spark, renamed, path, id_col="doc_id")
+    pq_path = similarity.ivfpq_codes_persist(spark, path, cents, id_col="doc_id")
+    codes = spark.read.parquet(pq_path)
+    assert set(codes.columns) == {"doc_id", "pq_code", "_cid"}
+    assert codes.count() == emb.count()
+    # codes are identical to the default-id encoding, row for row
+    default = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode(emb, cents).collect()
+    }
+    for r in codes.collect():
+        assert default[r["doc_id"]] == r["pq_code"]

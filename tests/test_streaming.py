@@ -88,11 +88,10 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     watermark lags far enough that the click's join state is never
     evicted before the partner shows up. Pairs must equal the batch
     join exactly (no loss, no duplicates)."""
-    import os
-
     from bigquery_cross_environment_etl_pipeline_spark.streaming.incremental import (
         read_stream,
         stream_stream_interval_join,
+        write_microbatches,
     )
 
     events = load_table(spark, SF_SMOKE, "events")
@@ -107,19 +106,13 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     # the second half arrives a micro-batch after the clicks it matches
     clicks.coalesce(1).write.parquet(lsrc)
     mid = "2024-01-15 00:00:00"
-    os.makedirs(rsrc)
-    for i, part in enumerate(
+    write_microbatches(
         [
             purchases.filter(F.col("ts") < F.lit(mid).cast("timestamp")),
             purchases.filter(F.col("ts") >= F.lit(mid).cast("timestamp")),
-        ]
-    ):
-        stage = str(tmp_path / f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-        dest = f"{rsrc}/b{i}.parquet"
-        os.rename(f"{stage}/{f}", dest)
-        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+        ],
+        rsrc,
+    )
     joined = stream_stream_interval_join(
         read_stream(spark, lsrc, spark.read.parquet(lsrc).schema),
         read_stream(spark, rsrc, spark.read.parquet(rsrc).schema, max_files_per_trigger=1),
