@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_topk",
     "bm25_topk_retrieval",
     "bm25_topk_from_index",
+    "bm25_incremental_index_topk",
     "hybrid_rrf_fusion",
     "grouped_median_applyinpandas",
     "shipping_priority_top10",

@@ -609,9 +609,9 @@ _CHUNK_LEN, _CHUNK_STRIDE = 64, 48
            CAST(len(list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
                                chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}))
                 AS BIGINT) AS n_chunk_tokens,
-           COALESCE(array_to_string(
+           array_to_string(
              list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
-                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' '), '')
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')
              AS chunk_text
     FROM e
     """,
@@ -691,8 +691,10 @@ _BM25_TERMS = ("window", "stream", "hash")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 
 
-def _bm25_oracle() -> str:
-    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+def _bm25_oracle(
+    terms: tuple[str, ...] = _BM25_TERMS, k: int = _BM25_TOPK
+) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
     # per-term score: ratio idf x saturated tf, every float op a single
     # IEEE mul/div/add with the same expression tree as the Spark side
     s = (
@@ -705,7 +707,7 @@ def _bm25_oracle() -> str:
     )
     fold = " + ".join(
         f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)"
-        for t in _BM25_TERMS
+        for t in terms
     )
     return f"""
     WITH tok AS (
@@ -738,7 +740,7 @@ def _bm25_oracle() -> str:
       FROM scored GROUP BY doc_id
     )
     ORDER BY bm25 DESC, doc_id ASC
-    LIMIT {_BM25_TOPK}
+    LIMIT {k}
     """
 
 
@@ -752,10 +754,13 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: the idf keeps tfidf_style_weights' ratio
     form ((N - df + 0.5) / (df + 0.5), no ln — JVM and libm log()
     drift in the last ulp), every float op is a single IEEE mul/div/add
-    with the identical expression tree in both engines, and the
-    per-doc fold is an explicit term-ordered chain, not a SUM whose
-    order the engine picks. Corpus stats (N, avglen) ride in as a
-    broadcast 1-row relation — no eager driver-side pre-pass.
+    with the identical expression tree in both engines — built by the
+    ONE shared scorer (operators/retrieval.py::bm25_score_topk) that
+    also serves ``bm25_topk_from_index``, so the two paths cannot
+    drift — and the per-doc fold is an explicit term-ordered chain,
+    not a SUM whose order the engine picks. Corpus stats (N, avglen)
+    ride in as a broadcast 1-row relation — no eager driver-side
+    pre-pass.
 
     At 100 TB: tf/df/doclen are one tokenize pass (map-side partial
     aggs); the per-term score join broadcasts the |terms|-row df
@@ -778,34 +783,11 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = hits.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    dfd = F.col("df").cast("double")
-    nd = F.col("n").cast("double")
-    idf = ((F.col("n_docs") - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
-    tf_sat = (nd * F.lit(_BM25_K1 + 1.0)) / (
-        nd
-        + F.lit(_BM25_K1)
-        * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B)
-            * (F.col("len").cast("double") / F.col("avglen"))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(df_counts), "token")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "token", (idf * tf_sat).alias("s"))
-    )
-    fold = F.lit(0.0)
-    for t in _BM25_TERMS:
-        fold = fold + F.coalesce(
-            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
-        )
-    return (
-        scored.groupBy("doc_id")
-        .agg(fold.alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
+    from ..operators.retrieval import bm25_score_topk
+
+    return bm25_score_topk(
+        tf, df_counts, doclen, stats, _BM25_TERMS,
+        k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B,
     )
 
 
@@ -846,6 +828,73 @@ def bm25_topk_from_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _bm25_index(spark, sf_dir),
         _BM25_TERMS,
+        k=_BM25_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+#: a DIFFERENT query than the base-index entries, so the incremental
+#: path is attested on its own terms (and its own postings buckets)
+_BM25_INCR_TERMS = ("join", "filter", "sort")
+
+
+def _bm25_incr_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of an inverted index built INCREMENTALLY: 80% of the corpus
+    (doc_id % 5 != 0) indexed via ``bm25_index_persist``, the remaining
+    20% delta appended via ``bm25_index_append`` — the nightly-ingest
+    lifecycle, persisted once per dataset. Built under a tmp dir and
+    atomically renamed into the fingerprint-keyed cache path (the
+    stats-sidecar publish discipline), so a crash mid-append can never
+    leave a half-built index that a later serve would read."""
+    import os
+    import shutil
+
+    from ..operators.retrieval import (
+        BM25_INDEX_VERSION,
+        bm25_index_append,
+        bm25_index_persist,
+    )
+    from ..sources.registry import dataset_fingerprint
+
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = dataset_fingerprint(sf_dir, "documents")
+    index_path = f"{base}/bm25incr_v{BM25_INDEX_VERSION}_{tag}_{fp}"
+    if not os.path.exists(index_path):
+        docs = load_table(spark, sf_dir, "documents")
+        tmp = f"{index_path}.tmp.{os.getpid()}"
+        try:
+            bm25_index_persist(spark, docs.filter(F.col("doc_id") % 5 != 0), tmp)
+            bm25_index_append(spark, docs.filter(F.col("doc_id") % 5 == 0), tmp)
+            os.rename(tmp, index_path)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return index_path
+
+
+@register(
+    "bm25_incremental_index_topk",
+    oracle=_bm25_oracle(terms=_BM25_INCR_TERMS),
+)
+def bm25_incremental_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an index maintained INCREMENTALLY
+    (operators/retrieval.py::bm25_index_append — the sparse analog of
+    ivf_index_append): 80% of the corpus indexed up front, the rest
+    appended as a delta with postings co-bucketed, doclen extended,
+    and the stats relation refolded from the merged doc lengths. The
+    oracle scores the FULL corpus from raw text, so the hash matches
+    only if the merged index is exactly equivalent to a from-scratch
+    build — postings complete, df counts unsplit, avglen refreshed.
+    At 100 TB this is the retrieval-index ingest path: O(delta)
+    tokenize + append per batch, never a corpus re-tokenize."""
+    from ..operators.retrieval import bm25_topk_from_index
+
+    return bm25_topk_from_index(
+        spark,
+        _bm25_incr_index(spark, sf_dir),
+        _BM25_INCR_TERMS,
         k=_BM25_TOPK,
         k1=_BM25_K1,
         b=_BM25_B,

@@ -101,8 +101,18 @@ _FORCE_WINDOW: list[str] = [
     "incremental_join_maintenance",
     # new this round: BM25 served from the persisted inverted index
     "bm25_topk_from_index",
+    # new this round: BM25 served from an INCREMENTALLY maintained
+    # index (bm25_index_append delta path)
+    "bm25_incremental_index_topk",
     # new this round: reciprocal-rank fusion of dense + sparse arms
     "hybrid_rrf_fusion",
+    # VERDICT r4 item 4: the IVF serving forms, pinned so the COMPLETE
+    # IVF(-PQ) serving stack earns external evidence in one round
+    # (they'd otherwise sit at never-green positions 50-52, one slot
+    # outside the window)
+    "ann_topk_ivf_probe",
+    "ann_batch_topk_ivf",
+    "ann_topk_ivf_kmeans",
 ]
 
 _STABLE_ORDER = [

@@ -126,6 +126,45 @@ def test_sequence_packing_invariants(spark):
         expect_start += r["n_tokens"]
 
 
+def test_chunk_with_overlap_null_text_parity(spark):
+    """NULL/empty text must chunk identically in Spark and the DuckDB
+    oracle (latent round-5 divergence: the oracle's one-sided
+    COALESCE('') vs Spark's NULL chunk_text — no generated corpus has
+    NULL text, so only this planted-row replay guards it)."""
+    import duckdb
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators.curation import (
+        chunk_with_overlap,
+    )
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "a b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"],
+         r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_with_overlap(docs, chunk_len=4, stride=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, {})".format(i, "NULL" if t is None else repr(t))
+            for i, t in rows
+        )
+        + ") t(doc_id, text)"
+    )
+    # the registered oracle, re-parameterized to chunk_len=4 / stride=3
+    from bigquery_cross_environment_etl_pipeline_spark import queries_catalog
+    from bigquery_cross_environment_etl_pipeline_spark.plans import llm
+
+    oracle = queries_catalog._ORACLE["doc_chunk_overlap"]
+    oracle = oracle.replace(str(llm._CHUNK_LEN), "4").replace(
+        str(llm._CHUNK_STRIDE), "3"
+    )
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert got == want
+
+
 def test_chunk_with_overlap_invariants(spark):
     """Within-doc chunking: every token position is covered by at least
     one chunk, consecutive chunks overlap by exactly chunk_len - stride

@@ -531,3 +531,51 @@ def test_bm25_index_serves_identical_to_inline(spark, tmp_path):
         (r["doc_id"], r["bm25"]) for r in inline
     ]
     assert len(served) == _BM25_TOPK
+
+
+def test_bm25_index_append_equals_full_build(spark, tmp_path):
+    """Incremental maintenance must be invisible to serving: an index
+    built on 80% of the corpus then appended with the rest must serve
+    the SAME top-k, postings, doclen, and stats as a from-scratch
+    build over the full corpus (delta ids are new, so postings stay
+    unique and df = COUNT(*) stays exact; stats are refolded from the
+    merged doclen)."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators import retrieval
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOPK,
+    )
+
+    terms = ("join", "filter", "sort")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full_path = str(tmp_path / "bm25_full")
+    incr_path = str(tmp_path / "bm25_incr")
+    retrieval.bm25_index_persist(spark, docs, full_path)
+    retrieval.bm25_index_persist(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), incr_path
+    )
+    retrieval.bm25_index_append(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), incr_path
+    )
+
+    # relation-level equivalence: postings, doclen, stats
+    for rel in ["postings", "doclen", "stats"]:
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{full_path}/{rel}").collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{incr_path}/{rel}").collect())
+        )
+        assert a == b, f"{rel} diverged after append"
+
+    # serving-level equivalence, bitwise
+    served_full = retrieval.bm25_topk_from_index(
+        spark, full_path, terms, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    ).collect()
+    served_incr = retrieval.bm25_topk_from_index(
+        spark, incr_path, terms, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    ).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in served_incr] == [
+        (r["doc_id"], r["bm25"]) for r in served_full
+    ]
