@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "contrastive_negative_samples",
     "incremental_agg_maintenance",
     "backfill_window_accounting",
+    "verdict_sink_roundtrip",
     "multimodal_payload_dedup",
     "daily_count_anomaly_zscore",
     "keyset_pagination_page",

@@ -476,3 +476,74 @@ def backfill_window_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.groupBy(F.col("_backfill_window").cast("bigint").alias("window_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# --- custom Python DataSource SINK: two-phase commit + verdict (round 5) -----
+@register(
+    "verdict_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey < 500) AS manifest_rows
+    FROM orders WHERE o_orderkey < 500
+    GROUP BY o_orderstatus
+    """,
+)
+def verdict_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource WRITER driven end to end
+    (sources/verdict_sink.py — the reference's batched-load-plus-
+    verdict sink, S8/S10, as a first-class
+    ``df.write.format("jsonl_verdict")`` target with a two-phase
+    commit: tasks stage uniquely-named JSONL parts, the driver
+    publishes ONE manifest, and readers list manifests — never the
+    directory). The query writes a deterministic orders slice through
+    the sink, reads it back MANIFEST-GATED, and returns the per-status
+    load accounting plus the manifest's committed-row total; the
+    oracle computes the same accounting from the source parquet, so
+    the hash matches only if the write -> commit -> manifest -> read
+    cycle is lossless (doubles survive bitwise via shortest-round-trip
+    JSON rendering) and the verdict total is exact. Partition count
+    (file count) never appears in the output, so the result is
+    layout-independent."""
+    import tempfile
+
+    from ..sources.verdict_sink import (
+        JsonlVerdictDataSource,
+        committed_manifests,
+        read_committed,
+    )
+
+    spark.dataSource.register(JsonlVerdictDataSource)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    with tempfile.TemporaryDirectory(prefix="verdict_sink_") as tmp:
+        orders.write.format("jsonl_verdict").option("path", tmp).mode(
+            "append"
+        ).save()
+        manifest_rows = sum(
+            m["total_rows"] for m in committed_manifests(tmp)
+        )
+        back = read_committed(spark, tmp, schema)
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .withColumn("manifest_rows", F.lit(manifest_rows).cast("bigint"))
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, sum_total double,"
+        " manifest_rows bigint",
+    )

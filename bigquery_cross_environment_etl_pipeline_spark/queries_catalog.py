@@ -104,6 +104,9 @@ _FORCE_WINDOW: list[str] = [
     # new this round: BM25 served from an INCREMENTALLY maintained
     # index (bm25_index_append delta path)
     "bm25_incremental_index_topk",
+    # new this round: custom Python DataSource WRITER with two-phase
+    # commit + manifest-gated reads (the S8/S10 sink surface)
+    "verdict_sink_roundtrip",
     # new this round: reciprocal-rank fusion of dense + sparse arms
     "hybrid_rrf_fusion",
     # VERDICT r4 item 4: the IVF serving forms, pinned so the COMPLETE
