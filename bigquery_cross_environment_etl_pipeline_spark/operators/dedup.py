@@ -173,7 +173,15 @@ def lsh_candidate_pairs(
     candidate pair; est_similarity = fraction of matching hashes.
 
     Returns (doc_a, doc_b, est_similarity), doc_a < doc_b, distinct.
+
+    Eligibility contract (round-5 edge-replay finding): docs with NO
+    shingles (< SHINGLE_N words — empty/NULL/whitespace text) carry
+    the sentinel signature, and two sentinels band-match as a perfect
+    1.0 pair even though the docs share no content. Sentinel rows are
+    therefore excluded from banding — contentless docs are not
+    MinHash-eligible and surface as singletons downstream.
     """
+    signatures = signatures.filter(F.col("h0") < MINHASH_MOD)
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -244,8 +252,12 @@ def verified_jaccard_pairs(
     dedup pipeline. Cost is O(|candidates|) set intersections; with LSH
     candidates in front, the all-pairs quadratic blowup never happens
     and the shuffle carries only (pair ids + two hashed-shingle
-    arrays)."""
-    sh = hashed_shingle_sets(docs, text_col, id_col, n)
+    arrays). Contentless docs (empty shingle set) are excluded — their
+    Jaccard is 0/0, which ANSI Spark raises on and no sane dedup
+    contract defines (edge-replay finding)."""
+    sh = hashed_shingle_sets(docs, text_col, id_col, n).filter(
+        F.col("_nsh") > 0
+    )
     a = sh.select(
         F.col(id_col).alias("doc_a"), F.col("sh").alias("_sha"), F.col("_nsh").alias("_na")
     )
@@ -307,13 +319,21 @@ def ngram_jaccard_verify_blocked(
     # applies afterwards, so the RESULT set is unchanged (and the oracle
     # keeps the plain semantic form).
     bucket = F.floor(F.col(len_col) / F.lit(max_len_delta)).cast("long")
-    sh = df.select(
-        F.col(id_col),
-        F.col(block_col),
-        F.col(len_col),
-        bucket.alias("_bkt"),
-        F.array_distinct(hashed).alias("sh"),
-    ).withColumn("_nsh", F.size("sh")).repartition(F.col(block_col))
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col),
+            F.col(len_col),
+            bucket.alias("_bkt"),
+            F.array_distinct(hashed).alias("sh"),
+        )
+        .withColumn("_nsh", F.size("sh"))
+        # contentless docs are not verify-eligible: their Jaccard is
+        # 0/0 (edge-replay finding; same contract as
+        # verified_jaccard_pairs / LSH banding)
+        .filter(F.col("_nsh") > 0)
+        .repartition(F.col(block_col))
+    )
     a = sh.withColumn(
         "_probe", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1))
     ).alias("a")

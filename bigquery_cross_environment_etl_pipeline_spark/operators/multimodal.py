@@ -107,7 +107,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     The stub feature is deterministic (payload length + 48-bit content
     hash) so tests can assert exact values; a real featurizer returns an
-    embedding array in the same batch shape.
+    embedding array in the same batch shape. A NULL payload featurizes
+    to NULL features (edge-replay finding: ``len(None)`` crashed the
+    whole Arrow batch — one bad asset must not kill the pipeline).
     """
     import hashlib
 
@@ -118,10 +120,21 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "feature_hash": payloads.map(
-                        lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:12], 16)
-                    ).astype("int64"),
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "feature_hash": pd.array(
+                        [
+                            None
+                            if b is None
+                            else int(
+                                hashlib.md5(bytes(b)).hexdigest()[:12], 16
+                            )
+                            for b in payloads
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 
@@ -144,9 +157,16 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
     def featurize(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for batch in batches:
             payload = batch.column(batch.schema.get_field_index("payload"))
+            # NULL payload -> NULL hash (pc.binary_length already
+            # propagates the null natively)
             hashes = pa.array(
                 (
-                    int(hashlib.md5(v.as_buffer().to_pybytes()).hexdigest()[:12], 16)
+                    int(
+                        hashlib.md5(v.as_buffer().to_pybytes()).hexdigest()[:12],
+                        16,
+                    )
+                    if v.is_valid
+                    else None
                     for v in payload
                 ),
                 type=pa.int64(),

@@ -47,12 +47,22 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 def check_rules(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
     """Declarative validation: ``rules`` maps rule-name -> boolean
     Column. Returns (valid_rows, violations) where violations carry a
-    ``violated_rules`` array naming every failed rule."""
+    ``violated_rules`` array naming every failed rule.
+
+    A rule passes only when it evaluates TRUE: a NULL outcome (e.g.
+    ``value >= 0`` on a NULL value) is a VIOLATION, not a pass —
+    before round 5's edge replay, ``~NULL = NULL`` fell through the
+    violation tagging and NULL-valued rows silently validated."""
     if not rules:
         raise ValueError("at least one rule required")
     names = sorted(rules)
     flags = F.array(
-        *[F.when(~rules[n], F.lit(n)).otherwise(F.lit(None)) for n in names]
+        *[
+            F.when(~F.coalesce(rules[n], F.lit(False)), F.lit(n)).otherwise(
+                F.lit(None)
+            )
+            for n in names
+        ]
     )
     tagged = df.withColumn(
         "violated_rules", F.filter(flags, lambda x: x.isNotNull())

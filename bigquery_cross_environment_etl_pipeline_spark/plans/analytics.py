@@ -139,15 +139,21 @@ def top10_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle=f"""
     SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
-           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
-    FROM events WHERE user_id < 20
+    FROM events WHERE user_id < 20 AND ts IS NOT NULL
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 generalized: running aggregate per key (decimal-exact)."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    """§2.5 generalized: running aggregate per key (decimal-exact).
+    Timeline contract (edge-replay finding): NULL-ts events are off
+    the timeline on BOTH engines — Spark sorts NULLS FIRST and DuckDB
+    NULLS LAST, so an unfiltered NULL ts would shift every running
+    frame differently per engine."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("ts").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -177,15 +183,20 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     ) GROUP BY user_id
     """,
 )
 def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min -> cumulative session ids — the
-    batch equivalent of streaming session_window."""
-    events = load_table(spark, sf_dir, "events")
+    batch equivalent of streaming session_window. Timeline contract
+    (edge-replay finding): NULL-ts events are off the timeline on
+    both engines (Spark NULLS FIRST vs DuckDB NULLS LAST would place
+    them in different sessions)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.lag(F.col("ts")).over(order))
     new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
@@ -546,15 +557,21 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- unpivot (stack) ----------------------------------------------------------------------
 @register(
     "unpivot_event_counts",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_type, COUNT(*) AS n
-    FROM events GROUP BY user_id, event_type
+    FROM events
+    WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+    GROUP BY user_id, event_type
     """,
 )
 def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot -> stack round-trip: wide per-type counts unpivoted back to
     long form (zero-count combinations dropped to match the grouped
-    oracle) — proves pivot/unpivot are lossless inverses."""
+    oracle) — proves pivot/unpivot are lossless inverses. Pivot
+    contract (edge-replay finding): the column universe is the KNOWN
+    type list, so NULL/unknown types are out of the round-trip's
+    scope on both engines (the oracle filters to the same list the
+    pivot spreads)."""
     wide = pivot_event_counts(spark, sf_dir)
     stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
     return (
@@ -572,7 +589,7 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(*) AS n,
            MIN(value) AS min_value, MAX(value) AS max_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) / COUNT(value) AS avg_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type
     """,
@@ -601,7 +618,7 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                                   AND UNBOUNDED FOLLOWING) AS last_type
     FROM events
-    WHERE user_id < 50
+    WHERE user_id < 50 AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -611,8 +628,13 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single IEEE subtractions, so the oracle matches bitwise; last_value
     needs the unbounded-following frame on BOTH engines (the default
     frame ends at CURRENT ROW). One shuffle on user_id serves all five
-    expressions (same window spec -> one Window physical node)."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    expressions (same window spec -> one Window physical node).
+    Timeline contract (edge-replay finding): NULL-ts events excluded
+    on both engines — otherwise Spark's NULLS FIRST makes them the
+    first_value while DuckDB's NULLS LAST makes them the last."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50) & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return events.select(
@@ -701,12 +723,18 @@ def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_user_types",
     oracle="""
     SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
-           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
-           list_has_any(list(DISTINCT event_type), ['purchase']) AS has_purchase,
-           array_to_string(
-             list_sort(list_intersect(list(DISTINCT event_type),
-                                      ['purchase', 'signup'])), ',') AS conversion_types
+           COALESCE(array_to_string(list_sort(
+             list(DISTINCT event_type) FILTER (event_type IS NOT NULL)),
+             ','), '') AS types,
+           CAST(len(list(DISTINCT event_type)
+                    FILTER (event_type IS NOT NULL)) AS INT) AS n_types,
+           list_has_any(list(DISTINCT event_type)
+                        FILTER (event_type IS NOT NULL),
+                        ['purchase']) AS has_purchase,
+           COALESCE(array_to_string(
+             list_sort(list_intersect(
+               list(DISTINCT event_type) FILTER (event_type IS NOT NULL),
+               ['purchase', 'signup'])), ','), '') AS conversion_types
     FROM events WHERE user_id < 100 GROUP BY user_id
     """,
 )
@@ -718,7 +746,11 @@ def array_functions_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     types per user per partition, never raw events. Array outputs are
     rendered as sorted CSV strings (array_join) so the driver's
     pandas-based hash comparator — which cannot factorize list cells —
-    sees canonical scalars on both engines."""
+    sees canonical scalars on both engines. NULL contract (edge-replay
+    finding): Spark's collect_set silently DROPS NULL elements, so the
+    oracle's list(DISTINCT) carries an explicit FILTER (NOT NULL) and
+    COALESCEs the empty-list string render (DuckDB array_to_string([])
+    is NULL where Spark array_join([]) is '')."""
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     types = F.array_sort(F.collect_set("event_type"))
     return events.groupBy("user_id").agg(
@@ -771,20 +803,25 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_stats_exact",
     oracle="""
     SELECT event_type, n,
-           (sxx - sx * sx / n) / (n - 1) AS var_value,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
-           (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_value_user
+           CASE WHEN n > 1
+                THEN (sxx - sx * sx / n) / (n - 1) END AS var_value,
+           CASE WHEN n > 1
+                THEN sqrt((sxx - sx * sx / n) / (n - 1)) END AS stddev_value,
+           CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+                         AND (syy - sy * sy / n) > 0
+                THEN (sxy - sx * sy / n)
+                     / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+                END AS corr_value_user
     FROM (
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))
-                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS sx,
+             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)
+                      * (CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sy,
              CAST(SUM(CAST(user_id AS DECIMAL(18,4))
                       * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))
+             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)
                       * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sxy
       FROM events GROUP BY event_type
     )
@@ -809,9 +846,15 @@ def value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    var = (sxx - sx * sx / n) / (n - 1)
-    corr = (sxy - sx * sy / n) / (
-        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    # degenerate groups guard (edge-replay finding): variance needs
+    # n > 1, correlation additionally needs both variances positive —
+    # otherwise NULL on BOTH engines instead of an ANSI /0 error here
+    # and an IEEE inf/NaN there
+    den_x, den_y = sxx - sx * sx / n, syy - sy * sy / n
+    var = F.when(n > 1, den_x / (n - 1))
+    corr = F.when(
+        (n > 1) & (den_x > 0) & (den_y > 0),
+        (sxy - sx * sy / n) / (F.sqrt(den_x) * F.sqrt(den_y)),
     )
     return sums.select(
         "event_type",
@@ -831,7 +874,7 @@ def value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(event_type) OVER w IS NULL
                     OR lag(event_type) OVER w <> event_type
                   THEN 1 ELSE 0 END AS chg
-      FROM events WHERE user_id < 30
+      FROM events WHERE user_id < 30 AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
@@ -860,8 +903,12 @@ def user_type_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     current interval open (NULL valid_to) — the reference's in-place
     config UPDATE (S11) generalized to a full change history. One
     shuffle on user_id serves the lag, the island cumsum, the grouped
-    span, and the lead — four logical windows, one exchange."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    span, and the lead — four logical windows, one exchange. Timeline
+    contract (edge-replay finding): NULL-ts events are off the
+    history on both engines."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         F.lag("event_type").over(w).isNull()
@@ -1065,7 +1112,7 @@ def order_value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,

@@ -226,14 +226,17 @@ def existence_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pubsub_decode_roundtrip",
     oracle="""
     SELECT user_id AS org_id, COUNT(*) AS n_messages
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
 )
 def pubsub_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: build ``{"message":{"data": base64(json)}}`` envelopes from
     events, decode them through the ingestion pipeline (main.py:21-31),
     and aggregate the validated payloads. Decode is lossless, so the
-    oracle aggregates the source directly."""
+    oracle aggregates the source directly — minus NULL org ids, which
+    U2 payload validation REJECTS (to_json omits null fields, so the
+    envelope carries no org_id and valid_messages drops it; the
+    edge-replay's NULL-user event proved this path end to end)."""
     from ..sources.pubsub import decode_envelopes, valid_messages
 
     events = load_table(spark, sf_dir, "events")
@@ -383,12 +386,17 @@ def iso_json_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            '{"event_id":' || CAST(event_id AS VARCHAR)
-             || ',"event_type":"' || event_type || '"}' AS payload_json
+             || CASE WHEN event_type IS NULL THEN '}'
+                     ELSE ',"event_type":"' || event_type || '"}' END
+             AS payload_json
     FROM events WHERE user_id < 10
     """,
 )
 def json_serialize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8: record -> JSON text (return_type.py:19-28) via to_json(struct)."""
+    """F8: record -> JSON text (return_type.py:19-28) via to_json(struct).
+    NULL contract (edge-replay finding): to_json OMITS null fields, so
+    the oracle's string build must drop the event_type member rather
+    than nulling the whole payload."""
     events = load_table(spark, sf_dir, "events")
     return events.filter(F.col("user_id") < 10).select(
         "event_id",

@@ -26,13 +26,22 @@ from ..sources.registry import load_table
     oracle=f"""
     WITH o AS (
       SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts_str,
            o.o_orderkey,
            strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS order_date_str
-    FROM events e ASOF LEFT JOIN o
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF LEFT JOIN o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    UNION ALL
+    -- a NULL-ts probe matches NOTHING (DuckDB's ASOF would rank NULL
+    -- above every order date and match the latest; the principled
+    -- contract is no-match, which the Spark composition yields)
+    SELECT event_id, user_id, NULL AS ts_str,
+           NULL AS o_orderkey, NULL AS order_date_str
+    FROM events WHERE ts IS NULL
     """,
 )
 def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,10 +49,18 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the event time. Spark lacks the operator; composed as
     union + last(ignorenulls) window — one shuffle on the key
     (operators/joins.py). Orders pre-deduped to one per (cust, date) so
-    ties are deterministic in both engines."""
+    ties are deterministic in both engines. As-of contract
+    (edge-replay finding): right-side rows need a non-NULL key AND a
+    non-NULL timestamp — a NULL key would otherwise share Spark's
+    NULL window partition with NULL-key probes while never equi-
+    matching in an ASOF join; left rows keep LEFT semantics (a
+    NULL-ts probe simply matches nothing on both engines)."""
     events = load_table(spark, sf_dir, "events")
     orders = (
         load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
@@ -114,14 +131,18 @@ def range_join_events_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN TRY_CAST(props->>'$.k' AS BIGINT) END)
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON column: extract ``$.k`` from the props string
-    and aggregate — stays in codegen via get_json_object."""
+    and aggregate — stays in codegen via get_json_object, which NULLs
+    malformed JSON; the oracle mirrors that tolerance with
+    json_valid/TRY_CAST (edge-replay finding)."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return events.groupBy("event_type").agg(
@@ -132,13 +153,19 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_props_stats",
     oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
-           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) % 2 = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even,
            COUNT(*) AS n
-    FROM events GROUP BY event_type
+    FROM p GROUP BY event_type
     """,
 )
 def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +175,12 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist shredded in parquet) instead of per ``get_json_object``
     call, and extraction is a binary offset lookup, not a string scan.
     Same relational answer as the string-path query, so the DuckDB JSON
-    oracle checks it bitwise."""
+    oracle checks it bitwise. try_parse_json (edge-replay finding):
+    one malformed props row must become a NULL variant, not kill the
+    batch — the same tolerance the string path gets from
+    get_json_object, mirrored in the oracle's json_valid guard."""
     events = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "bigint")
     return (
         events.select("event_type", k.alias("k"))
@@ -312,24 +342,31 @@ def user_event_types_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT event_type,
-             CAST(props->>'$.k' AS BIGINT) AS k,
-             value,
-             CASE WHEN CAST(props->>'$.k' AS BIGINT) % 3 = 0
-                  THEN event_type
-                  ELSE CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) END
-               AS mixed
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k,
+             value
       FROM events
+    ),
+    r AS (
+      SELECT event_type, k, value,
+             CASE WHEN k % 3 = 0 THEN event_type
+                  ELSE CAST(k AS VARCHAR) END AS mixed,
+             CASE WHEN k IS NULL OR k = 50 OR value IS NULL THEN NULL
+                  ELSE value / (k - 50) END AS safe_ratio
+      FROM base
     )
     SELECT event_type,
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN TRY_CAST(mixed AS INTEGER) IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_ok,
-           CAST(SUM(CASE WHEN k = 50 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_div_by_zero,
-           CAST(ROUND(SUM(CASE WHEN k = 50 THEN CAST(0 AS DECIMAL(18,4))
-                              ELSE CAST(value / (k - 50) AS DECIMAL(18,4)) END),
-                      2) AS DOUBLE) AS sum_safe_ratio
-    FROM base GROUP BY event_type
+           CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_by_zero,
+           CAST(ROUND(SUM(COALESCE(
+                  CASE WHEN isfinite(safe_ratio)
+                       THEN CAST(safe_ratio AS DECIMAL(18,4)) END,
+                  CAST(0 AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS sum_safe_ratio
+    FROM r GROUP BY event_type
     """,
 )
 def error_safe_parse_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,9 +375,13 @@ def error_safe_parse_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``try_divide`` yields NULL on zero divisors — the
     whole-batch-survives-one-bad-row property the reference gets from
     per-message exception handling (main.py:45-52), vectorized. The
-    oracle spells the same semantics with CASE; the division result is
+    oracle spells the same semantics with CASE — including
+    json_valid/TRY_CAST guards so MALFORMED props survive the replay
+    too (edge-replay finding; get_json_object nulls invalid JSON where
+    DuckDB's ->> raises) — and the division result is
     decimal-quantized before summing so the aggregate stays
-    order-independent."""
+    order-independent. n_div_by_zero counts every NULL safe-ratio:
+    zero divisor, unparsable props, or missing operands."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     mixed = F.when(k % 3 == 0, F.col("event_type")).otherwise(
@@ -571,9 +612,10 @@ def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_str,
            event_type,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           CAST(ROUND(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)), 2) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value, MAX(value) AS max_value
-    FROM events GROUP BY bucket_str, event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY bucket_str, event_type
     """,
 )
 def rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +623,10 @@ def rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO incremental batch updates (split at mid-month) must equal the
     one-shot SQL aggregate — count/sum/min/max partials merge exactly
     (operators/rollup.py). This is the pattern that serves dashboard
-    queries at 100 TB without rescanning history."""
+    queries at 100 TB without rescanning history. Timeline contract
+    (edge-replay finding): a NULL-ts event belongs to no hour bucket —
+    the half-open update windows naturally exclude it, and the oracle
+    states the same filter explicitly."""
     import datetime as dt
     import tempfile
 
@@ -1198,7 +1243,7 @@ def sql_passthrough_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT user_id,
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+             CAST(ROUND(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)), 2) AS DOUBLE) AS hour_value
       FROM events WHERE user_id < 5
       GROUP BY user_id, hour_idx
     ),
@@ -1267,7 +1312,7 @@ def resampled_hourly_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH hourly AS (
       SELECT user_id,
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+             CAST(ROUND(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)), 2) AS DOUBLE) AS hour_value
       FROM events WHERE user_id < 5
       GROUP BY user_id, hour_idx
     ),
@@ -1372,7 +1417,7 @@ def resampled_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS total_value
     FROM events, wm
     WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
     GROUP BY 1, 2
@@ -1641,9 +1686,11 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
            l.event_id AS click_id,
            r.event_id AS purchase_id
     FROM (SELECT * FROM events
-          WHERE event_type = 'click' AND ts IS NOT NULL) l
+          WHERE event_type = 'click' AND ts IS NOT NULL
+            AND user_id IS NOT NULL) l
     LEFT JOIN (SELECT * FROM events
-               WHERE event_type = 'purchase' AND ts IS NOT NULL) r
+               WHERE event_type = 'purchase' AND ts IS NOT NULL
+                 AND user_id IS NOT NULL) r
       ON l.user_id = r.user_id
      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
@@ -1664,7 +1711,10 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     batch end, as in late_data_watermark_replay), hence two trailing
     advancer batches, not one. With every unmatched click flushed, the
     stream output equals the batch LEFT JOIN exactly — which is the
-    oracle."""
+    oracle. Join contract (edge-replay finding): rows with a NULL join
+    key are excluded on both sides — a NULL key can never match, and
+    Spark's stream-stream join state machine does not emit a
+    left-outer null row for it, while a batch LEFT JOIN would."""
     import tempfile
     import uuid
 
@@ -1674,7 +1724,9 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
         write_microbatches,
     )
 
-    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     sides = {
         "l": events.filter(F.col("event_type") == "click"),
         "r": events.filter(F.col("event_type") == "purchase"),
@@ -1760,7 +1812,8 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_session_counts",
     oracle="""
-    WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    WITH ev AS (SELECT user_id, ts, value FROM events
+                WHERE user_id < 20 AND ts IS NOT NULL),
     wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
     marked AS (
       SELECT user_id, ts, value,
@@ -1780,7 +1833,7 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(ts) AS session_start,
              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
              COUNT(*) AS n_events,
-             SUM(CAST(value AS DECIMAL(18,4))) AS tv
+             SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS tv
       FROM sess GROUP BY user_id, sid
     )
     SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
@@ -1803,7 +1856,10 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     (max ts - 10 min over the filtered stream); the oracle replays the
     session merge with Spark's boundary convention — a new session
     starts when the gap is >= 30 min (an event at exactly start+gap
-    does NOT extend) — and DECIMAL-exact value sums."""
+    does NOT extend) — and DECIMAL-exact value sums. The oracle also
+    excludes NULL-ts events (edge-replay finding): the streaming
+    watermark operator drops rows with NULL event time, so the replay
+    must too."""
     import tempfile
     import uuid
 
@@ -2401,7 +2457,8 @@ def streaming_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH hist AS (
       SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY event_type, floor(value)
+      FROM events WHERE isfinite(value)
+      GROUP BY event_type, floor(value)
     ), cum AS (
       SELECT event_type, bucket, cnt,
              sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
@@ -2429,8 +2486,12 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     histograms merge by addition (the t-digest/KLL property, with a
     deterministic answer a SQL oracle can replay bit-for-bit), and the
     error bound is the bucket width. At 100 TB: one scan, one skinny
-    shuffle, no sort."""
-    events = load_table(spark, sf_dir, "events")
+    shuffle, no sort. Contract (edge-replay finding): the histogram
+    covers FINITE values only — inf/NaN/NULL rows are excluded
+    identically on both engines (floor(inf) has no int64 bucket)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
+    )
     hist = events.groupBy(
         "event_type", F.floor("value").cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -2469,7 +2530,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vals AS (
       SELECT n.u,
-             COALESCE((SELECT SUM(CAST(value AS DECIMAL(18,2)))
+             COALESCE((SELECT SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END))
                        FROM events e WHERE e.user_id = n.u), 0) AS val
       FROM nodes n
     ),
@@ -2888,7 +2949,8 @@ def load_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_purge_accounting",
     oracle="""
     SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
-           CAST((SELECT count(*) FROM events WHERE user_id % 10 <> 3)
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IS NULL OR user_id % 10 <> 3)
                 AS BIGINT) AS rows_after,
            CAST((SELECT count(*) FROM events WHERE user_id % 10 = 3)
                 AS BIGINT) AS rows_purged,
@@ -2907,7 +2969,11 @@ def retention_purge_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: with the destination partitioned by date (load_append's
     layout) the rewrite touches only partitions containing tombstoned
     rows — a broadcast anti join inside each; Delta/Iceberg DELETE is
-    the transactional drop-in with identical semantics."""
+    the transactional drop-in with identical semantics. Erasure
+    contract (edge-replay finding): tombstone matching is key
+    EQUALITY, so a NULL-user event belongs to no user and is KEPT —
+    the anti join does this naturally; the oracle states it
+    explicitly (user_id IS NULL OR ...)."""
     import tempfile
 
     events = load_table(spark, sf_dir, "events")

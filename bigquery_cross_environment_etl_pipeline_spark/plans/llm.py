@@ -1331,12 +1331,14 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
            CAST(len(regexp_extract_all(text,
                  '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END AS digit_ratio,
            (len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
             OR len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) > 0
-            OR CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-               / CAST(length(text) AS DOUBLE) > 0.3) AS flagged
+            OR CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END > 0.3) AS flagged
     FROM aug
     """,
 )
@@ -1364,9 +1366,13 @@ def text_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select("doc_id", aug.alias("text"))
     n_urls = F.regexp_count("text", F.lit(r"https?://[^ ]+"))
     n_emails = F.regexp_count("text", F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+"))
-    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / F.length(
-        "text"
-    ).cast("double")
+    # empty-text guard (edge-replay finding): the ratio is undefined
+    # (NULL) for zero-length text on both engines, not an ANSI /0 error
+    digit_ratio = F.when(
+        F.length("text") > 0,
+        F.regexp_count("text", F.lit("[0-9]")).cast("double")
+        / F.length("text").cast("double"),
+    )
     return docs.select(
         "doc_id",
         n_urls.cast("bigint").alias("n_urls"),
@@ -1602,10 +1608,15 @@ def corpus_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id,
            CAST(len(b.w) AS BIGINT) AS n_tokens,
            CAST(COALESCE(len(m.ml), 0) AS BIGINT) AS n_masked,
-           COALESCE(array_to_string(
-             [b.w[i] FOR i IN generate_series(1, len(b.w))
-              IF NOT list_contains(COALESCE(m.ml, []), i - 1)], ' '
-           ), '') AS cleaned_text
+           -- NULL text stays NULL (matching Spark's array_join of a
+           -- NULL array); the COALESCE('') only covers the
+           -- all-masked EMPTY list, where DuckDB's array_to_string
+           -- returns NULL but Spark's array_join returns ''
+           CASE WHEN b.w IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
+                  [b.w[i] FOR i IN generate_series(1, len(b.w))
+                   IF NOT list_contains(COALESCE(m.ml, []), i - 1)], ' '
+                ), '') END AS cleaned_text
     FROM base b LEFT JOIN masked m ON b.doc_id = m.doc_id
     """,
 )
@@ -1878,10 +1889,15 @@ _ROLL_MOD = 1 << 48
     "doc_rolling_hash",
     oracle=f"""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT, [{_duck_hash48('w')} for w in {_DUCK_WORDS}]),
-             (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_MOD}
-           ) AS rolling_hash
+           -- NULL text folds to NULL (Spark's aggregate over a NULL
+           -- array), not to the empty-fold 0 DuckDB's prepended init
+           -- would yield (edge-replay finding)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_reduce(
+                  list_prepend(0::BIGINT,
+                               [{_duck_hash48('w')} for w in {_DUCK_WORDS}]),
+                  (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_MOD}
+                ) END AS rolling_hash
     FROM documents
     """,
 )

@@ -71,7 +71,7 @@ def _billing_rows(events: DataFrame) -> DataFrame:
     SELECT 'svc-' || event_type AS service_desc,
            strftime(ts, '%Y%m') AS invoice_month,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_cost
+           CAST(ROUND(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)), 2) AS DOUBLE) AS total_cost
     FROM events
     GROUP BY service_desc, invoice_month
     """,
@@ -121,9 +121,10 @@ def nested_label_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_credits_net_cost",
     oracle="""
     SELECT user_id % 5 AS acct_bucket,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+           CAST(ROUND(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END))
                       + SUM(CASE WHEN event_type = 'purchase'
-                                 THEN CAST(-value / 10 AS DECIMAL(18,4))
+                                 THEN (CASE WHEN isfinite(value)
+                                            THEN CAST(-value / 10 AS DECIMAL(18,4)) END)
                                  ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
              AS net_cost
     FROM events
@@ -167,7 +168,7 @@ def nested_credits_net_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_1h_value_sum",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) OVER (
              PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS moving_1h_sum
@@ -275,7 +276,8 @@ def window_partition_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT CASE WHEN cnt >= 10 THEN event_type END) AS BIGINT)
              AS n_heavy_types
     FROM (SELECT user_id, event_type, COUNT(*) AS cnt
-          FROM events GROUP BY user_id, event_type) t
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type) t
     GROUP BY user_id
     """,
 )
@@ -285,8 +287,12 @@ def event_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce), thinned with ``map_filter`` — the repeated key/value
     records of the billing schema (labels, tags) as a first-class map.
     Scalar projections keep the oracle exact (map literals never cross
-    the engine comparison)."""
-    events = load_table(spark, sf_dir, "events")
+    the engine comparison). Map contract (edge-replay finding): NULL
+    is not a legal map key (Spark raises NULL_MAP_KEY), so NULL-type
+    events are excluded identically on both engines."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per_type = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -50,6 +50,34 @@ def test_minhash_lsh_finds_planted_near_dup(spark, docs_with_dups):
     assert hits[(5, 200005)] >= 0.5
 
 
+def test_contentless_docs_are_not_minhash_eligible(spark):
+    """Docs with no shingles (< SHINGLE_N words: NULL / empty /
+    whitespace / too-short text) must NOT pair — two sentinel
+    signatures band-matched as a perfect 1.0 pair before round 5's
+    edge replay caught it. They stay singletons; real dups still pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one two"),
+            (5, "the quick brown fox jumps over the lazy dog tonight"),
+            (6, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(5, 6)}, f"only the real dup may pair, got {got}"
+    # the verify stage tolerates contentless docs in its input too
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    verified = dedup.verified_jaccard_pairs(docs, cands, threshold=0.5)
+    assert [(r["doc_a"], r["doc_b"]) for r in verified.collect()] == [(5, 6)]
+
+
 def test_ngram_jaccard_scores_planted_near_dup(spark, docs_with_dups):
     pairs = dedup.ngram_jaccard_verify_blocked(docs_with_dups, threshold=0.5)
     hits = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}

@@ -43,6 +43,22 @@ def test_check_rules_split_and_accounting(spark):
     assert valid.count() + violations.count() == 4
 
 
+def test_check_rules_null_outcome_is_violation(spark):
+    """A rule must evaluate TRUE to pass: a NULL outcome (v >= 0 on a
+    NULL v) is a violation, not a silent pass (round-5 edge-replay
+    finding — ~NULL fell through the violation tagging before)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, None)], "k int, v double"
+    )
+    valid, violations = check_rules(
+        df, {"k_present": F.col("k").isNotNull(), "v_nonneg": F.col("v") >= 0}
+    )
+    assert [r["k"] for r in valid.collect()] == [1]
+    viol = {r["k"]: tuple(r["violated_rules"]) for r in violations.collect()}
+    assert viol[2] == ("v_nonneg",)
+    assert viol[None] == ("k_present", "v_nonneg")
+
+
 def test_check_rules_requires_rules(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError):

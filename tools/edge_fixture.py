@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Build the ADVERSARIAL edge dataset and replay the full oracle
+catalog against it.
+
+Every driver dataset (sf0.001 … sf0.1) is clean: no NULL text, no
+NULL timestamps, ASCII-only tokens. That means an engine-divergence
+on such rows is LATENT — invisible to the per-round correctness gate
+until real data hits it (the round-4 ADVICE items `daily_count_
+anomaly_zscore` NULL-day frames and the `doc_chunk_overlap` NULL-text
+COALESCE were exactly this class). This tool makes the class visible:
+
+1. copies sf0.001 into ``.edge_sf/`` (parquet schemas preserved via
+   pyarrow, so physical timestamp types survive);
+2. appends adversarial rows — documents with NULL / empty /
+   whitespace-only / unicode / single-token / pathological text,
+   events with NULL ts / NULL event_type / NULL value / NULL user_id /
+   NULL props, orders with NULL price/status/date, customers and
+   lineitems with NULLs in grouping and join keys;
+3. replays EVERY oracle-bearing query through the driver-style
+   comparator (vanilla-session Spark vs DuckDB, repr-exact).
+
+A mismatch means Spark and DuckDB disagree on the edge rows — a real
+latent bug in the query or its oracle, worth fixing before any driver
+dataset grows such rows. Divergences in row COUNT alone (both engines
+agreeing) are fine and expected: edge rows legitimately join/aggregate.
+
+    python tools/edge_fixture.py            # build + replay all
+    python tools/edge_fixture.py q1 q2 ...  # replay a subset
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.001"
+DEST = os.path.join(REPO, ".edge_sf")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: appended rows per table: {table: [ {col: value} ]}; ids continue
+#: beyond the max of sf0.001 so nothing collides. Columns omitted in a
+#: dict become NULL.
+EDGE_ROWS = {
+    "documents": [
+        {"doc_id": 900001, "text": None, "lang": "en", "source": "edge", "n_chars": 0},
+        {"doc_id": 900002, "text": "", "lang": "en", "source": "edge", "n_chars": 0},
+        {"doc_id": 900003, "text": "   ", "lang": "en", "source": "edge", "n_chars": 3},
+        {"doc_id": 900004, "text": "solo", "lang": None, "source": "edge", "n_chars": 4},
+        {"doc_id": 900005, "text": "naïve café über ß 日本語 emoji 🎉 token", "lang": "de", "source": None, "n_chars": 38},
+        {"doc_id": 900006, "text": "dup dup dup dup dup dup dup dup", "lang": "en", "source": "edge", "n_chars": 31},
+        {"doc_id": 900007, "text": "a" * 5000 + " tail", "lang": "en", "source": "edge", "n_chars": 5005},
+    ],
+    "events": [
+        {"event_id": 900001, "ts": None, "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 900002, "ts": "2024-01-05 00:00:00", "user_id": None, "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 900003, "ts": "2024-01-05 00:00:01", "user_id": 7, "event_type": None, "value": 3.0, "props": "{}"},
+        {"event_id": 900004, "ts": "2024-01-05 00:00:02", "user_id": 7, "event_type": "click", "value": None, "props": None},
+        {"event_id": 900005, "ts": "2024-01-05 00:00:03", "user_id": 7, "event_type": "purchase", "value": float("inf"), "props": "not json"},
+    ],
+    "orders": [
+        {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": 10.0, "o_orderdate": "2024-03-01 00:00:00", "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900002, "o_custkey": None, "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
+    ],
+}
+
+
+def build(dest: str = DEST) -> str:
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    for t in TABLES:
+        src_path = f"{SRC}/{t}.parquet"
+        tbl = pq.read_table(src_path)
+        extra = EDGE_ROWS.get(t)
+        if extra:
+            cols = {}
+            for field in tbl.schema:
+                vals = [r.get(field.name) for r in extra]
+                if pa.types.is_timestamp(field.type):
+                    import datetime as dt
+
+                    vals = [
+                        None if v is None
+                        else dt.datetime.fromisoformat(v)
+                        for v in vals
+                    ]
+                cols[field.name] = pa.array(vals, type=field.type)
+            tbl = pa.concat_tables(
+                [tbl, pa.table(cols, schema=pa.schema(tbl.schema))]
+            )
+        pq.write_table(tbl, f"{dest}/{t}.parquet")
+    return dest
+
+
+def replay(dest: str, only: list[str] | None = None) -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    q, o = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dest}/{t}.parquet'"
+        )
+    names = only or sorted(o)
+    fails, loud_both = 0, 0
+    for name in names:
+        if name not in o:
+            print(f"SKIP {name} (no oracle)")
+            continue
+        s = s_err = d = d_err = None
+        try:
+            sdf = q[name](spark, dest)
+            cols = sorted(sdf.columns)
+            s = sorted(
+                tuple(repr(r[c]) for c in cols) for r in sdf.collect()
+            )
+        except Exception as ex:
+            s_err = str(ex)[:200]
+        try:
+            res = con.sql(o[name])
+            dc = list(res.columns)
+            if s is not None:
+                idx = [dc.index(c) for c in cols]
+            else:
+                idx = list(range(len(dc)))
+            d = sorted(
+                tuple(repr(r[i]) for i in idx) for r in res.fetchall()
+            )
+        except Exception as ex:
+            d_err = str(ex)[:200]
+        if s_err and d_err:
+            # both engines refuse the edge rows LOUDLY — an acceptable
+            # (documented) contract: no silent wrong answer is possible
+            loud_both += 1
+            print(f"LOUD-BOTH {name}: spark[{s_err[:80]}] duck[{d_err[:80]}]")
+        elif s_err or d_err:
+            fails += 1
+            which = "spark" if s_err else "duck"
+            print(f"ONE-SIDED-ERROR {name} ({which}): {(s_err or d_err)}")
+        elif s != d:
+            fails += 1
+            print(f"MISMATCH {name}: spark={len(s)} duck={len(d)} rows")
+            for a, b in list(zip(s, d))[:3]:
+                if a != b:
+                    print("  spark:", a)
+                    print("  duck :", b)
+            if len(s) != len(d):
+                ss, dd = set(s), set(d)
+                for x in list(ss - dd)[:2]:
+                    print("  only-spark:", x)
+                for x in list(dd - ss)[:2]:
+                    print("  only-duck :", x)
+    print(
+        f"edge replay: {len(names)} queries, {fails} silent divergences,"
+        f" {loud_both} loud-on-both (acceptable)"
+    )
+    return fails
+
+
+if __name__ == "__main__":
+    dest = build()
+    sys.exit(1 if replay(dest, sys.argv[1:] or None) else 0)
