@@ -604,7 +604,15 @@ def incremental_lsh_pairs(
     broadcast hard limit instead of falling back to the band-key
     shuffle join. Default off: AQE picks broadcast automatically when
     the batch is genuinely under the threshold.
+
+    Same eligibility contract as ``lsh_candidate_pairs`` (round-5
+    review finding — the batch path initially missed it): sentinel
+    signatures (contentless docs) are excluded on BOTH sides, or two
+    empty docs would band-match as a fake 1.0 pair across the
+    corpus/batch boundary.
     """
+    corpus_sigs = corpus_sigs.filter(F.col("h0") < MINHASH_MOD)
+    batch_sigs = batch_sigs.filter(F.col("h0") < MINHASH_MOD)
     rows_per_band = n_hashes // n_bands
 
     def explode_bands(sigs: DataFrame) -> DataFrame:

@@ -454,15 +454,21 @@ def ivf_index_append(
     exactly like any IVF serving system.
 
     Any PQ-codes sidecar (``ivfpq_codes_persist``) is INVALIDATED by
-    the append — its ``_SUCCESS`` marker is removed — because the
-    sidecar encodes only the vectors present at its build time; a
-    stale sidecar would silently exclude every appended vector from
-    IVF-PQ probes. The next ``ann_topk_ivfpq`` serve re-encodes
+    the append — its ``_SUCCESS`` marker is removed BEFORE the append
+    writes — because the sidecar encodes only the vectors present at
+    its build time; a stale sidecar would silently exclude every
+    appended vector from IVF-PQ probes. Invalidate-first ordering
+    (round-5 review finding): a crash after the append but before the
+    invalidation would leave a valid-looking stale sidecar, while a
+    crash after invalidating but before appending merely forces one
+    redundant rebuild. The next ``ann_topk_ivfpq`` serve re-encodes
     (mode("overwrite"), so the stale files are replaced atomically at
     the Spark-commit level)."""
     import glob as _glob
     import os as _os
 
+    for marker in _glob.glob(f"{index_path}/pq_v*/_SUCCESS"):
+        _os.remove(marker)
     centroids = spark.read.parquet(index_path + "/centroids")
     assigned = _assign_to_centroids(new_embeddings, centroids, id_col, vec_col, dim)
     (
@@ -471,8 +477,6 @@ def ivf_index_append(
         .partitionBy("_cid")
         .parquet(index_path + "/assigned")
     )
-    for marker in _glob.glob(f"{index_path}/pq_v*/_SUCCESS"):
-        _os.remove(marker)
 
 
 def ann_batch_topk_ivf_probe(

@@ -726,11 +726,11 @@ def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(array_to_string(list_sort(
              list(DISTINCT event_type) FILTER (event_type IS NOT NULL)),
              ','), '') AS types,
-           CAST(len(list(DISTINCT event_type)
-                    FILTER (event_type IS NOT NULL)) AS INT) AS n_types,
-           list_has_any(list(DISTINCT event_type)
+           CAST(COALESCE(len(list(DISTINCT event_type)
+                    FILTER (event_type IS NOT NULL)), 0) AS INT) AS n_types,
+           COALESCE(list_has_any(list(DISTINCT event_type)
                         FILTER (event_type IS NOT NULL),
-                        ['purchase']) AS has_purchase,
+                        ['purchase']), false) AS has_purchase,
            COALESCE(array_to_string(
              list_sort(list_intersect(
                list(DISTINCT event_type) FILTER (event_type IS NOT NULL),

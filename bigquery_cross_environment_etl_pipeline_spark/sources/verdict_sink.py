@@ -21,15 +21,19 @@ Two-phase commit protocol (the object-store-friendly shape):
 - ``abort()``: staged files are deleted; committed data is untouched.
 
 Appends accumulate manifests (one per job, like the reference's
-per-run load batches). ``mode("overwrite")`` retracts prior manifests
-and their files at commit time — after the new data staged
-successfully, never before.
+per-run load batches). ``mode("overwrite")`` is ATOMIC via
+supersession: the new manifest lists the manifests it retracts, and
+readers drop superseded manifests — so visibility flips old→new in
+the single rename of the new manifest (a crash can never expose an
+empty or doubled table); the physical cleanup of retracted files runs
+after and is correctness-irrelevant.
 
 Streaming (``DataSourceStreamWriter``) uses the same protocol per
 epoch with ``_COMMIT-stream-<batchId>.json`` manifests: a replayed
-epoch REPLACES its own manifest (and deletes the files the old one
-referenced), so micro-batch retry is idempotent — at-least-once task
-execution, exactly-once visibility.
+epoch REPLACES its own manifest by an atomic same-name rename (old
+attempt's files deleted only once unreferenced), so micro-batch retry
+is idempotent — at-least-once task execution, exactly-once
+visibility. Only append output mode is supported (truncate raises).
 
 At 100 TB: every data byte moves executor-side (tasks write their own
 partitions); the driver handles only O(tasks) commit messages and one
@@ -82,9 +86,14 @@ def _stage_rows(path: str, iterator) -> PartCommit:
     return PartCommit(part, n)
 
 
-def _publish(path: str, messages, manifest_name: str) -> None:
+def _publish(
+    path: str, messages, manifest_name: str, supersedes: list[str] | None = None
+) -> None:
     """Driver-side: move staged files into the table dir, then make
-    them visible with ONE manifest write (the atomic commit point)."""
+    them visible with ONE manifest write (the atomic commit point).
+    ``supersedes`` names older manifests this one RETRACTS: readers
+    drop superseded manifests, so overwrite visibility flips atomically
+    at this manifest's rename — never an empty or doubled table."""
     files, total = [], 0
     for m in messages:
         if m is None or m.rows == 0:
@@ -95,23 +104,34 @@ def _publish(path: str, messages, manifest_name: str) -> None:
         os.replace(m.path, final)
         files.append({"file": os.path.basename(final), "rows": m.rows})
         total += m.rows
-    manifest = {"files": files, "total_rows": total}
+    manifest = {
+        "files": files,
+        "total_rows": total,
+        "supersedes": sorted(supersedes or []),
+    }
     tmp = os.path.join(path, f"_manifest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, manifest_name))
 
 
-def _retract(path: str, manifest_paths: list[str]) -> None:
-    """Delete the data files a set of manifests references, then the
-    manifests themselves (overwrite / epoch-replay retraction)."""
-    for mp in manifest_paths:
-        try:
-            with open(mp) as f:
-                manifest = json.load(f)
-        except (OSError, ValueError):
-            manifest = {"files": []}
-        for entry in manifest.get("files", []):
+def _load_manifest(mp: str) -> dict:
+    try:
+        with open(mp) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"files": []}
+
+
+def _cleanup_superseded(path: str, names: list[str]) -> None:
+    """Best-effort removal of superseded manifests and their files —
+    correctness never depends on it (readers already ignore them), so
+    a crash mid-cleanup leaves only invisible orphans."""
+    for name in names:
+        mp = os.path.join(path, name)
+        if not os.path.exists(mp):
+            continue
+        for entry in _load_manifest(mp).get("files", []):
             fp = os.path.join(path, entry["file"])
             if os.path.exists(fp):
                 os.remove(fp)
@@ -124,21 +144,39 @@ def _abort(messages) -> None:
             os.remove(m.path)
 
 
-class JsonlVerdictBatchWriter(DataSourceWriter):
+class _ManifestCommitMixin:
+    """The shared driver-side half of the two-phase protocol (one
+    definition for the JSONL and parquet batch writers — a protocol
+    fix can't miss one of them)."""
+
+    def commit(self, messages) -> None:
+        old = (
+            [
+                os.path.basename(p)
+                for p in glob.glob(os.path.join(self.path, "_COMMIT-*.json"))
+            ]
+            if self.overwrite
+            else []
+        )
+        _publish(
+            self.path,
+            messages,
+            f"_COMMIT-{uuid.uuid4().hex}.json",
+            supersedes=old,
+        )
+        _cleanup_superseded(self.path, old)
+
+    def abort(self, messages) -> None:
+        _abort(messages)
+
+
+class JsonlVerdictBatchWriter(_ManifestCommitMixin, DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
 
     def write(self, iterator) -> PartCommit:
         return _stage_rows(self.path, iterator)
-
-    def commit(self, messages) -> None:
-        if self.overwrite:
-            _retract(self.path, glob.glob(os.path.join(self.path, "_COMMIT-*.json")))
-        _publish(self.path, messages, f"_COMMIT-{uuid.uuid4().hex}.json")
-
-    def abort(self, messages) -> None:
-        _abort(messages)
 
 
 class JsonlVerdictStreamWriter(DataSourceStreamWriter):
@@ -149,13 +187,23 @@ class JsonlVerdictStreamWriter(DataSourceStreamWriter):
         return _stage_rows(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        # idempotent under epoch replay: retract THIS epoch's previous
-        # attempt (if any), then publish the new one
+        # idempotent under epoch replay: the manifest NAME is the epoch,
+        # so publishing is an atomic same-name os.replace — a replayed
+        # epoch flips from old to new attempt with no empty window;
+        # the old attempt's files are deleted only after they are
+        # unreferenced (crash mid-cleanup leaves invisible orphans)
         name = f"_COMMIT-stream-{batchId}.json"
         prior = os.path.join(self.path, name)
-        if os.path.exists(prior):
-            _retract(self.path, [prior])
+        old_files = (
+            [e["file"] for e in _load_manifest(prior).get("files", [])]
+            if os.path.exists(prior)
+            else []
+        )
         _publish(self.path, messages, name)
+        for fname in old_files:
+            fp = os.path.join(self.path, fname)
+            if os.path.exists(fp):
+                os.remove(fp)
 
     def abort(self, messages, batchId: int) -> None:
         _abort(messages)
@@ -174,15 +222,23 @@ class JsonlVerdictDataSource(DataSource):
         return JsonlVerdictBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlVerdictStreamWriter:
+        if overwrite:
+            # complete/truncate output modes would need cross-epoch
+            # retraction this sink does not implement — refuse loudly
+            # rather than accumulate duplicated recomputed results
+            raise NotImplementedError(
+                "jsonl_verdict supports append-mode streaming only"
+            )
         return JsonlVerdictStreamWriter(self.options)
 
 
-class ParquetManifestArrowWriter(DataSourceArrowWriter):
+class ParquetManifestArrowWriter(_ManifestCommitMixin, DataSourceArrowWriter):
     """The Arrow FAST PATH of the same protocol: tasks receive PyArrow
     ``RecordBatch``es (no per-row Python), concatenate them into one
     staged parquet part, and commit through the identical manifest
-    publish — columnar end to end, so the sink scales with batch
-    count, not row count, on the Python side."""
+    publish (the SHARED mixin — one commit/abort definition for both
+    batch writers) — columnar end to end, so the sink scales with
+    batch count, not row count, on the Python side."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
@@ -200,14 +256,6 @@ class ParquetManifestArrowWriter(DataSourceArrowWriter):
         if n:
             pq.write_table(pa.Table.from_batches(batches), part)
         return PartCommit(part, n)
-
-    def commit(self, messages) -> None:
-        if self.overwrite:
-            _retract(self.path, glob.glob(os.path.join(self.path, "_COMMIT-*.json")))
-        _publish(self.path, messages, f"_COMMIT-{uuid.uuid4().hex}.json")
-
-    def abort(self, messages) -> None:
-        _abort(messages)
 
 
 class ParquetManifestDataSource(DataSource):
@@ -236,13 +284,20 @@ def read_committed_parquet(spark, path: str, schema):
 
 
 def committed_manifests(path: str) -> list[dict]:
-    """Parsed manifests, batch and stream alike (ordered by name for
-    determinism)."""
-    out = []
+    """Parsed VISIBLE manifests, batch and stream alike (ordered by
+    name for determinism). A manifest named in any other manifest's
+    ``supersedes`` list is retracted — this is what makes
+    mode("overwrite") atomic: the new manifest's rename flips the old
+    data invisible in the same instant it publishes the new, even if
+    the physical cleanup never ran."""
+    loaded: dict[str, dict] = {}
     for mp in sorted(glob.glob(os.path.join(path, "_COMMIT-*.json"))):
         with open(mp) as f:
-            out.append(json.load(f))
-    return out
+            loaded[os.path.basename(mp)] = json.load(f)
+    retracted = {
+        name for m in loaded.values() for name in m.get("supersedes", [])
+    }
+    return [m for name, m in loaded.items() if name not in retracted]
 
 
 def read_committed(spark, path: str, schema):

@@ -81,7 +81,9 @@ def write_microbatches(dfs, dest_dir: str) -> None:
             part = next(
                 f for f in os.listdir(stage) if f.endswith(".parquet")
             )
-            dest = f"{dest_dir}/batch-{i}.parquet"
+            # zero-padded index: lexicographic order must equal batch
+            # order past 9 batches too (batch-10 < batch-2 unpadded)
+            dest = f"{dest_dir}/batch-{i:04d}.parquet"
             shutil.move(f"{stage}/{part}", dest)
             os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
 

@@ -111,6 +111,42 @@ def test_overwrite_retracts_prior_commits(spark, tmp_path):
     assert on_disk == listed
 
 
+def test_overwrite_supersession_is_atomic(spark, tmp_path):
+    """Crash-window simulation: if the physical cleanup after an
+    overwrite never runs, the superseding manifest ALONE must retract
+    the old data — readers drop superseded manifests, so visibility
+    flipped at the new manifest's rename, never exposing an empty or
+    doubled table."""
+    import uuid as _uuid
+
+    from bigquery_cross_environment_etl_pipeline_spark.sources.verdict_sink import (
+        PartCommit,
+        _publish,
+    )
+
+    spark.dataSource.register(JsonlVerdictDataSource)
+    src = _orders(spark)
+    path = str(tmp_path / "t")
+    src.write.format("jsonl_verdict").option("path", path).mode("append").save()
+    old_names = [
+        os.path.basename(p) for p in glob.glob(f"{path}/_COMMIT-*.json")
+    ]
+    # hand-publish a superseding manifest and SKIP the cleanup step
+    # (exactly the state a crash between publish and cleanup leaves)
+    part = f"{path}/_staging/part-{_uuid.uuid4().hex}.jsonl"
+    os.makedirs(f"{path}/_staging", exist_ok=True)
+    with open(part, "w") as f:
+        f.write(json.dumps({"o_orderkey": 1, "o_orderstatus": "X",
+                            "o_totalprice": 1.5}) + "\n")
+    _publish(path, [PartCommit(part, 1)],
+             f"_COMMIT-{_uuid.uuid4().hex}.json", supersedes=old_names)
+    # old manifests + files still on disk, but INVISIBLE
+    assert all(os.path.exists(f"{path}/{n}") for n in old_names)
+    back = read_committed(spark, path, SCHEMA)
+    assert back.count() == 1
+    assert back.first()["o_orderstatus"] == "X"
+
+
 def test_parquet_manifest_arrow_writer_roundtrip(spark, tmp_path):
     """The Arrow fast-path twin: RecordBatches staged as parquet parts
     under the same manifest protocol — type-faithful (timestamps

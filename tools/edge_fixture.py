@@ -14,8 +14,10 @@ COALESCE were exactly this class). This tool makes the class visible:
 2. appends adversarial rows — documents with NULL / empty /
    whitespace-only / unicode / single-token / pathological text,
    events with NULL ts / NULL event_type / NULL value / NULL user_id /
-   NULL props, orders with NULL price/status/date, customers and
-   lineitems with NULLs in grouping and join keys;
+   NULL props / inf value / malformed-JSON props, orders with NULL
+   price/status/date/custkey (customer and lineitem edge rows are a
+   round-6 extension — the TPC-H join/grouping queries currently
+   replay against clean dimension data);
 3. replays EVERY oracle-bearing query through the driver-style
    comparator (vanilla-session Spark vs DuckDB, repr-exact).
 
