@@ -466,7 +466,7 @@ def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE p.p_size <= 10
+      WHERE p.p_size <= 10 AND l.l_extendedprice IS NOT NULL
     ) WHERE rn = 1
     """,
 )
@@ -477,8 +477,13 @@ def cheapest_line_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-scans; the window rank scans once). Deterministic total
     tie-break (price, suppkey, orderkey, linenumber); price compared in
     DECIMAL. The p_size predicate pushes into the part scan and prunes
-    the fact join via the join key."""
-    li = load_table(spark, sf_dir, "lineitem")
+    the fact join via the join key. Pricing contract (edge-replay
+    finding): only PRICED lines compete — a NULL price would rank
+    first under Spark's NULLS FIRST and last under DuckDB's NULLS
+    LAST."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = load_table(spark, sf_dir, "supplier")
     pdec = F.col("l_extendedprice").cast("decimal(18,2)")

@@ -15,9 +15,8 @@ COALESCE were exactly this class). This tool makes the class visible:
    whitespace-only / unicode / single-token / pathological text,
    events with NULL ts / NULL event_type / NULL value / NULL user_id /
    NULL props / inf value / malformed-JSON props, orders with NULL
-   price/status/date/custkey (customer and lineitem edge rows are a
-   round-6 extension — the TPC-H join/grouping queries currently
-   replay against clean dimension data);
+   price/status/date/custkey, customers with every non-key column
+   NULL, and lineitems with NULL join keys / prices / flags / dates;
 3. replays EVERY oracle-bearing query through the driver-style
    comparator (vanilla-session Spark vs DuckDB, repr-exact).
 
@@ -73,6 +72,13 @@ EDGE_ROWS = {
     "orders": [
         {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": 10.0, "o_orderdate": "2024-03-01 00:00:00", "o_orderpriority": "1-URGENT"},
         {"o_orderkey": 900002, "o_custkey": None, "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
+    ],
+    "customer": [
+        {"c_custkey": 900001, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
+    ],
+    "lineitem": [
+        {"l_orderkey": None, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
+        {"l_orderkey": 900001, "l_partkey": None, "l_suppkey": None, "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 100.0, "l_discount": 0.05, "l_tax": 0.01, "l_returnflag": "R", "l_linestatus": "F", "l_shipdate": "2024-03-02 00:00:00"},
     ],
 }
 
