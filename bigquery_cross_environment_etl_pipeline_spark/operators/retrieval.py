@@ -118,7 +118,30 @@ def bm25_index_append(
     the id sets are disjoint, so the serving path's ``df = COUNT(*)``
     stays exact. Nightly ingest therefore adds O(delta) work
     regardless of index size; rebuild on a cadence only if tokenizer
-    semantics change (BM25_INDEX_VERSION)."""
+    semantics change (BM25_INDEX_VERSION).
+
+    Crash-safety (invalidate-first, the ``ivf_index_append``
+    discipline): the three on-disk steps (postings append, doclen
+    append, stats refold) are not atomic, so the staleness marker
+    callers check (``stats/_SUCCESS`` — plans/llm.py::_bm25_index) is
+    REMOVED before the first write and only reappears when the final
+    ``_write_stats`` overwrite commits. A crash mid-append therefore
+    leaves the index marked stale (next reader rebuilds) instead of
+    serving postings inconsistent with doclen/stats. For the same
+    reason an append REFUSES a stale/torn index (marker already
+    absent): appending on top of torn postings would restore the
+    marker without restoring the lost rows — rebuild with
+    ``bm25_index_persist`` first."""
+    import os as _os
+
+    marker = index_path + "/stats/_SUCCESS"
+    if not _os.path.exists(marker):
+        raise ValueError(
+            f"BM25 index at {index_path} is stale or torn "
+            "(stats/_SUCCESS missing) — rebuild with bm25_index_persist "
+            "before appending"
+        )
+    _os.remove(marker)
     postings, doclen = _tokenize_postings(new_docs, id_col, text_col)
     (
         postings.withColumn("_tb", _token_bucket(F.col("token")))

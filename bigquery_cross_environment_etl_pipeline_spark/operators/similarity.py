@@ -383,7 +383,19 @@ def _rank_probe_cids(
     are load-bearing: the stage-replay oracles replay them verbatim,
     so any change here is a semantic index change (bump
     IVF_BUILD_VERSION and the oracles together). Bounded work:
-    n_centroids rows, serving-constant-sized."""
+    n_centroids rows, serving-constant-sized.
+
+    Zero-norm guard: a zero-norm centroid has no defined cosine to any
+    query, so it is EXCLUDED from ranking (mirrored as ``cnrm > 0`` in
+    the ``probe`` CTE of plans/extended._ivf_single_query_ctes); a
+    zero-norm QUERY is rejected loudly — previously both cases raised
+    ZeroDivisionError here while DuckDB silently computed inf/NaN, a
+    one-sided failure. No IVF_BUILD_VERSION bump: ranking is unchanged
+    wherever it previously completed."""
+    if qnrm == 0:
+        raise ValueError(
+            "zero-norm query vector has no defined cosine ranking"
+        )
     scored = sorted(
         (
             (
@@ -392,6 +404,7 @@ def _rank_probe_cids(
                 -r["_cid"],
             )
             for r in cent_rows
+            if r["_cnrm"] > 0
         ),
         reverse=True,
     )
@@ -463,12 +476,33 @@ def ivf_index_append(
     crash after invalidating but before appending merely forces one
     redundant rebuild. The next ``ann_topk_ivfpq`` serve re-encodes
     (mode("overwrite"), so the stale files are replaced atomically at
-    the Spark-commit level)."""
+    the Spark-commit level).
+
+    The index's OWN staleness marker (``centroids/_SUCCESS`` — the
+    existence check plans/extended._ivf_index uses) follows the same
+    invalidate-first discipline (round-6, mirroring the
+    ``bm25_index_append`` fix): it is removed before the append and
+    restored only after the append commits, so a crash mid-append
+    leaves the index marked stale — the next reader rebuilds instead
+    of serving a partially-ingested delta (whose re-ingest would
+    violate the NEW-ids contract and double the replayed vectors).
+    An append likewise REFUSES a stale/torn index (marker already
+    absent): appending on top of a torn assignment store would
+    restore the marker without restoring the lost vectors — rebuild
+    with ``ivf_index_persist`` first."""
     import glob as _glob
     import os as _os
 
+    stale_marker = f"{index_path}/centroids/_SUCCESS"
+    if not _os.path.exists(stale_marker):
+        raise ValueError(
+            f"IVF index at {index_path} is stale or torn "
+            "(centroids/_SUCCESS missing) — rebuild with "
+            "ivf_index_persist before appending"
+        )
     for marker in _glob.glob(f"{index_path}/pq_v*/_SUCCESS"):
         _os.remove(marker)
+    _os.remove(stale_marker)
     centroids = spark.read.parquet(index_path + "/centroids")
     assigned = _assign_to_centroids(new_embeddings, centroids, id_col, vec_col, dim)
     (
@@ -477,6 +511,8 @@ def ivf_index_append(
         .partitionBy("_cid")
         .parquet(index_path + "/assigned")
     )
+    with open(stale_marker, "wb"):
+        pass
 
 
 def ann_batch_topk_ivf_probe(

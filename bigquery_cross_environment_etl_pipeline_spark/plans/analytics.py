@@ -1147,8 +1147,17 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter((F.col("ts") >= cutoff) | F.col("ts").isNull()), "b"
     )
     zero = F.lit(0).cast("decimal(18,4)")
-    merged = state.join(delta, "event_type", "full_outer").select(
-        "event_type",
+    # null-SAFE key equality: a NULL event_type group present on both
+    # sides of the cutoff must merge into ONE row (the full-recompute
+    # oracle GROUP BY puts all NULLs in one group); plain `=` would
+    # leave two unmerged NULL-key partials
+    st, dl = state.alias("st"), delta.alias("dl")
+    merged = st.join(
+        dl, F.col("st.event_type").eqNullSafe(F.col("dl.event_type")), "full_outer"
+    ).select(
+        F.coalesce(F.col("st.event_type"), F.col("dl.event_type")).alias(
+            "event_type"
+        ),
         (F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0)))
         .cast("bigint")
         .alias("n_events"),
@@ -1226,11 +1235,22 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
     )
     zero = F.lit(0).cast("decimal(18,2)")
-    return state.join(
-        delta, ["c_mktsegment", "order_year"], "full_outer"
+    # null-SAFE merge keys (same hazard as incremental_agg_maintenance:
+    # a NULL-segment customer with orders on both sides of the cutoff
+    # must merge into one group, as the full-recompute GROUP BY does)
+    st, dl = state.alias("st"), delta.alias("dl")
+    return st.join(
+        dl,
+        F.col("st.c_mktsegment").eqNullSafe(F.col("dl.c_mktsegment"))
+        & F.col("st.order_year").eqNullSafe(F.col("dl.order_year")),
+        "full_outer",
     ).select(
-        "c_mktsegment",
-        "order_year",
+        F.coalesce(F.col("st.c_mktsegment"), F.col("dl.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.coalesce(F.col("st.order_year"), F.col("dl.order_year")).alias(
+            "order_year"
+        ),
         (
             F.coalesce(F.col("n_a"), F.lit(0))
             + F.coalesce(F.col("n_b"), F.lit(0))

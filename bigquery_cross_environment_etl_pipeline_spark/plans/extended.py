@@ -725,30 +725,131 @@ def validated_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.select("event_id", "event_type", "value")
 
 
-# --- stratified sampling (rows-only: sampling is engine-seeded) --------------------------------
-@register("stratified_sample_by_type")
+# --- stratified sampling (salted-hash membership -> EXACT oracle) ------------------------------
+#: per-stratum keep-fractions in basis points (of the 10000-bucket
+#: salted-hash space) — the dict the engine-seeded ``sampleBy``
+#: equivalent would take as {type: fraction}
+_STRATA_BP = {"click": 5000, "view": 1000, "purchase": 10000, "signup": 10000, "error": 0}
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{t}' THEN {bp}" for t, bp in _STRATA_BP.items()
+    )
+    return f"CASE event_type {arms} END"
+
+
+def _stratified_oracle() -> str:
+    from .llm import _duck_hash48
+
+    return f"""
+    SELECT event_id, event_type, value FROM events
+    WHERE {_duck_hash48("'strat-' || event_id")} % 10000
+          < {_strata_case_sql()}
+    """
+
+
+@register("stratified_sample_by_type", oracle=_stratified_oracle())
 def stratified_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling per event_type (sampleBy with per-stratum
-    fractions, fixed seed) — the training-data subsampling op. Sampling
-    RNG is engine-specific -> rows-only; fraction tolerances asserted in
-    tests/test_quality_ops.py."""
+    """Stratified sampling per event_type with DETERMINISTIC membership:
+    keep a row iff md5('strat-' || event_id) mod 10000 falls under its
+    stratum's basis-point budget — the same salted-hash discipline as
+    deterministic_split_assignment / quality_weighted_sample, so the
+    sample is stable across engines, runs, partitionings, and corpus
+    growth (a row never enters/leaves the sample when other rows
+    change — the property audit-grade subsampling needs). Round 6:
+    converted from engine-seeded ``sampleBy`` (rows-only evidence) to
+    this exact-oracle form; the seeded variant remains available via
+    DataFrame.sampleBy and is tolerance-tested in
+    tests/test_quality_ops.py. Unknown/NULL strata get no budget and
+    are excluded on both engines. The membership predicate rides the
+    scan: zero shuffles, no RNG state to coordinate at 100 TB."""
     events = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.0}
-    return events.sampleBy("event_type", fractions, seed=42)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("strat-"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    budget = F.create_map(
+        *[
+            x
+            for t, bp in _STRATA_BP.items()
+            for x in (F.lit(t), F.lit(bp))
+        ]
+    )[F.col("event_type")]
+    return events.filter(bucket < budget).select(
+        "event_id", "event_type", "value"
+    )
 
 
-# --- approximate aggregates (rows-only: sketch-based by design) ------------------------------
-@register("approx_distinct_and_quantiles")
+# --- approximate aggregates (sketches with a bounds-checking exact oracle) -------------------
+@register(
+    "approx_distinct_and_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_eps,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p99_within_rank_eps
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct + t-digest quantiles per event type — the
-    100 TB forms of COUNT(DISTINCT)/percentile (single pass, bounded
-    memory). Approximate by design -> rows-only here; tolerance vs exact
-    is asserted in tests/test_scale_ops.py."""
+    """HyperLogLog++ distinct + t-digest-style quantiles per event type
+    — the 100 TB forms of COUNT(DISTINCT)/percentile (single pass,
+    bounded memory). The sketch VALUES are engine-internal, so instead
+    of hashing them this query hash-verifies their exact INVARIANTS
+    (the etl_provision_rollback VALUES-arm pattern, VERDICT r5 item 4):
+    the HLL estimate must sit within 3*rsd of the exactly-computed
+    distinct count, and each percentile_approx output (guaranteed rank
+    error <= 1/accuracy = 1e-4) must lie between the exact percentiles
+    at rank +-0.005 — 50x slack, deterministic TRUE on any correct
+    sketch. The oracle recomputes the exact distinct count and emits
+    the invariant booleans as literals, so any sketch regression
+    breaks the hash. All-NULL value groups yield NULL sketches AND
+    NULL exact bounds — counted as in-bounds on both engines."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    g = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("exact_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
+        F.expr(
+            "percentile(value, array(0.495, 0.505, 0.985, 0.995))"
+        ).alias("_pb"),
+    )
+
+    def within(approx: F.Column, lo: F.Column, hi: F.Column) -> F.Column:
+        return (approx.isNull() & lo.isNull()) | (
+            (approx >= lo) & (approx <= hi)
+        )
+
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(3.0), F.col("exact_users").cast("double") * F.lit(0.06)
+            )
+        ).alias("users_within_eps"),
+        within(
+            F.col("approx_p50"), F.col("_pb")[0], F.col("_pb")[1]
+        ).alias("p50_within_rank_eps"),
+        within(
+            F.col("approx_p99"), F.col("_pb")[2], F.col("_pb")[3]
+        ).alias("p99_within_rank_eps"),
     )
 
 
@@ -802,11 +903,13 @@ def _ivf_single_query_ctes(
     """The single-query serving half shared by `_ivf_oracle` and
     `_ivfpq_oracle`: ``q`` (the query vector + norm) and ``probe``
     (sim-then-cid centroid ranking, top ``nprobe`` cells) — the SQL
-    replay of similarity._rank_probe_cids."""
+    replay of similarity._rank_probe_cids, including its zero-norm
+    centroid exclusion (``cnrm > 0``)."""
     dot = _duck_dot64
     return f"""q AS (SELECT embedding AS qvec, nrm AS qnrm FROM nrm WHERE vec_id = {qid}),
     probe AS (
       SELECT cid FROM {cent_name}, q
+      WHERE cnrm > 0
       ORDER BY ({dot('cvec', 'qvec')}) / (cnrm * qnrm) DESC, cid ASC
       LIMIT {nprobe}
     )"""
@@ -942,6 +1045,7 @@ def _ivf_batch_oracle(
                           DESC, c.cid ASC
                ) AS pr
         FROM cent c CROSS JOIN q
+        WHERE c.cnrm > 0
       ) WHERE pr <= {nprobe}
     )
     SELECT qid, vec_id, cosine, rn FROM (

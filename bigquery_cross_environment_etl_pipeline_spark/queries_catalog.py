@@ -71,51 +71,18 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # modified this round (round 5): new P7/F4 assertion arms
-    "etl_checkpoint_roundtrip",
-    # modified this round: new J3 re-fetch arm
-    "etl_provision_rollback",
-    # new this round: T6 late-data watermark replay
-    "late_data_watermark_replay",
-    # modified this round: max_uid now reads the persisted stats
-    # sidecar (operators/stats.py) instead of an eager aggregate
-    "hierarchy_subtree_rollup",
-    # new this round: RAG-style within-doc chunking with overlap
-    "doc_chunk_overlap",
-    # new this round: stream-static broadcast enrich + stream-stream
-    # interval join (the two previously-uncovered streaming join forms)
-    "streaming_enrich_static_join",
-    "streaming_interval_join_pairs",
-    # new this round: composed IVF-PQ serving stack (pruned cells x
-    # 8-byte codes), persisted PQ sidecar
-    "ann_topk_ivfpq",
-    # new this round: stream-stream LEFT OUTER join (watermark-driven
-    # null emission from evicted join state)
-    "streaming_left_outer_join_nulls",
-    # new this round: Bellman-Ford min-plus relaxation (third
-    # iterative-graph primitive)
-    "nation_trade_shortest_paths",
-    # new this round: BM25 sparse retrieval (ln-free exact scoring)
-    "bm25_topk_retrieval",
-    # new this round: delta-only JOIN-view maintenance (merge partials)
+    # modified this round (round 6): null-SAFE full_outer merge keys in
+    # both incremental-maintenance queries (round-5 ADVICE item 1)
+    "incremental_agg_maintenance",
     "incremental_join_maintenance",
-    # new this round: BM25 served from the persisted inverted index
-    "bm25_topk_from_index",
-    # new this round: BM25 served from an INCREMENTALLY maintained
-    # index (bm25_index_append delta path)
-    "bm25_incremental_index_topk",
-    # new this round: custom Python DataSource WRITER with two-phase
-    # commit + manifest-gated reads (the S8/S10 sink surface)
-    "verdict_sink_roundtrip",
-    # new this round: reciprocal-rank fusion of dense + sparse arms
-    "hybrid_rrf_fusion",
-    # VERDICT r4 item 4: the IVF serving forms, pinned so the COMPLETE
-    # IVF(-PQ) serving stack earns external evidence in one round
-    # (they'd otherwise sit at never-green positions 50-52, one slot
-    # outside the window)
-    "ann_topk_ivf_probe",
-    "ann_batch_topk_ivf",
-    "ann_topk_ivf_kmeans",
+    # converted this round from rows-only to an EXACT oracle: sample
+    # membership is now a salted md5 hash of event_id, identical in
+    # DuckDB (VERDICT r5 item 3)
+    "stratified_sample_by_type",
+    # converted this round from rows-only to a bounds-checking exact
+    # oracle: sketch outputs verified against exactly-computed
+    # invariants rendered as booleans (VERDICT r5 item 4)
+    "approx_distinct_and_quantiles",
 ]
 
 _STABLE_ORDER = [

@@ -44,6 +44,25 @@ def test_total_is_sum_of_timings():
     assert d["queries"] == {"b": 2.25, "a": 1.5}
 
 
+def test_calibration_field_rides_the_line():
+    """The calibration probe (VERDICT r5 item 5) must appear in BOTH
+    the stdout line and the detail sidecar, with the load flag derived
+    from the committed quiet reference — and must never push the line
+    over the tail-capture budget."""
+    cal = bench.calibrate(samples=1)
+    assert cal["spin_sec"] > 0
+    assert cal["quiet_sec"] == bench.CALIBRATION_QUIET_SEC
+    assert cal["loaded"] == (
+        cal["load_factor"] > bench.CALIBRATION_LOADED_FACTOR
+    )
+    line, detail = bench.compose_output(
+        *_mk(200), "/root/testdata/sf0.1", cal
+    )
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert d["calibration"] == cal == detail["calibration"]
+
+
 def test_bench_list_is_registered():
     """Every BENCH_QUERIES name must exist in the registry — a rename
     that forgets bench.py should fail here, not as a silent

@@ -561,6 +561,52 @@ def test_bm25_index_serves_identical_to_inline(spark, tmp_path):
     assert len(served) == _BM25_TOPK
 
 
+def test_bm25_append_crash_leaves_index_stale(spark, tmp_path, monkeypatch):
+    """Invalidate-first (round-5 ADVICE item 3): bm25_index_append's
+    three on-disk steps are not atomic, so the staleness marker callers
+    check (stats/_SUCCESS) must be REMOVED before the first write and
+    only restored by the final stats refold — a crash mid-append then
+    forces a rebuild instead of serving postings inconsistent with
+    doclen/stats."""
+    import os
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "bm25_crash")
+    retrieval.bm25_index_persist(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), path
+    )
+    marker = path + "/stats/_SUCCESS"
+    assert os.path.exists(marker)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-append crash")
+
+    monkeypatch.setattr(retrieval, "_tokenize_postings", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        retrieval.bm25_index_append(
+            spark, docs.filter(F.col("doc_id") % 5 == 0), path
+        )
+    assert not os.path.exists(marker), (
+        "torn append must leave the index marked stale"
+    )
+    monkeypatch.undo()
+    # appending onto a torn index must REFUSE (it would restore the
+    # marker without restoring lost postings) — recovery is a rebuild
+    with pytest.raises(ValueError, match="stale or torn"):
+        retrieval.bm25_index_append(
+            spark, docs.filter(F.col("doc_id") % 5 == 0), path
+        )
+    retrieval.bm25_index_persist(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), path
+    )
+    retrieval.bm25_index_append(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), path
+    )
+    assert os.path.exists(marker), "successful append restores the marker"
+
+
 def test_bm25_index_append_equals_full_build(spark, tmp_path):
     """Incremental maintenance must be invisible to serving: an index
     built on 80% of the corpus then appended with the rest must serve

@@ -3,6 +3,8 @@ merge upsert, approximate aggregates vs exact."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigquery_cross_environment_etl_pipeline_spark.operators import similarity
@@ -568,6 +570,44 @@ def test_ivf_append_invalidates_pq_sidecar(spark, tmp_path):
     similarity.ivfpq_codes_persist(spark, path, cents)
     assert os.path.exists(pq_path + "/_SUCCESS")
     assert spark.read.parquet(pq_path).count() == emb.count()
+
+
+def test_ivf_append_crash_leaves_index_stale(spark, tmp_path, monkeypatch):
+    """Invalidate-first (round 6, mirroring the bm25_index_append fix):
+    a crash mid-append must leave the index's staleness marker
+    (centroids/_SUCCESS — what _ivf_index's existence check reads)
+    REMOVED, so the next reader rebuilds instead of serving a
+    partially-ingested delta; a successful append restores it."""
+    import os
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_crash")
+    similarity.ivf_index_persist(spark, base, path, n_centroids=8)
+    marker = path + "/centroids/_SUCCESS"
+    assert os.path.exists(marker)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-append crash")
+
+    monkeypatch.setattr(similarity, "_assign_to_centroids", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        similarity.ivf_index_append(spark, delta, path)
+    assert not os.path.exists(marker), (
+        "torn append must leave the index marked stale"
+    )
+    monkeypatch.undo()
+    # appending onto a torn index must REFUSE (it would restore the
+    # marker without restoring lost vectors) — recovery is a rebuild
+    with pytest.raises(ValueError, match="stale or torn"):
+        similarity.ivf_index_append(spark, delta, path)
+    similarity.ivf_index_persist(spark, base, path, n_centroids=8)
+    similarity.ivf_index_append(spark, delta, path)
+    assert os.path.exists(marker), "successful append restores the marker"
+    assert (
+        spark.read.parquet(path + "/assigned").count() == emb.count()
+    )
 
 
 def test_pq_encode_custom_id_col(spark, tmp_path):
