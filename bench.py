@@ -148,8 +148,17 @@ def calibrate(samples: int = 3) -> dict:
     """Median-of-N spin time + ratio to the committed quiet value.
     Median (not min) on purpose: the point is to MEASURE the load the
     query timings actually experienced, not to dodge it."""
+    if samples < 1:
+        raise ValueError("calibrate needs samples >= 1")
     times = sorted(_spin_once() for _ in range(samples))
-    med = times[samples // 2]
+    mid = len(times) // 2
+    # true median: mean of the middle pair for even N (times[N//2]
+    # alone would report the WORSE of the pair as 'the median')
+    med = (
+        times[mid]
+        if len(times) % 2
+        else (times[mid - 1] + times[mid]) / 2.0
+    )
     factor = round(med / CALIBRATION_QUIET_SEC, 3)
     return {
         "spin_sec": round(med, 4),

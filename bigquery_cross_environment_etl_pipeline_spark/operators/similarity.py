@@ -389,9 +389,10 @@ def _rank_probe_cids(
     query, so it is EXCLUDED from ranking (mirrored as ``cnrm > 0`` in
     the ``probe`` CTE of plans/extended._ivf_single_query_ctes); a
     zero-norm QUERY is rejected loudly — previously both cases raised
-    ZeroDivisionError here while DuckDB silently computed inf/NaN, a
-    one-sided failure. No IVF_BUILD_VERSION bump: ranking is unchanged
-    wherever it previously completed."""
+    ZeroDivisionError here while DuckDB's division by zero yields NULL
+    (ranked last under ORDER BY ... DESC), a one-sided failure. No
+    IVF_BUILD_VERSION bump: ranking is unchanged wherever it
+    previously completed."""
     if qnrm == 0:
         raise ValueError(
             "zero-norm query vector has no defined cosine ranking"

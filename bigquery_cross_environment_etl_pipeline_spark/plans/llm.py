@@ -523,22 +523,14 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slot", F.explode(F.array(*[F.lit(i) for i in range(4)]))
     ).crossJoin(F.broadcast(n_row))
     cand = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("neg-"),
-                        F.col("vec_id").cast("string"),
-                        F.lit("-"),
-                        F.col("slot").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        text.hash48(
+            F.concat(
+                F.lit("neg-"),
+                F.col("vec_id").cast("string"),
+                F.lit("-"),
+                F.col("slot").cast("string"),
+            )
+        )
         % F.col("_n")
     )
     neg = F.when(cand == F.col("vec_id"), (cand + 1) % F.col("_n")).otherwise(cand)
@@ -1751,15 +1743,7 @@ def deterministic_split_assignment(spark: SparkSession, sf_dir: str) -> DataFram
     column itself rides the scan with zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        text.hash48(F.concat(F.lit("split-"), F.col("doc_id").cast("string")))
         % 10000
     )
     split = (
@@ -1810,13 +1794,7 @@ def deterministic_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1000)
     )
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        text.hash48(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
         % 10000
     )
     return (

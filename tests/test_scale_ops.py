@@ -119,6 +119,48 @@ def test_approx_aggregates_close_to_exact(spark):
     assert abs(approx["p90"] - exact["p90"]) / exact["p90"] < 0.05
 
 
+def test_sketch_invariants_hold_on_tiny_strata(spark, tmp_path, monkeypatch):
+    """The approx_distinct_and_quantiles rank-window invariant must be
+    TRUE for a CORRECT sketch at every stratum size — including 1-, 2-
+    and 3-row groups, where interpolated-percentile bounds (the round-6
+    pre-review form) contain no actual element and falsely failed
+    (e.g. a {0,100} group's interpolated p50 band [49.5, 50.5] vs
+    percentile_approx's element answer 0.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigquery_cross_environment_etl_pipeline_spark.plans.extended import (
+        approx_distinct_and_quantiles,
+    )
+
+    rows_t, rows_u, rows_v = [], [], []
+    gid = 0
+    for size in (1, 2, 3, 4, 5, 17):
+        for spread in ((0.0, 100.0), (1.0, 2.0)):
+            gid += 1
+            for i in range(size):
+                rows_t.append(f"g{gid}_{size}")
+                rows_u.append(i % max(1, size - 1) + 1)
+                rows_v.append(spread[0] + (spread[1] - spread[0]) * i / max(1, size - 1))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows_t)), pa.int64()),
+            "ts": pa.array([None] * len(rows_t), pa.timestamp("us")),
+            "user_id": pa.array(rows_u, pa.int64()),
+            "event_type": pa.array(rows_t),
+            "value": pa.array(rows_v, pa.float64()),
+            "props": pa.array(["{}"] * len(rows_t)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = approx_distinct_and_quantiles(spark, str(tmp_path)).collect()
+    assert len(out) == gid
+    for r in out:
+        assert r["users_within_eps"], r
+        assert r["p50_within_rank_eps"], r
+        assert r["p99_within_rank_eps"], r
+
+
 def test_ivf_index_persists_partitioned_and_prunes(spark, tmp_path):
     """The IVF scale story end-to-end: persist assignments partitioned
     by centroid id, then a probe query filtered to nprobe centroids
