@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "keyset_pagination_page",
     # round-5 addition: within-doc chunking with overlap
     "doc_chunk_overlap",
+    # round-6 additions: driver-visible data-layout queries
+    "bucketed_join_rollup",
+    "zorder_locality_accounting",
 ]
 
 

@@ -1345,3 +1345,215 @@ def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_history") >= 3)
     )
+
+
+# --- bucketed co-located join (zero-exchange layout, driver-visible) ---------
+@register(
+    "bucketed_join_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           TRUE AS join_zero_exchange,
+           TRUE AS join_sort_merge
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on BUCKETED tables, with the zero-shuffle plan
+    assertion itself hash-verified (the etl_provision_rollback
+    VALUES-arm pattern): orders and customer are persisted via
+    ``operators/layout.write_bucketed`` hash-distributed into the same
+    bucket count on the join key, then joined with broadcast disabled —
+    the executed plan must be a SortMergeJoin with ZERO Exchange nodes
+    (the bucket id IS the partitioning), and those two plan facts ride
+    the result as boolean columns the oracle pins to TRUE. The revenue
+    rollup proves the bucketed copies are byte-faithful to the source.
+
+    At 100 TB this is the pre-paid layout for every repeated fact-dim
+    or fact-fact join on a stable key: one bucketed write converts each
+    subsequent join from a full shuffle of the fact table into a local
+    merge of co-located buckets (and ``mode("append")`` ingest keeps
+    co-location because the bucket function is stable). The plan
+    booleans are computed with broadcast joins disabled — the strategy
+    a 100 TB fact-fact join is forced into — while the returned rollup
+    VALUES are join-strategy-independent.
+    """
+    import re as _re
+
+    from ..operators.layout import write_bucketed
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    db = "layout_q"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t_orders = f"{db}.bq_orders_{tag}"
+    t_customer = f"{db}.bq_customer_{tag}"
+
+    def _recreate(df: DataFrame, table: str, key: str) -> None:
+        # session-independent rebuild: a FRESH session's in-memory
+        # catalog does not know tables a previous session left in the
+        # shared warehouse directory, and saveAsTable then refuses the
+        # existing location — drop from the catalog AND clear the
+        # physical dir before writing
+        import os as _os
+        import shutil as _shutil
+        from urllib.parse import urlparse as _urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("file", ""):
+            _shutil.rmtree(
+                _os.path.join(
+                    wh.path, f"{db}.db", table.split(".", 1)[1]
+                ),
+                ignore_errors=True,
+            )
+        write_bucketed(df, table, [key], n_buckets=8)
+
+    _recreate(orders, t_orders, "o_custkey")
+    _recreate(customer, t_customer, "c_custkey")
+
+    bo = spark.table(t_orders)
+    bc = spark.table(t_customer)
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+
+    # plan facts under forced shuffle-join strategy (broadcast off):
+    # bucketed SMJ must need no Exchange on either side
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    no_exchange = "Exchange" not in plan
+    sort_merge = "SortMergeJoin" in plan
+
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.lit(bool(no_exchange)).alias("join_zero_exchange"),
+        F.lit(bool(sort_merge)).alias("join_sort_merge"),
+    )
+
+
+# --- Z-order locality accounting (multi-dim layout math, driver-visible) -----
+_Z_BITS = 4  # 16x16 Morton grid over (user_id, value)
+
+
+def _zorder_oracle() -> str:
+    """Exact SQL replay of operators/layout.zorder_key at bits=4 over
+    (user_id, value): identical bounds, identical (x - lo) / span * 16
+    IEEE chain, identical clamp, identical bit interleave."""
+    n = 1 << _Z_BITS
+
+    def rank(col: str, lo: str, hi: str) -> str:
+        span = f"(CASE WHEN {hi} - {lo} = 0 THEN 1.0 ELSE {hi} - {lo} END)"
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR(({col} - {lo}) / {span} * {n}) "
+            f"AS BIGINT), 0), {n - 1})"
+        )
+
+    interleave = " + ".join(
+        f"(((r{j} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(_Z_BITS)
+        for j in range(2)
+    )
+    return f"""
+    WITH eligible AS (
+      SELECT CAST(user_id AS DOUBLE) AS u, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE isfinite(value) AND user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT MIN(u) AS lo_u, MAX(u) AS hi_u, MIN(v) AS lo_v, MAX(v) AS hi_v
+      FROM eligible
+    ),
+    ranked AS (
+      SELECT {rank('u', 'lo_u', 'hi_u')} AS r0,
+             {rank('v', 'lo_v', 'hi_v')} AS r1
+      FROM eligible CROSS JOIN bounds
+    ),
+    cells AS (SELECT r0, {interleave} AS z FROM ranked)
+    SELECT CAST(COUNT(DISTINCT z) AS BIGINT) AS total_cells,
+           CAST(COUNT(DISTINCT CASE WHEN r0 < {n // 4} THEN z END)
+                AS BIGINT) AS touched_cells
+    FROM cells
+    """
+
+
+@register("zorder_locality_accounting", oracle=_zorder_oracle())
+def zorder_locality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve (Z-order) locality, hash-verified: assign every
+    eligible event to a 16x16 Z-cell over (user_id, value) using the
+    SAME pure-codegen expression ``operators/layout.zorder_key`` that
+    ``write_zordered`` clusters files by, then account how many
+    distinct cells a one-dimensional predicate (lowest quarter of the
+    user_id range) touches versus the total. The oracle replays every
+    stage — bounds, rank arithmetic, clamp, bit interleave — so the
+    layout math that file pruning depends on is engine-reproducible,
+    not just test-asserted (the physical write/prune path is covered
+    by tests/test_layout.py; file counts are partitioner-dependent and
+    would not hash across sessions, so the accounting is over LOGICAL
+    cells). Locality is the payoff at 100 TB: a predicate on either
+    interleaved column maps to ~1/4 of the curve's cells here, which
+    is exactly the fraction of files a z-clustered layout lets the
+    reader skip to. NULL/non-finite rows are excluded from the
+    accounting on both engines (write_zordered itself ranks them 0)."""
+    from ..operators.layout import zorder_key
+
+    n = 1 << _Z_BITS
+    events = load_table(spark, sf_dir, "events")
+    eligible = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) != float("inf"))
+    ).select(
+        F.col("user_id").cast("double").alias("u"),
+        F.col("value").cast("double").alias("v"),
+    )
+    z = zorder_key(eligible, ["u", "v"], bits=_Z_BITS)
+    # r0 (the user_id rank) recomputed standalone for the predicate —
+    # same expression zorder_key builds internally for column 0
+    bounds = eligible.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = ((hi - lo) or 1.0) if lo is not None else 1.0
+    r0 = F.coalesce(
+        F.least(
+            F.greatest(
+                F.floor((F.col("u") - F.lit(lo)) / F.lit(span) * n), F.lit(0)
+            ),
+            F.lit(n - 1),
+        ),
+        F.lit(0),
+    ).cast("long") if lo is not None else F.lit(0).cast("long")
+    cells = eligible.select(r0.alias("r0"), z.alias("z"))
+    return cells.agg(
+        F.count_distinct(F.col("z")).cast("bigint").alias("total_cells"),
+        F.count_distinct(
+            F.when(F.col("r0") < n // 4, F.col("z"))
+        )
+        .cast("bigint")
+        .alias("touched_cells"),
+    )

@@ -83,6 +83,12 @@ _FORCE_WINDOW: list[str] = [
     # oracle: sketch outputs verified against exactly-computed
     # invariants rendered as booleans (VERDICT r5 item 4)
     "approx_distinct_and_quantiles",
+    # new this round: the data-layout story made driver-visible —
+    # zero-exchange co-located join on bucketed tables (plan facts
+    # hash-pinned as booleans) and the Z-order cell math replayed
+    # stage-for-stage in SQL
+    "bucketed_join_rollup",
+    "zorder_locality_accounting",
 ]
 
 _STABLE_ORDER = [
