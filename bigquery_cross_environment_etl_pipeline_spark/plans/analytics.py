@@ -1353,8 +1353,8 @@ def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS revenue,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
            TRUE AS join_zero_exchange,
            TRUE AS join_sort_merge
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1381,11 +1381,16 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB fact-fact join is forced into — while the returned rollup
     VALUES are join-strategy-independent.
     """
+    import os as _os
     import re as _re
 
     from ..operators.layout import write_bucketed
 
+    # pid in the table name: concurrent processes at the same scale
+    # factor (bench vs driver vs parity pytest) must not DROP/rmtree a
+    # table the other is lazily scanning
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{tag}_{_os.getpid()}"
     db = "layout_q"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1447,7 +1452,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
         .cast("double")
         .alias("revenue"),
         F.lit(bool(no_exchange)).alias("join_zero_exchange"),
@@ -1532,23 +1537,17 @@ def zorder_locality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
     )
     z = zorder_key(eligible, ["u", "v"], bits=_Z_BITS)
-    # r0 (the user_id rank) recomputed standalone for the predicate —
-    # same expression zorder_key builds internally for column 0
-    bounds = eligible.agg(
-        F.min("u").alias("lo"), F.max("u").alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    span = ((hi - lo) or 1.0) if lo is not None else 1.0
-    r0 = F.coalesce(
-        F.least(
-            F.greatest(
-                F.floor((F.col("u") - F.lit(lo)) / F.lit(span) * n), F.lit(0)
-            ),
-            F.lit(n - 1),
-        ),
-        F.lit(0),
-    ).cast("long") if lo is not None else F.lit(0).cast("long")
-    cells = eligible.select(r0.alias("r0"), z.alias("z"))
+    # r0 (the user_id rank) recovered by DE-interleaving z's even bit
+    # positions (column 0's bit b sits at position 2b) — the interleave
+    # is bijective, so this is exactly the rank zorder_key computed,
+    # with no second bounds scan and no copied clamp chain
+    cells = eligible.select(z.alias("z"))
+    r0 = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        r0 = r0 + F.shiftleft(
+            F.shiftright(F.col("z"), 2 * b).bitwiseAND(F.lit(1)), b
+        )
+    cells = cells.select(r0.alias("r0"), F.col("z"))
     return cells.agg(
         F.count_distinct(F.col("z")).cast("bigint").alias("total_cells"),
         F.count_distinct(

@@ -55,7 +55,10 @@ def test_no_cartesian_products_anywhere_in_headline_set(spark):
 
     queries = queries_catalog.spark_queries()
     skip = {"etl_checkpoint_roundtrip", "etl_provision_rollback",
-            "streaming_windowed_counts", "streaming_session_counts"}
+            "streaming_windowed_counts", "streaming_session_counts",
+            # writes bucketed tables at build time; its join plan is
+            # asserted inside the query itself (hash-pinned booleans)
+            "bucketed_join_rollup"}
     for name in bench.BENCH_QUERIES:
         if name in skip:
             continue
