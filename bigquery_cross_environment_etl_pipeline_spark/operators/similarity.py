@@ -46,8 +46,48 @@ DIM = 64
 #: semantics. v2 = round-4 struct-max assignment + fixed-point Lloyd
 #: means (v1 was max_by + float avg); v3 = empty-cell fallback fix in
 #: kmeans_refine (null-mean check instead of the never-firing array
-#: coalesce).
-IVF_BUILD_VERSION = 3
+#: coalesce); v4 = the shared vector-eligibility contract (NULL /
+#: non-finite / zero-norm vectors excluded before index build).
+IVF_BUILD_VERSION = 4
+
+
+def embedding_eligible(vec_col: str = "embedding") -> Column:
+    """The ONE vector-eligibility predicate every cosine/centroid/PQ
+    consumer shares: the vector is non-NULL, every element is non-NULL
+    and finite, and at least one element is nonzero (norm > 0, given
+    all-finite). A vector failing any of these has no defined cosine to
+    anything — a zero norm divides by zero, a NaN/inf element poisons
+    every dot product it enters, and the two engines disagree on what
+    the poison evaluates to (Spark ANSI raises, DuckDB yields inf/NaN
+    it then refuses to cast). Excluding them identically on BOTH
+    engines (``eligible_emb_pred`` is the SQL mirror) is the only
+    hash-stable semantics. Pure column expressions — the filter runs
+    inside the scan stage at IO speed."""
+    v = F.col(vec_col)
+    bad = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return v.isNotNull() & ~bad & F.exists(v, lambda x: x != F.lit(0.0))
+
+
+def eligible_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``df`` restricted to vectors eligible for similarity math — see
+    ``embedding_eligible``. Apply at the embeddings load of every
+    vector-math query (and before every index build), never halfway
+    through a pipeline, so candidates/verify/serve stages all see the
+    same corpus."""
+    return df.filter(embedding_eligible(vec_col))
+
+
+def eligible_emb_pred(col: str = "embedding") -> str:
+    """DuckDB mirror of ``embedding_eligible`` for oracle SQL, over the
+    (possibly qualified) list column ``col``. list_filter drops
+    non-TRUE lambda results, so the NULL-element arm is explicit."""
+    return (
+        f"({col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x))) = 0"
+        f" AND len(list_filter({col}, x -> x <> 0)) > 0)"
+    )
 
 
 def dot_expr(a: str | Column, b: str | Column, dim: int = DIM) -> Column:

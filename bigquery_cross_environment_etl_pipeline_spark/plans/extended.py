@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 
 from ..functions.scalar import epoch_seconds
 from ..operators.joins import asof_join, range_join
+from ..operators.similarity import eligible_embeddings
 from ..operators.text import tokens
 from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
 from ..sources.registry import load_table
@@ -901,11 +902,13 @@ def _ivf_base_ctes(n_centroids: int, cent_name: str = "cent") -> str:
     assignment semantics (exactly the hazard IVF_BUILD_VERSION exists
     to version). ``cent_name`` lets the IVF-PQ composition rename its
     IVF centroids to keep the PQ half's CTE names free."""
+    from ..operators.similarity import eligible_emb_pred
+
     dot = _duck_dot64
     return f"""nrm AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {eligible_emb_pred('embedding')}
     ),
     {cent_name} AS MATERIALIZED (
       SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
@@ -985,7 +988,7 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
     index_path = _ivf_index(spark, sf_dir)
     qvec = [
         float(x)
@@ -1006,7 +1009,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     of serving a stale index."""
     import os
 
-    from ..operators.similarity import IVF_BUILD_VERSION, ivf_index_persist
+    from ..operators.similarity import (
+        IVF_BUILD_VERSION,
+        eligible_embeddings,
+        ivf_index_persist,
+    )
     from ..sources.registry import dataset_fingerprint
 
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
@@ -1018,7 +1025,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     # or the stage-replay oracles would compare against stale layout
     index_path = f"{base}/ivf_v{IVF_BUILD_VERSION}_{tag}_{fp}_c8_r{refine_iters}"
     if not os.path.exists(index_path + "/centroids/_SUCCESS"):
-        emb = load_table(spark, sf_dir, "embeddings")
+        # build from eligibility-contract vectors only (v4): a zero-norm
+        # or NaN vector in the index poisons assignment and every probe
+        emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
         ivf_index_persist(
             spark, emb, index_path, n_centroids=8, refine_iters=refine_iters
         )
@@ -1037,7 +1046,7 @@ def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
     index_path = _ivf_index(spark, sf_dir)
     qvec = [
         float(x)
@@ -1104,7 +1113,7 @@ def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py."""
     from ..operators.similarity import ann_batch_topk_ivf_probe
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
     index_path = _ivf_index(spark, sf_dir)
     qvecs = {
         r["vec_id"]: list(r["embedding"])
@@ -1177,7 +1186,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     from ..operators.similarity import ann_topk_ivfpq_probe, ivfpq_codes_persist
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
     index_path = _ivf_index(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -1234,11 +1243,13 @@ def _lloyd_oracle(
             + ")"
         )
 
+    from ..operators.similarity import eligible_emb_pred
+
     ctes = [
         f"""nrm AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {eligible_emb_pred('embedding')}
     ),
     cent0 AS MATERIALIZED (
       SELECT vec_id AS cid,
@@ -1326,7 +1337,7 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
     index_path = _ivf_index(spark, sf_dir, refine_iters=2)
     qvec = [
         float(x)

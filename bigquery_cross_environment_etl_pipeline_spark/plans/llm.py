@@ -52,6 +52,25 @@ def _duck_stop_filter(words_expr: str, stopwords: tuple[str, ...]) -> str:
     return f"len(list_filter({words_expr}, x -> {cond}))"
 
 
+#: SQL mirror of the shared vector-eligibility contract — every oracle
+#: arm that does vector math filters its embeddings scans with this,
+#: exactly where the Spark side loads through ``_load_emb``.
+_emb_ok = similarity.eligible_emb_pred
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus under the vector-eligibility contract
+    (similarity.embedding_eligible): NULL / non-finite / zero-norm
+    vectors are excluded at the LOAD of every vector-math query, so
+    candidate, verify, and serve stages all see the same corpus and no
+    undefined cosine can enter any plan. Queries that only touch ids
+    or row counts (e.g. contrastive_negative_samples) load unfiltered
+    on purpose."""
+    return similarity.eligible_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact
 # ---------------------------------------------------------------------------
@@ -513,6 +532,8 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     same auditability property as the mixture sampler). Accidental
     self-pairs rotate to the next id. Pure column expressions over one
     explode; zero shuffles, zero joins."""
+    # ids-and-count only, no vector math: loads UNFILTERED on purpose
+    # (the oracle's COUNT(*) FROM embeddings counts every row too)
     emb = load_table(spark, sf_dir, "embeddings")
     # the corpus size rides IN the plan as a broadcast 1-row aggregate
     # (mirroring the oracle's scalar subquery) — an eager emb.count()
@@ -906,10 +927,12 @@ def _rrf_oracle() -> str:
           f"(sqrt({_duck_dot('a.embedding', 'a.embedding', dim)})" \
           f" * sqrt({_duck_dot('q.qv', 'q.qv', dim)}))"
     return f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QID}),
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {_RRF_QID} AND {_emb_ok('embedding')}),
     dense AS (
       SELECT vec_id AS doc_id, {cos} AS cosine
-      FROM embeddings a, q WHERE a.vec_id <> {_RRF_QID}
+      FROM embeddings a, q
+      WHERE a.vec_id <> {_RRF_QID} AND {_emb_ok('a.embedding')}
       ORDER BY cosine DESC, vec_id LIMIT {_BM25_TOPK}
     ),
     dr AS (
@@ -953,7 +976,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion dataflow."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     dense = similarity.cosine_topk(emb, query_id=_RRF_QID, k=_BM25_TOPK)
     dw = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
     dr = dense.select(
@@ -1042,6 +1065,7 @@ def _banded_cte_prefix() -> str:
     )
     return f"""keyed AS MATERIALIZED (
       SELECT vec_id, {keyed_cols} FROM embeddings
+      WHERE {_emb_ok('embedding')}
     ),
     cand AS (
 {cand_union}
@@ -1049,7 +1073,7 @@ def _banded_cte_prefix() -> str:
     nrm AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {_emb_ok('embedding')}
     )"""
 
 
@@ -1072,9 +1096,11 @@ def _emb_lsh_verified_oracle(threshold: float) -> str:
 @register(
     "embedding_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = 0 AND {_emb_ok('embedding')})
     SELECT vec_id, {_cosine('a.embedding', 'q.qv')} AS cosine
-    FROM embeddings a, q WHERE a.vec_id <> 0
+    FROM embeddings a, q
+    WHERE a.vec_id <> 0 AND {_emb_ok('a.embedding')}
     ORDER BY cosine DESC, vec_id LIMIT 10
     """,
 )
@@ -1082,7 +1108,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for one query vector — the exact ANN
     baseline. Unrolled codegen dot product, TakeOrderedAndProject top-k
     (per-partition heaps, no global sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.cosine_topk(emb, query_id=0, k=10)
 
 
@@ -1098,7 +1124,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force at this loose demo threshold is ~15% (documented in
     operators/similarity.py); at a true near-dup threshold (>= 0.9) the
     same banding exceeds 99%."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.cosine_neardup_pairs_lsh(emb, threshold=0.3)
 
 
@@ -1117,6 +1143,7 @@ def _emb_clusters_oracle() -> str:
     comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)
     SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS cluster_id
     FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    WHERE {_emb_ok('e.embedding')}
     """
 
 
@@ -1132,7 +1159,7 @@ def embedding_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys and transitive closure with a recursive CTE."""
     from ..operators.components import dedup_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.3)
     edges = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
@@ -1152,6 +1179,7 @@ def embedding_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS BIGINT) AS rn
       FROM embeddings a
       JOIN embeddings q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+      WHERE {_emb_ok('a.embedding')} AND {_emb_ok('q.embedding')}
     ) WHERE rn <= 3
     """,
 )
@@ -1167,7 +1195,7 @@ def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IVF/LSH) so each query only meets its buckets' candidates; this
     exact form is the correctness baseline the bucketed path is measured
     against (recall tests in tests/test_scale_ops.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     with_norm = emb.select(
         "vec_id", "embedding", similarity.norm_expr("embedding").alias("_nrm")
     )
@@ -1210,6 +1238,7 @@ def _ann_lsh_oracle(qid: int = 0, k: int = 10, n_planes: int = 4) -> str:
     return f"""
     WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings
+      WHERE {_emb_ok('embedding')}
     ),
     q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = {qid})
     SELECT a.vec_id, {cos} AS cosine
@@ -1266,7 +1295,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots, per-source heap via a partitioned window over candidate
     edges only. Deterministic end to end, replayed exactly by the
     oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.knn_graph_lsh(emb, k=3)
 
 
@@ -1278,7 +1307,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     op is the shared left-fold chain, so the oracle replays the bucket
     key and the in-bucket scoring bit for bit. Recall vs the
     brute-force baseline additionally asserted in tests/."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.ann_topk_lsh(emb, query_id=0, k=10, n_planes=4)
 
 
@@ -1919,6 +1948,7 @@ _FIXED_POINT = float(1 << 40)
              / {_FIXED_POINT!r} / COUNT(*) AS centroid,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM embeddings, generate_series(1, {similarity.DIM}) AS gs(i)
+    WHERE {_emb_ok('embedding')}
     GROUP BY label, i
     """,
 )
@@ -1939,7 +1969,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(vectors × dims) skinny rows with map-side partial aggregation;
     int64 holds 2^53/2^41 ≈ 4×10^3 T rows per group before the
     accumulator would need DECIMAL."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     )
@@ -1959,12 +1989,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
              CAST(list_min(embedding) AS DOUBLE) AS mn,
              CAST(list_max(embedding) AS DOUBLE) AS mx
-      FROM embeddings
+      FROM embeddings WHERE {_emb_ok('embedding')}
     )
     SELECT vec_id,
            (mx - mn) / 254.0 AS scale,
@@ -1990,7 +2020,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure column expressions inside the scan stage (array_min/max +
     transform): zero shuffles, zero Python, runs at IO speed on any
     cluster size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     b = emb.select(
         "vec_id",
         "embedding",
@@ -2167,12 +2197,13 @@ def _pq_code_ctes() -> str:
     oracle and the ADC serving oracle so the assignment can't drift."""
     return f"""cent AS (
       SELECT vec_id AS c, embedding AS ce FROM embeddings
-      WHERE vec_id < {similarity.PQ_K}
+      WHERE vec_id < {similarity.PQ_K} AND {_emb_ok('embedding')}
     ),
     subs AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS s),
     dists AS (
       SELECT e.vec_id, s.s, c.c, {_pq_subspace_chain('e.embedding')} AS d
       FROM embeddings e, subs s, cent c
+      WHERE {_emb_ok('e.embedding')}
     ),
     w AS (
       SELECT vec_id, s, c, d,
@@ -2207,7 +2238,8 @@ def _pq_adc_oracle(qid: int = 7, k: int = 10) -> str:
     )
     return f"""
     WITH {_pq_code_ctes()},
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {qid} AND {_emb_ok('embedding')}),
     qtab AS (
       SELECT s.s, c.c, {_pq_subspace_chain('q.qv')} AS d
       FROM subs s, cent c, q
@@ -2237,7 +2269,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance with the identical IEEE chain, so the codes hash-match
     exactly. ADC recall against exact cosine is asserted in
     tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
@@ -2267,7 +2299,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving stack."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()

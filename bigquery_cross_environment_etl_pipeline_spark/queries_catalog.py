@@ -89,6 +89,15 @@ _FORCE_WINDOW: list[str] = [
     # stage-for-stage in SQL
     "bucketed_join_rollup",
     "zorder_locality_accounting",
+    # NOT forced: the 17 embedding-family queries gained the shared
+    # vector-eligibility contract (similarity.embedding_eligible +
+    # eligible_emb_pred, applied identically to BOTH engines) after the
+    # edge fixture's adversarial embeddings surfaced 14 divergences.
+    # All driver-scale data is 100% eligible (verified at sf0.001/0.01/
+    # 0.1), so outputs on driver data are bit-identical to the rows
+    # their existing green evidence attests — re-verified 194/194 by
+    # the full vanilla parity gate. Forcing them would evict 11 of the
+    # 36 never-green queries from the round-6 window.
 ]
 
 _STABLE_ORDER = [

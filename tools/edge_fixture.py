@@ -76,6 +76,20 @@ EDGE_ROWS = {
     "customer": [
         {"c_custkey": 900001, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
     ],
+    "embeddings": [
+        # zero-norm vector: no defined cosine to anything — must be
+        # excluded from every scoring join (similarity.py cnrm>0 /
+        # na*nb>0 guards), never surfaced as a NaN/1.0 neighbor
+        {"vec_id": 900001, "embedding": [0.0] * 64, "label": 0},
+        # NULL embedding: must be dropped by eligibility filters, not
+        # crash the fold/Arrow path
+        {"vec_id": 900002, "embedding": None, "label": 1},
+        # NaN element: poisons any dot product it enters — eligibility
+        # must treat it like zero-norm/invalid on BOTH engines
+        {"vec_id": 900003, "embedding": [float("nan")] + [0.1] * 63, "label": 2},
+        # NULL label: grouping/stratification edge
+        {"vec_id": 900004, "embedding": [0.25] * 64, "label": None},
+    ],
     "lineitem": [
         {"l_orderkey": None, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
         {"l_orderkey": 900001, "l_partkey": None, "l_suppkey": None, "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 100.0, "l_discount": 0.05, "l_tax": 0.01, "l_returnflag": "R", "l_linestatus": "F", "l_shipdate": "2024-03-02 00:00:00"},
