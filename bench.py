@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     # round-6 additions: driver-visible data-layout queries
     "bucketed_join_rollup",
     "zorder_locality_accounting",
+    # round-6 batch 4: ANN serving quality, production hybrid fusion,
+    # compaction maintenance accounting
+    "ann_recall_at_k",
+    "hybrid_rrf_fusion_ivfpq",
+    "compaction_file_accounting",
 ]
 
 

@@ -1556,3 +1556,81 @@ def zorder_locality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("touched_cells"),
     )
+
+
+# --- small-files compaction accounting (layout maintenance, driver-visible) --
+@register(
+    "compaction_file_accounting",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS files_before,
+           CAST(4 AS BIGINT) AS files_after,
+           TRUE AS ranges_disjoint,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """,
+)
+def compaction_file_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION made driver-visible (the
+    bucketed_join_rollup pattern: pin the layout facts as hash-checked
+    values, prove byte-fidelity with a data rollup): orders is
+    deliberately fragmented into 64 files (one per explicit shuffle
+    partition — what per-trigger streaming appends produce), then
+    ``operators/layout.compact`` rewrites it into 4 range-clustered
+    files on o_orderkey. The oracle pins BOTH file counts, pins that
+    the 4 files' o_orderkey ranges are pairwise DISJOINT (the property
+    that keeps footer min/max pruning selective after the rewrite —
+    ``coalesce()`` would destroy it), and checks the compacted copy's
+    row count + DECIMAL revenue against the source table, so a rewrite
+    that drops or duplicates rows hash-fails.
+
+    At 100 TB compaction is the periodic maintenance job that keeps
+    listing+open() overhead off every scan: ONE range shuffle sized by
+    target_files, no driver involvement in the data path. The
+    driver-side work here is O(files_after) bounding boxes + a 1-row
+    aggregate; both survive the TemporaryDirectory because they are
+    collected before it exits (bounded: 4 rows + 1 row)."""
+    import os
+    import tempfile
+
+    from ..operators.layout import compact, file_bounding_boxes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        frag = os.path.join(tmp, "fragmented")
+        dest = os.path.join(tmp, "compacted")
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+        n_before, n_after = compact(
+            spark, frag, dest, target_files=4, sort_cols=["o_orderkey"]
+        )
+        boxes = sorted(
+            (r["min_o_orderkey"], r["max_o_orderkey"])
+            for r in file_bounding_boxes(
+                spark, dest, ["o_orderkey"]
+            ).collect()
+            if r["min_o_orderkey"] is not None
+        )
+        disjoint = all(
+            boxes[i][1] < boxes[i + 1][0] for i in range(len(boxes) - 1)
+        )
+        row = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [(int(n_before), int(n_after), bool(disjoint),
+          int(row["n_rows"]), row["total_price"])],
+        "files_before bigint, files_after bigint, ranges_disjoint boolean,"
+        " n_rows bigint, total_price double",
+    )

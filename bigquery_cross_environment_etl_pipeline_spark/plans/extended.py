@@ -1348,6 +1348,218 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(n_queries: int = 5, k: int = 10) -> str:
+    """Recall@k replay: the approx arm is the FULL batched-IVF stage
+    replay (``_ivf_batch_oracle``), the exact arm is the brute-force
+    per-query top-k (the embedding_batch_topk shape at k=10), and
+    recall is one COUNT ratio per query — a single IEEE division of
+    two small integers, hash-exact."""
+    from ..operators.similarity import eligible_emb_pred
+
+    dot = _duck_dot64
+    cos = (
+        f"({dot('a.embedding', 'q.embedding')}) / "
+        f"(sqrt({dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({dot('q.embedding', 'q.embedding')}))"
+    )
+    return f"""
+    WITH approx AS (
+      SELECT qid, vec_id FROM ({_ivf_batch_oracle(k=k, n_queries=n_queries)})
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, a.vec_id ASC
+               ) AS rn
+        FROM embeddings a
+        JOIN embeddings q ON q.vec_id < {n_queries} AND a.vec_id <> q.vec_id
+        WHERE {eligible_emb_pred('a.embedding')}
+          AND {eligible_emb_pred('q.embedding')}
+      ) WHERE rn <= {k}
+    )
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
+    """
+
+
+@register("ann_recall_at_k", oracle=_ivf_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY as a first-class, externally-verified query:
+    recall@10 of the persisted-index batched IVF probe (nprobe=4 of 8
+    cells) against the exact brute-force top-10, per query vector.
+    Both arms are fully deterministic (seeded centroids, struct-max
+    assignment, fold-chain float math, id tie-breaks), so 'measure the
+    approximation error' is itself an exact-oracle query — the
+    recall the local test suite asserts (tests/test_scale_ops.py) made
+    driver-visible.
+
+    At 100 TB this is the serving-quality canary a vector platform
+    runs after every index rebuild or parameter change (n_centroids /
+    nprobe tuning): the exact arm prices one full scan over the query
+    sample only (|Q| bounded), the approx arm is the production probe,
+    and the joined recall per query localizes which queries' cells
+    went stale. Shuffle cost: corpus x |Q| scored rows for the exact
+    arm, probed-cells x |Q| for the approx arm — both map-side
+    bounded by the broadcast query set."""
+    from ..operators.similarity import (
+        ann_batch_topk_ivf_probe,
+        dot_expr,
+        norm_expr,
+    )
+
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    index_path = _ivf_index(spark, sf_dir)
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    approx = ann_batch_topk_ivf_probe(
+        spark, index_path, qvecs, k=10, nprobe=4
+    ).select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+
+    with_norm = emb.select(
+        "vec_id", "embedding", norm_expr("embedding").alias("_nrm")
+    )
+    q = with_norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    scored = with_norm.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            dot_expr("embedding", "_qvec") / (F.col("_nrm") * F.col("_qnrm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("qid") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vec")),
+        "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("a_vec").cast("bigint").alias("n_hits"),
+        (
+            F.count("a_vec").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+def _rrf_ivfpq_oracle(qid: int = 7, k: int = 20) -> str:
+    """Hybrid fusion with the PRODUCTION dense arm: the full IVF-PQ
+    stage replay (``_ivfpq_oracle``) ranked by ADC distance, fused
+    with the BM25 arm by the identical RRF formula as the exact-dense
+    ``_rrf_oracle`` in plans/llm.py."""
+    from .llm import _bm25_oracle
+
+    return f"""
+    WITH dense AS (
+      SELECT vec_id AS doc_id, adc_dist
+      FROM ({_ivfpq_oracle(k=k, qid=qid)})
+    ),
+    dr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY adc_dist ASC, doc_id ASC)
+                  AS BIGINT) AS d_rank
+      FROM dense
+    ),
+    sr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS BIGINT) AS s_rank
+      FROM ({_bm25_oracle()}) s
+    )
+    SELECT doc_id,
+           COALESCE(1.0 / (60.0 + CAST(d_rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(s_rank AS DOUBLE)), 0.0)
+             AS rrf,
+           d_rank, s_rank
+    FROM dr FULL JOIN sr USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    """
+
+
+@register("hybrid_rrf_fusion_ivfpq", oracle=_rrf_ivfpq_oracle())
+def hybrid_rrf_fusion_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval on the PRODUCTION serving stack — the
+    100 TB-shape counterpart of plans/llm.py::hybrid_rrf_fusion (which
+    fuses the exact-cosine baseline): the dense arm is the persisted
+    IVF-PQ probe (partition-pruned scan of the 8-byte-code sidecar,
+    ADC distances, k=20), the sparse arm is the same BM25 top-20, and
+    only RANKS cross the fusion boundary — so swapping exact→IVF-PQ
+    changes the candidate list, not one line of fusion dataflow, and
+    the whole composition still hash-matches its stage replay. Per
+    query this touches nprobe/n_centroids of the corpus x 1/32 of the
+    bytes (dense) + |terms| postings buckets (sparse) + 2k fused rows."""
+    import os
+
+    from pyspark.sql import Window as _W
+
+    from ..operators import similarity
+    from ..operators.similarity import (
+        ann_topk_ivfpq_probe,
+        ivfpq_codes_persist,
+    )
+    from .llm import bm25_topk_retrieval
+
+    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    index_path = _ivf_index(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
+    ]
+    pq_path = f"{index_path}/pq_v{similarity.PQ_STORE_VERSION}"
+    if not os.path.exists(pq_path + "/_SUCCESS"):
+        ivfpq_codes_persist(spark, index_path, cents)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    dense = ann_topk_ivfpq_probe(
+        spark, index_path, qvec, cents, k=20, nprobe=4, exclude_id=7
+    )
+    dw = _W.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    dr = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(dw).cast("bigint").alias("d_rank"),
+    )
+    sparse = bm25_topk_retrieval(spark, sf_dir)
+    sw = _W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sr = sparse.select(
+        "doc_id",
+        F.row_number().over(sw).cast("bigint").alias("s_rank"),
+    )
+    c = F.lit(60.0)
+    rrf = F.coalesce(
+        F.lit(1.0) / (c + F.col("d_rank").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (c + F.col("s_rank").cast("double")), F.lit(0.0)
+    )
+    return (
+        dr.join(sr, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"), "d_rank", "s_rank")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
 # --- generic SQL execution surface (S6/S7) --------------------------------------------------
 @register(
     "sql_passthrough_rollup",

@@ -89,6 +89,14 @@ _FORCE_WINDOW: list[str] = [
     # stage-for-stage in SQL
     "bucketed_join_rollup",
     "zorder_locality_accounting",
+    # new this round (batch 4): ANN serving quality (recall@10 of the
+    # IVF probe vs exact, both arms stage-replayed), hybrid fusion on
+    # the production IVF-PQ dense arm, and small-files compaction
+    # accounting (file counts + range disjointness + byte fidelity
+    # hash-pinned, the bucketed_join_rollup pattern)
+    "ann_recall_at_k",
+    "hybrid_rrf_fusion_ivfpq",
+    "compaction_file_accounting",
     # NOT forced: the 17 embedding-family queries gained the shared
     # vector-eligibility contract (similarity.embedding_eligible +
     # eligible_emb_pred, applied identically to BOTH engines) after the

@@ -58,7 +58,9 @@ def test_no_cartesian_products_anywhere_in_headline_set(spark):
             "streaming_windowed_counts", "streaming_session_counts",
             # writes bucketed tables at build time; its join plan is
             # asserted inside the query itself (hash-pinned booleans)
-            "bucketed_join_rollup"}
+            "bucketed_join_rollup",
+            # fragments + compacts a temp parquet copy at build time
+            "compaction_file_accounting"}
     for name in bench.BENCH_QUERIES:
         if name in skip:
             continue

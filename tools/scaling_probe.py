@@ -89,6 +89,11 @@ PROBE_QUERIES = [
     # linearly for the layout to be worth pre-paying)
     "bucketed_join_rollup",
     "zorder_locality_accounting",
+    # batch 4: quality canary + production hybrid serve + compaction
+    # (the fragment->compact write cost must itself scale linearly)
+    "ann_recall_at_k",
+    "hybrid_rrf_fusion_ivfpq",
+    "compaction_file_accounting",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
