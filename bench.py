@@ -137,6 +137,13 @@ BENCH_QUERIES = [
 #: cross-file query ratios (VERDICT r5 item 5); loaded=true flags a
 #: pass whose numbers should be read as inflated.
 CALIBRATION_QUIET_SEC = 0.75
+#: committed quiet median for the 8-process PARALLEL spin — barely
+#: above the single-core value on an unloaded 32-core box; diverges
+#: from it exactly when co-tenant load eats cores without slowing any
+#: single thread (the failure mode the round-6 single-spin probe
+#: missed: load_factor 1.0 while every 32-thread query ran ~1.1x).
+CALIBRATION_MT_QUIET_SEC = 0.78
+CALIBRATION_MT_WORKERS = 8
 CALIBRATION_LOADED_FACTOR = 1.2
 
 
@@ -168,12 +175,42 @@ def calibrate(samples: int = 3) -> dict:
         else (times[mid - 1] + times[mid]) / 2.0
     )
     factor = round(med / CALIBRATION_QUIET_SEC, 3)
+    mt = _spin_parallel(CALIBRATION_MT_WORKERS)
+    mt_factor = round(mt / CALIBRATION_MT_QUIET_SEC, 3)
     return {
         "spin_sec": round(med, 4),
         "quiet_sec": CALIBRATION_QUIET_SEC,
         "load_factor": factor,
-        "loaded": factor > CALIBRATION_LOADED_FACTOR,
+        "spin_mt_sec": round(mt, 4),
+        "load_factor_mt": mt_factor,
+        "loaded": max(factor, mt_factor) > CALIBRATION_LOADED_FACTOR,
     }
+
+
+def _spin_parallel(workers: int = CALIBRATION_MT_WORKERS) -> float:
+    """Median wall time of ``workers`` SIMULTANEOUS fixed-work spins in
+    separate processes (the GIL makes threads useless for this). A
+    single-core spin cannot see multi-core contention — a co-tenant
+    saturating half the box leaves one thread at full speed while every
+    local[32] query stage runs degraded; the parallel spin inflates in
+    exactly that situation. Falls back to the single-core time if the
+    process pool is unavailable (sandboxed fork)."""
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(workers) as ex:
+            times = sorted(
+                f.result()
+                for f in [ex.submit(_spin_once) for _ in range(workers)]
+            )
+    except (OSError, ImportError):
+        return _spin_once()
+    mid = len(times) // 2
+    return (
+        times[mid]
+        if len(times) % 2
+        else (times[mid - 1] + times[mid]) / 2.0
+    )
 
 
 def main() -> None:

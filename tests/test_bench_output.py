@@ -63,6 +63,22 @@ def test_calibration_field_rides_the_line():
     assert d["calibration"] == cal == detail["calibration"]
 
 
+def test_calibration_includes_the_parallel_spin():
+    """The MULTI-CORE probe (round-6 addition): co-tenant load can eat
+    cores without slowing any single thread, so the calibration must
+    carry a parallel spin beside the single-core one, and the loaded
+    flag must consider BOTH factors."""
+    cal = bench.calibrate(samples=1)
+    assert cal["spin_mt_sec"] > 0
+    assert cal["load_factor_mt"] == round(
+        cal["spin_mt_sec"] / bench.CALIBRATION_MT_QUIET_SEC, 3
+    )
+    assert cal["loaded"] == (
+        max(cal["load_factor"], cal["load_factor_mt"])
+        > bench.CALIBRATION_LOADED_FACTOR
+    )
+
+
 def test_bench_list_is_registered():
     """Every BENCH_QUERIES name must exist in the registry — a rename
     that forgets bench.py should fail here, not as a silent
