@@ -137,13 +137,17 @@ BENCH_QUERIES = [
 #: cross-file query ratios (VERDICT r5 item 5); loaded=true flags a
 #: pass whose numbers should be read as inflated.
 CALIBRATION_QUIET_SEC = 0.75
-#: committed quiet median for the 8-process PARALLEL spin — barely
-#: above the single-core value on an unloaded 32-core box; diverges
-#: from it exactly when co-tenant load eats cores without slowing any
-#: single thread (the failure mode the round-6 single-spin probe
-#: missed: load_factor 1.0 while every 32-thread query ran ~1.1x).
+#: committed quiet median for the PARALLEL spin — barely above the
+#: single-core value on an unloaded 32-core box; diverges from it
+#: exactly when co-tenant load eats cores without slowing any single
+#: thread (the failure mode the round-6 single-spin probe missed:
+#: load_factor 1.0 while every 32-thread query ran ~1.1x). Like
+#: CALIBRATION_QUIET_SEC this pair (quiet value + worker count) is
+#: HOST-PINNED: on a different box re-measure and re-commit both
+#: (workers scale as cpu_count/4 so a smaller host doesn't flag an
+#: idle machine as loaded by oversubscribing itself).
 CALIBRATION_MT_QUIET_SEC = 0.78
-CALIBRATION_MT_WORKERS = 8
+CALIBRATION_MT_WORKERS = max(1, min(8, (os.cpu_count() or 8) // 4))
 CALIBRATION_LOADED_FACTOR = 1.2
 
 
@@ -196,14 +200,17 @@ def _spin_parallel(workers: int = CALIBRATION_MT_WORKERS) -> float:
     exactly that situation. Falls back to the single-core time if the
     process pool is unavailable (sandboxed fork)."""
     try:
-        from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures import BrokenExecutor, ProcessPoolExecutor
 
         with ProcessPoolExecutor(workers) as ex:
             times = sorted(
                 f.result()
                 for f in [ex.submit(_spin_once) for _ in range(workers)]
             )
-    except (OSError, ImportError):
+    except (OSError, ImportError, BrokenExecutor):
+        # pool unavailable OR a worker died mid-spin (seccomp'd fork,
+        # OOM kill surface as BrokenProcessPool, not OSError) — a
+        # missing probe must degrade, never kill the whole bench pass
         return _spin_once()
     mid = len(times) // 2
     return (
@@ -248,8 +255,13 @@ def main() -> None:
 
     cal_after = calibrate()
     # the pass's load = the WORSE of the two probes (load arriving
-    # mid-run must not be averaged away)
-    cal = max(cal_before, cal_after, key=lambda c: c["load_factor"])
+    # mid-run must not be averaged away) — judged on whichever factor
+    # is worse, single- or multi-core, like the loaded flag itself
+    cal = max(
+        cal_before,
+        cal_after,
+        key=lambda c: max(c["load_factor"], c["load_factor_mt"]),
+    )
     line, detail = compose_output(timings, errors, SF_DIR, cal)
     try:
         with open(

@@ -1347,6 +1347,44 @@ def daily_count_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gc_dead_pid_tables(spark: SparkSession, db: str) -> None:
+    """Reap pid-tagged bucketed tables left by FINISHED processes.
+
+    The pid suffix exists so concurrent runs (bench vs driver vs
+    parity pytest) never drop a table another live process is lazily
+    scanning — but pids don't repeat, so without GC every run would
+    leak two table copies into the shared warehouse forever. A dir
+    whose trailing ``_<pid>`` is no longer alive is garbage by
+    construction. Filesystem-level (not DROP TABLE): a fresh session's
+    in-memory catalog does not even list tables earlier sessions left
+    in the warehouse. Bounded work: one listdir of the db directory."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("file", ""):
+        return
+    db_dir = _os.path.join(wh.path, f"{db}.db")
+    try:
+        entries = _os.listdir(db_dir)
+    except OSError:
+        return
+    for entry in entries:
+        pid_part = entry.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == _os.getpid():
+            continue
+        try:
+            _os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{entry}")
+            _shutil.rmtree(_os.path.join(db_dir, entry), ignore_errors=True)
+        except OSError:
+            # PermissionError etc.: the pid exists but isn't ours —
+            # treat as alive, never reap a table we can't prove dead
+            continue
+
+
 # --- bucketed co-located join (zero-exchange layout, driver-visible) ---------
 @register(
     "bucketed_join_rollup",
@@ -1393,6 +1431,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = f"{tag}_{_os.getpid()}"
     db = "layout_q"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    _gc_dead_pid_tables(spark, db)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

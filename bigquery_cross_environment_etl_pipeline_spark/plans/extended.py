@@ -881,6 +881,15 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus under the shared vector-eligibility
+    contract — the extended.py twin of plans/llm.py::_load_emb (one
+    idiom, two plan families): every ANN query and index build in this
+    file loads through here so a change to the eligible load can never
+    make the IVF family drift from the llm.py similarity family."""
+    return eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def _duck_dot64(a: str, b: str) -> str:
     """Unrolled left-associated dot chain at the engine's vector DIM —
     bitwise-identical to ``similarity.dot_expr``'s fold and to the
@@ -988,7 +997,7 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir)
     qvec = [
         float(x)
@@ -1009,11 +1018,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     of serving a stale index."""
     import os
 
-    from ..operators.similarity import (
-        IVF_BUILD_VERSION,
-        eligible_embeddings,
-        ivf_index_persist,
-    )
+    from ..operators.similarity import IVF_BUILD_VERSION, ivf_index_persist
     from ..sources.registry import dataset_fingerprint
 
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/root/repo/.indexes")
@@ -1027,7 +1032,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, refine_iters: int = 0) -> str:
     if not os.path.exists(index_path + "/centroids/_SUCCESS"):
         # build from eligibility-contract vectors only (v4): a zero-norm
         # or NaN vector in the index poisons assignment and every probe
-        emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+        emb = _load_emb(spark, sf_dir)
         ivf_index_persist(
             spark, emb, index_path, n_centroids=8, refine_iters=refine_iters
         )
@@ -1046,7 +1051,7 @@ def ann_topk_ivf_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir)
     qvec = [
         float(x)
@@ -1113,7 +1118,7 @@ def ann_batch_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py."""
     from ..operators.similarity import ann_batch_topk_ivf_probe
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir)
     qvecs = {
         r["vec_id"]: list(r["embedding"])
@@ -1181,12 +1186,30 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving path. Recall vs the PQ-only and exact paths asserted
     in tests/test_scale_ops.py; the oracle replays both index halves
     stage-for-stage."""
+    from ..operators.similarity import ann_topk_ivfpq_probe
+
+    index_path, cents, qvec = _ivfpq_serving_inputs(spark, sf_dir, qid=7)
+    return ann_topk_ivfpq_probe(
+        spark, index_path, qvec, cents, k=10, nprobe=4, exclude_id=7
+    )
+
+
+def _ivfpq_serving_inputs(
+    spark: SparkSession, sf_dir: str, qid: int
+) -> tuple[str, list[tuple[int, list[float]]], list[float]]:
+    """The ONE place the IVF-PQ serving stack is assembled — the
+    persisted IVF index path, the PQ codebook (the PQ_K lowest-id
+    eligible vectors), the codes SIDECAR (built once per index under
+    its PQ_STORE_VERSION tag), and the query vector — shared by
+    ann_topk_ivfpq and hybrid_rrf_fusion_ivfpq so the two serving
+    paths can never drift on sidecar keying or the staleness check
+    (the hazard class IVF_BUILD_VERSION exists to prevent)."""
     import os
 
     from ..operators import similarity
-    from ..operators.similarity import ann_topk_ivfpq_probe, ivfpq_codes_persist
+    from ..operators.similarity import ivfpq_codes_persist
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -1197,11 +1220,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_codes_persist(spark, index_path, cents)
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+        for x in emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
     ]
-    return ann_topk_ivfpq_probe(
-        spark, index_path, qvec, cents, k=10, nprobe=4, exclude_id=7
-    )
+    return index_path, cents, qvec
 
 
 def _lloyd_oracle(
@@ -1337,7 +1358,7 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py."""
     from ..operators.similarity import ann_topk_ivf_probe
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir, refine_iters=2)
     qvec = [
         float(x)
@@ -1415,7 +1436,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_expr,
     )
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
+    emb = _load_emb(spark, sf_dir)
     index_path = _ivf_index(spark, sf_dir)
     qvecs = {
         r["vec_id"]: list(r["embedding"])
@@ -1509,30 +1530,12 @@ def hybrid_rrf_fusion_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole composition still hash-matches its stage replay. Per
     query this touches nprobe/n_centroids of the corpus x 1/32 of the
     bytes (dense) + |terms| postings buckets (sparse) + 2k fused rows."""
-    import os
-
     from pyspark.sql import Window as _W
 
-    from ..operators import similarity
-    from ..operators.similarity import (
-        ann_topk_ivfpq_probe,
-        ivfpq_codes_persist,
-    )
+    from ..operators.similarity import ann_topk_ivfpq_probe
     from .llm import bm25_topk_retrieval
 
-    emb = eligible_embeddings(load_table(spark, sf_dir, "embeddings"))
-    index_path = _ivf_index(spark, sf_dir)
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < similarity.PQ_K).collect()
-    ]
-    pq_path = f"{index_path}/pq_v{similarity.PQ_STORE_VERSION}"
-    if not os.path.exists(pq_path + "/_SUCCESS"):
-        ivfpq_codes_persist(spark, index_path, cents)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
-    ]
+    index_path, cents, qvec = _ivfpq_serving_inputs(spark, sf_dir, qid=7)
     dense = ann_topk_ivfpq_probe(
         spark, index_path, qvec, cents, k=20, nprobe=4, exclude_id=7
     )
