@@ -816,12 +816,12 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS sx,
-             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)
+             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(19,4)) END)
                       * (CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(user_id AS DECIMAL(18,4))
+             CAST(SUM(CAST(user_id AS DECIMAL(19,4))
                       * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,4)) END)
+             CAST(SUM((CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(19,4)) END)
                       * CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sxy
       FROM events GROUP BY event_type
     )
@@ -836,13 +836,19 @@ def value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     class as the built-ins."""
     events = load_table(spark, sf_dir, "events")
     x, y = _dec("value"), F.col("user_id").cast("decimal(18,4)")
+    # left product factors at DECIMAL(19,4): an 18x18 product overflows
+    # DuckDB's int64 decimal path for |value| >= 1e9 (edge-replay
+    # finding); 19x18 promotes both engines to a wide exact product
+    # (Spark result precision 19+18+1 = 38 still fits)
+    x19 = F.col("value").cast("decimal(19,4)")
+    y19 = F.col("user_id").cast("decimal(19,4)")
     sums = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x19 * x).cast("double").alias("sxx"),
         F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y19 * y).cast("double").alias("syy"),
+        F.sum(x19 * y).cast("double").alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")

@@ -262,14 +262,22 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pandas_udf_transform_hook",
     oracle="""
-    SELECT event_id, value * 1.1 AS value_scaled
+    SELECT event_id,
+           CASE WHEN isnan(value) THEN NULL ELSE value * 1.1 END
+             AS value_scaled
     FROM events WHERE event_type = 'purchase'
     """,
 )
 def pandas_udf_transform_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: the reference's per-record custom-transform hook
     (billing_etl.py:301-303, README.md:274-288) as an Arrow-vectorized
-    Pandas UDF — batch-at-a-time in pandas, never row-at-a-time."""
+    Pandas UDF — batch-at-a-time in pandas, never row-at-a-time.
+
+    Arrow-boundary contract (edge-replay finding): pandas has ONE
+    representation for both NULL and NaN in a float Series, so a NaN
+    crossing the Arrow boundary comes back as SQL NULL — the oracle
+    mirrors that collapse (NaN in, NULL out) because it is inherent to
+    every pandas-based transform hook, not an artifact of this one."""
 
     @F.pandas_udf("double")
     def scale(v: pd.Series) -> pd.Series:
@@ -286,7 +294,7 @@ def pandas_udf_transform_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_median_applyinpandas",
     oracle="""
     SELECT user_id, median(value) AS median_value
-    FROM events WHERE user_id < 256 GROUP BY user_id
+    FROM events WHERE isfinite(value) AND user_id < 256 GROUP BY user_id
     """,
 )
 def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,14 +307,23 @@ def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the #2 bench entry every round, drowning production-path
     signal in suite totals. The subset keeps the Arrow round-trip and
     per-group Python cost measurable without making it a headline
-    weight; the user_id predicate pushes to the parquet scan."""
+    weight; the user_id predicate pushes to the parquet scan.
+
+    Finite-values contract (edge-replay finding): a NaN input makes
+    the two engines disagree on rank — pandas .median() SKIPS NaN
+    while DuckDB's median ranks it — so non-finite values are excluded
+    identically on both sides before the median."""
 
     def median_of(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": [pdf["user_id"].iloc[0]], "median_value": [pdf["value"].median()]}
         )
 
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 256)
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 256)
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
     return events.select("user_id", "value").groupBy("user_id").applyInPandas(
         median_of, "user_id bigint, median_value double"
     )
@@ -455,7 +472,7 @@ def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_median_builtin",
     oracle="""
     SELECT user_id, median(value) AS median_value
-    FROM events WHERE user_id < 256 GROUP BY user_id
+    FROM events WHERE isfinite(value) AND user_id < 256 GROUP BY user_id
     """,
 )
 def grouped_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,8 +484,14 @@ def grouped_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins when the aggregate exists (JVM-side), applyInPandas only
     for aggregates Spark genuinely lacks. Spark's median == DuckDB's
     median bitwise (both interpolate the middle pair with one IEEE
-    add/divide)."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 256)
+    add/divide). Finite-values contract as in the applyInPandas twin:
+    NaN rank order differs between engines, so non-finite values are
+    excluded identically on both sides."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 256)
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
     return events.groupBy("user_id").agg(
         F.median("value").alias("median_value")
     )
@@ -530,14 +553,19 @@ def dedup_exact_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(value, 0.5) AS p50,
            quantile_cont(value, 0.9) AS p90,
            quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type
+    FROM events WHERE isfinite(value) GROUP BY event_type
     """,
 )
 def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (the approximate
     variant — percentile_approx/t-digest — is the 100 TB path; exact is
-    the oracle-checkable baseline)."""
-    events = load_table(spark, sf_dir, "events")
+    the oracle-checkable baseline). Finite-values contract (edge-replay
+    finding): NaN rank order differs between engines — and an inf
+    endpoint poisons the interpolation arithmetic — so non-finite
+    values are excluded identically on both sides."""
+    events = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
+    )
     return events.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
@@ -2044,9 +2072,11 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
            r.event_id AS purchase_id
     FROM (SELECT * FROM events
           WHERE event_type = 'click' AND ts IS NOT NULL
+            AND ts > TIMESTAMP '1970-01-01'
             AND user_id IS NOT NULL) l
     LEFT JOIN (SELECT * FROM events
                WHERE event_type = 'purchase' AND ts IS NOT NULL
+                 AND ts > TIMESTAMP '1970-01-01'
                  AND user_id IS NOT NULL) r
       ON l.user_id = r.user_id
      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
@@ -2071,7 +2101,15 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     oracle. Join contract (edge-replay finding): rows with a NULL join
     key are excluded on both sides — a NULL key can never match, and
     Spark's stream-stream join state machine does not emit a
-    left-outer null row for it, while a batch LEFT JOIN would."""
+    left-outer null row for it, while a batch LEFT JOIN would. Epoch
+    event times (== Spark's initial watermark, dropped as late on
+    arrival) are excluded on both sides by the same contract as
+    streaming_dedup_unique_counts. The advancer sentinels are DYNAMIC
+    — max(real ts) + margin — because a fixed far-future constant
+    silently stops advancing the watermark the day one real row passes
+    it (edge-replay finding: a 2262 click froze the 2035 sentinels and
+    its null row never flushed)."""
+    import datetime as _dt
     import tempfile
     import uuid
 
@@ -2082,12 +2120,20 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     events = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        & F.col("user_id").isNotNull()
     )
     sides = {
         "l": events.filter(F.col("event_type") == "click"),
         "r": events.filter(F.col("event_type") == "purchase"),
     }
+    # adv1 alone must push the watermark (= max event ts - 2h lateness)
+    # past every click's match horizon (ts + 1h): max + 3h + margin;
+    # adv2's batch then runs the eviction pass that emits the nulls
+    max_ts = events.agg(F.max("ts")).first()[0] or _dt.datetime(2000, 1, 1)
+    adv1 = max_ts + _dt.timedelta(hours=3, minutes=1)
+    adv2 = adv1 + _dt.timedelta(days=1)
     name = f"lojoin_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="stream_lojoin_") as tmp:
         for tag, df in sides.items():
@@ -2097,8 +2143,8 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
             write_microbatches(
                 [
                     df.select("user_id", "ts", "event_id"),
-                    sentinel("2035-01-01 00:00:00"),
-                    sentinel("2035-01-02 00:00:00"),
+                    sentinel(adv1.strftime("%Y-%m-%d %H:%M:%S")),
+                    sentinel(adv2.strftime("%Y-%m-%d %H:%M:%S")),
                 ],
                 f"{tmp}/{tag}",
             )
@@ -2328,7 +2374,9 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup_unique_counts",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
-    FROM events WHERE user_id < 50 GROUP BY event_type
+    FROM events
+    WHERE user_id < 50 AND (ts IS NULL OR ts > TIMESTAMP '1970-01-01')
+    GROUP BY event_type
     """,
 )
 def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,13 +2393,26 @@ def streaming_dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     the watermark trails max ts by 10 minutes), and no first occurrence
     can arrive behind the watermark; the stream's complete-mode output
     is therefore exactly the batch per-type distinct count. The same
-    equality is asserted in tests/test_streaming_dedup.py."""
+    equality is asserted in tests/test_streaming_dedup.py.
+
+    Epoch-sentinel contract (edge-replay finding): an event time of
+    EXACTLY 1970-01-01 00:00:00 equals Spark's initial watermark and
+    is dropped as late by the stateful dedup before any data flows —
+    indistinguishable from the F3 missing-watermark default, it is a
+    sentinel, not data. Excluded identically on both engines (NULL
+    event times, which bypass the watermark, stay)."""
     import tempfile
     import uuid
 
     from ..streaming.incremental import read_stream
 
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50)
+        & (
+            F.col("ts").isNull()
+            | (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        )
+    )
     name = f"uniq_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="stream_dedup_") as tmp:
         src = f"{tmp}/src"

@@ -97,6 +97,14 @@ _FORCE_WINDOW: list[str] = [
     "ann_recall_at_k",
     "hybrid_rrf_fusion_ivfpq",
     "compaction_file_accounting",
+    # NOT forced: the 7 queries hardened by the round-6 fixture
+    # extension (grouped_median x2, value_percentiles_by_type,
+    # value_stats_exact, pandas_udf_transform_hook,
+    # streaming_dedup_unique_counts, streaming_left_outer_join_nulls)
+    # carry edge-only contracts (finite-values, NaN->NULL at the Arrow
+    # boundary, epoch-sentinel exclusion, dynamic advancer sentinels);
+    # driver-data outputs are bit-identical (full parity re-verified),
+    # and four of them sit in this round's never-green window anyway.
     # NOT forced: the 17 embedding-family queries gained the shared
     # vector-eligibility contract (similarity.embedding_eligible +
     # eligible_emb_pred, applied identically to BOTH engines) after the

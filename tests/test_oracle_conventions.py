@@ -22,9 +22,13 @@ PLANS = os.path.join(
 #: the ONE finite-money guard shape (edge-replay contract: inf/NaN
 #: metric values are missing, mirroring Spark's native inf->DECIMAL
 #: NULL). DECIMAL precision may vary; everything else may not.
+#: precision 18 or 19 — 19 is the WIDENED LEFT FACTOR of an exact
+#: product (18x18 overflows DuckDB's int64 decimal path on |value|
+#: >= 1e9; 19 promotes the product to the int128 path while Spark's
+#: result precision 19+18+1 = 38 still fits)
 _FINITE_DEC = re.compile(
     r"\(CASE WHEN isfinite\(value\)\s+"
-    r"THEN CAST\(value AS DECIMAL\(18,[24]\)\) END\)"
+    r"THEN CAST\(value AS DECIMAL\(1[89],[24]\)\) END\)"
 )
 
 

@@ -61,6 +61,10 @@ EDGE_ROWS = {
         {"doc_id": 900005, "text": "naïve café über ß 日本語 emoji 🎉 token", "lang": "de", "source": None, "n_chars": 38},
         {"doc_id": 900006, "text": "dup dup dup dup dup dup dup dup", "lang": "en", "source": "edge", "n_chars": 31},
         {"doc_id": 900007, "text": "a" * 5000 + " tail", "lang": "en", "source": "edge", "n_chars": 5005},
+        # byte-identical PAIR: exact dedup must keep exactly one, and
+        # every hash/shingle path must agree which (min doc_id)
+        {"doc_id": 900008, "text": "identical twin text for exact dedup checks", "lang": "en", "source": "edge", "n_chars": 43},
+        {"doc_id": 900009, "text": "identical twin text for exact dedup checks", "lang": "en", "source": "edge", "n_chars": 43},
     ],
     "events": [
         {"event_id": 900001, "ts": None, "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
@@ -68,6 +72,17 @@ EDGE_ROWS = {
         {"event_id": 900003, "ts": "2024-01-05 00:00:01", "user_id": 7, "event_type": None, "value": 3.0, "props": "{}"},
         {"event_id": 900004, "ts": "2024-01-05 00:00:02", "user_id": 7, "event_type": "click", "value": None, "props": None},
         {"event_id": 900005, "ts": "2024-01-05 00:00:03", "user_id": 7, "event_type": "purchase", "value": float("inf"), "props": "not json"},
+        # NaN metric (inf's sibling: isfinite catches both, bare
+        # comparisons/casts diverge between engines)
+        {"event_id": 900006, "ts": "2024-01-05 00:00:04", "user_id": 7, "event_type": "purchase", "value": float("nan"), "props": "{}"},
+        # NEGATIVE metric: sign-sensitive guards (credits use -value)
+        {"event_id": 900007, "ts": "2024-01-05 00:00:05", "user_id": 7, "event_type": "refund", "value": -1e9, "props": "{}"},
+        # epoch boundary: collides with the F3 missing-watermark
+        # default (1970-01-01) — boundary must be kept, not dropped
+        {"event_id": 900008, "ts": "1970-01-01 00:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        # near the int64-nanosecond ceiling (events.parquet is
+        # TIMESTAMP(NANOS); 2262-04-11 is the last representable day)
+        {"event_id": 900009, "ts": "2262-04-01 00:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
     ],
     "orders": [
         {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": 10.0, "o_orderdate": "2024-03-01 00:00:00", "o_orderpriority": "1-URGENT"},
@@ -89,6 +104,10 @@ EDGE_ROWS = {
         {"vec_id": 900003, "embedding": [float("nan")] + [0.1] * 63, "label": 2},
         # NULL label: grouping/stratification edge
         {"vec_id": 900004, "embedding": [0.25] * 64, "label": None},
+        # IDENTICAL pair: cosine exactly 1.0 between them — top-k /
+        # near-dup / knn tie-breaks must resolve by id on both engines
+        {"vec_id": 900005, "embedding": [0.5] * 64, "label": 3},
+        {"vec_id": 900006, "embedding": [0.5] * 64, "label": 3},
     ],
     "lineitem": [
         {"l_orderkey": None, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
