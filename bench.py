@@ -187,6 +187,10 @@ def calibrate(samples: int = 3) -> dict:
         "load_factor": factor,
         "spin_mt_sec": round(mt, 4),
         "load_factor_mt": mt_factor,
+        # effective worker count rides along so a host whose cpu_count
+        # scaled workers below the 8 the quiet reference was measured
+        # with is VISIBLE in the artifact, not silently authoritative
+        "mt_workers": CALIBRATION_MT_WORKERS,
         "loaded": max(factor, mt_factor) > CALIBRATION_LOADED_FACTOR,
     }
 

@@ -23,6 +23,16 @@ ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 EPOCH_LIT = "1970-01-01 00:00:00"
 
 
+def finite_metric(col: str | Column) -> Column:
+    """TRUE iff ``col`` is a finite double — the ONE Spark spelling of
+    the finite-values contract every rank/stat query shares (DuckDB
+    mirror: ``isfinite(value)``). NULL yields NULL, so using this in a
+    ``filter`` also drops NULL rows — exactly what the SQL ``WHERE
+    isfinite(value)`` does on the oracle side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
+
+
 def epoch_seconds(col: str | Column) -> Column:
     """NTZ-safe epoch seconds for ordering / gap arithmetic.
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.scalar import epoch_seconds
+from ..functions.scalar import epoch_seconds, finite_metric
 from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
 from ..sources.registry import load_table
 
@@ -1573,10 +1573,7 @@ def zorder_locality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 1 << _Z_BITS
     events = load_table(spark, sf_dir, "events")
     eligible = events.filter(
-        F.col("user_id").isNotNull()
-        & F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs(F.col("value")) != float("inf"))
+        F.col("user_id").isNotNull() & finite_metric("value")
     ).select(
         F.col("user_id").cast("double").alias("u"),
         F.col("value").cast("double").alias("v"),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.scalar import epoch_seconds
+from ..functions.scalar import epoch_seconds, finite_metric
 from ..operators.joins import asof_join, range_join
 from ..operators.similarity import eligible_embeddings
 from ..operators.text import tokens
@@ -320,9 +320,7 @@ def grouped_median_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     events = load_table(spark, sf_dir, "events").filter(
-        (F.col("user_id") < 256)
-        & ~F.isnan("value")
-        & (F.abs("value") < F.lit(float("inf")))
+        (F.col("user_id") < 256) & finite_metric("value")
     )
     return events.select("user_id", "value").groupBy("user_id").applyInPandas(
         median_of, "user_id bigint, median_value double"
@@ -488,9 +486,7 @@ def grouped_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN rank order differs between engines, so non-finite values are
     excluded identically on both sides."""
     events = load_table(spark, sf_dir, "events").filter(
-        (F.col("user_id") < 256)
-        & ~F.isnan("value")
-        & (F.abs("value") < F.lit(float("inf")))
+        (F.col("user_id") < 256) & finite_metric("value")
     )
     return events.groupBy("user_id").agg(
         F.median("value").alias("median_value")
@@ -564,7 +560,7 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint poisons the interpolation arithmetic — so non-finite
     values are excluded identically on both sides."""
     events = load_table(spark, sf_dir, "events").filter(
-        ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
+        finite_metric("value")
     )
     return events.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
@@ -2014,6 +2010,7 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events l JOIN events r
       ON l.user_id = r.user_id
      AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND l.ts > TIMESTAMP '1970-01-01' AND r.ts > TIMESTAMP '1970-01-01'
      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
 )
@@ -2030,13 +2027,20 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     inner-join emission is match-driven and nothing can be evicted
     before its partner arrives. The oracle is the batch self-join with
     the identical timestamp-domain interval (epoch-seconds
-    subtraction would misclassify boundary pairs)."""
+    subtraction would misclassify boundary pairs). Epoch-sentinel
+    contract as in the left-outer twin: an event time of exactly
+    1970-01-01 00:00:00 equals Spark's INITIAL watermark and is
+    dropped on arrival by the join state machine, so it is excluded on
+    both engines — a batch oracle without the exclusion would emit a
+    pair the stream can never produce."""
     import tempfile
     import uuid
 
     from ..streaming.incremental import read_stream, stream_stream_interval_join
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="stream_ssjoin_") as tmp:
         lsrc, rsrc = f"{tmp}/clicks", f"{tmp}/purchases"
@@ -2130,9 +2134,20 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     }
     # adv1 alone must push the watermark (= max event ts - 2h lateness)
     # past every click's match horizon (ts + 1h): max + 3h + margin;
-    # adv2's batch then runs the eviction pass that emits the nulls
-    max_ts = events.agg(F.max("ts")).first()[0] or _dt.datetime(2000, 1, 1)
-    adv1 = max_ts + _dt.timedelta(hours=3, minutes=1)
+    # adv2's batch then runs the eviction pass that emits the nulls.
+    # The max is rendered to a string IN-ENGINE (session-TZ = UTC):
+    # collecting the raw timestamp would round-trip through a naive
+    # Python datetime in the HOST's OS timezone and shift the
+    # sentinels by the UTC offset on a TZ-shifted driver.
+    max_str = events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+    ).first()[0]
+    base = (
+        _dt.datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S")
+        if max_str
+        else _dt.datetime(2000, 1, 1)
+    )
+    adv1 = base + _dt.timedelta(hours=3, minutes=1)
     adv2 = adv1 + _dt.timedelta(days=1)
     name = f"lojoin_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix="stream_lojoin_") as tmp:
@@ -2222,7 +2237,7 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM ev
     ),
@@ -2257,12 +2272,17 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     ORACLE-CHECKED (round 3): append mode emits exactly the sessions
     whose end (last event + gap) lies at or below the final watermark
     (max ts - 10 min over the filtered stream); the oracle replays the
-    session merge with Spark's boundary convention — a new session
-    starts when the gap is >= 30 min (an event at exactly start+gap
-    does NOT extend) — and DECIMAL-exact value sums. The oracle also
-    excludes NULL-ts events (edge-replay finding): the streaming
-    watermark operator drops rows with NULL event time, so the replay
-    must too."""
+    session merge with Spark's boundary convention and DECIMAL-exact
+    value sums. Boundary convention (edge-replay finding, round 6):
+    the native ``session_window`` merges INCLUSIVELY — an event at
+    exactly last_ts + gap still EXTENDS the session (windows touching
+    at an endpoint merge), so the oracle's new-session test is gap
+    STRICTLY > 30 min. Note this differs from the explicit lag-based
+    convention of the batch ``sessionization_gap30m`` query (>= opens
+    a new session); the two agree on any data without an exact-gap
+    pair. The oracle also excludes NULL-ts events (edge-replay
+    finding): the streaming watermark operator drops rows with NULL
+    event time, so the replay must too."""
     import tempfile
     import uuid
 
@@ -2912,7 +2932,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers FINITE values only — inf/NaN/NULL rows are excluded
     identically on both engines (floor(inf) has no int64 bucket)."""
     events = load_table(spark, sf_dir, "events").filter(
-        ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
+        finite_metric("value")
     )
     hist = events.groupBy(
         "event_type", F.floor("value").cast("long").alias("bucket")

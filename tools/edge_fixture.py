@@ -83,6 +83,10 @@ EDGE_ROWS = {
         # near the int64-nanosecond ceiling (events.parquet is
         # TIMESTAMP(NANOS); 2262-04-11 is the last representable day)
         {"event_id": 900009, "ts": "2262-04-01 00:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        # a purchase within 1h of the EPOCH click above: the stream
+        # join drops the epoch click on arrival, so an oracle without
+        # the epoch exclusion would emit a pair the stream cannot
+        {"event_id": 900010, "ts": "1970-01-01 00:30:00", "user_id": 7, "event_type": "purchase", "value": 5.0, "props": "{}"},
     ],
     "orders": [
         {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": 10.0, "o_orderdate": "2024-03-01 00:00:00", "o_orderpriority": "1-URGENT"},
