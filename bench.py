@@ -15,6 +15,11 @@ import re
 import sys
 import time
 
+# module scope (stdlib, always present): an import failure inside the
+# _spin_parallel try block would make its except tuple itself raise
+# NameError on BrokenExecutor instead of falling back (ADVICE r6)
+from concurrent.futures import BrokenExecutor, ProcessPoolExecutor
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +131,9 @@ BENCH_QUERIES = [
     "ann_recall_at_k",
     "hybrid_rrf_fusion_ivfpq",
     "compaction_file_accounting",
+    # round-7 addition: measured LSH banding quality (recall/precision
+    # vs the inverted-index exact-Jaccard ground truth)
+    "dedup_recall_precision",
 ]
 
 
@@ -179,7 +187,7 @@ def calibrate(samples: int = 3) -> dict:
         else (times[mid - 1] + times[mid]) / 2.0
     )
     factor = round(med / CALIBRATION_QUIET_SEC, 3)
-    mt = _spin_parallel(CALIBRATION_MT_WORKERS)
+    mt, mt_degraded = _spin_parallel(CALIBRATION_MT_WORKERS)
     mt_factor = round(mt / CALIBRATION_MT_QUIET_SEC, 3)
     return {
         "spin_sec": round(med, 4),
@@ -191,37 +199,44 @@ def calibrate(samples: int = 3) -> dict:
         # scaled workers below the 8 the quiet reference was measured
         # with is VISIBLE in the artifact, not silently authoritative
         "mt_workers": CALIBRATION_MT_WORKERS,
+        # true when the pool fell back to a single-core spin: the
+        # load_factor_mt is then NOT a multi-core measurement and a
+        # loaded multi-core box could read as quiet (ADVICE r6)
+        "mt_degraded": mt_degraded,
         "loaded": max(factor, mt_factor) > CALIBRATION_LOADED_FACTOR,
     }
 
 
-def _spin_parallel(workers: int = CALIBRATION_MT_WORKERS) -> float:
+def _spin_parallel(
+    workers: int = CALIBRATION_MT_WORKERS,
+) -> tuple[float, bool]:
     """Median wall time of ``workers`` SIMULTANEOUS fixed-work spins in
-    separate processes (the GIL makes threads useless for this). A
-    single-core spin cannot see multi-core contention — a co-tenant
-    saturating half the box leaves one thread at full speed while every
-    local[32] query stage runs degraded; the parallel spin inflates in
-    exactly that situation. Falls back to the single-core time if the
-    process pool is unavailable (sandboxed fork)."""
+    separate processes (the GIL makes threads useless for this), plus a
+    degraded flag. A single-core spin cannot see multi-core contention —
+    a co-tenant saturating half the box leaves one thread at full speed
+    while every local[32] query stage runs degraded; the parallel spin
+    inflates in exactly that situation. Falls back to (single-core
+    time, degraded=True) if the process pool is unavailable — the flag
+    rides into the calibration dict so the fallback is never mistaken
+    for a genuine multi-core measurement."""
     try:
-        from concurrent.futures import BrokenExecutor, ProcessPoolExecutor
-
         with ProcessPoolExecutor(workers) as ex:
             times = sorted(
                 f.result()
                 for f in [ex.submit(_spin_once) for _ in range(workers)]
             )
-    except (OSError, ImportError, BrokenExecutor):
+    except (OSError, BrokenExecutor):
         # pool unavailable OR a worker died mid-spin (seccomp'd fork,
         # OOM kill surface as BrokenProcessPool, not OSError) — a
         # missing probe must degrade, never kill the whole bench pass
-        return _spin_once()
+        return _spin_once(), True
     mid = len(times) // 2
-    return (
+    med = (
         times[mid]
         if len(times) % 2
         else (times[mid - 1] + times[mid]) / 2.0
     )
+    return med, False
 
 
 def main() -> None:

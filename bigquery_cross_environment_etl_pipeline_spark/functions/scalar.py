@@ -68,15 +68,24 @@ def fully_qualified_table_id(project: str | Column, dataset: str | Column, table
 
 
 def org_dataset_name(org_id: str | Column) -> Column:
-    """F7: ``org_{org_id}_standard_export``."""
+    """F7: ``org_{org_id}_standard_export``.
+
+    NULL-propagating concat, NOT format_string: java's String.format
+    renders a NULL argument as the literal text "null" ("org_null_
+    standard_export" — a plausible-looking but garbage identifier),
+    while every SQL ``||`` spelling of the same mangle yields NULL.
+    A NULL org id has no dataset name (round-7 edge-fixture finding)."""
     c = F.lit(org_id) if isinstance(org_id, str) else org_id
-    return F.format_string("org_%s_standard_export", c.cast("string"))
+    return F.concat(F.lit("org_"), c.cast("string"), F.lit("_standard_export"))
 
 
 def org_table_name(org_id: str | Column) -> Column:
-    """F7: ``org_{org_id}_standard_export_table``."""
+    """F7: ``org_{org_id}_standard_export_table`` (NULL-propagating —
+    see ``org_dataset_name``)."""
     c = F.lit(org_id) if isinstance(org_id, str) else org_id
-    return F.format_string("org_%s_standard_export_table", c.cast("string"))
+    return F.concat(
+        F.lit("org_"), c.cast("string"), F.lit("_standard_export_table")
+    )
 
 
 def to_json_payload(*cols: str | Column) -> Column:

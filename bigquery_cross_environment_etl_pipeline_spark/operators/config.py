@@ -62,6 +62,21 @@ class ConfigStore:
         # commit protocol. Stage to memory first because overwrite reads
         # from the same path.
         rows = df.collect()
+        # EXPLICIT refusal on NULL keys (round 7): parquet reads treat
+        # schema nullability as a hint, so a foreign writer can plant a
+        # NULL-key row the read path tolerates — but a rewrite (every
+        # point UPDATE rewrites this small table) must never propagate
+        # it forward silently. Refuse loudly BEFORE touching storage;
+        # recovery is an operator repair of the corrupt row, mirroring
+        # the stale-index refusal discipline. Raised pre-write, so the
+        # on-disk table is intact after the refusal.
+        bad = [r for r in rows if any(r[k] is None for k in self.key_cols)]
+        if bad:
+            raise ValueError(
+                f"corrupt {type(self).__name__}: {len(bad)} row(s) with a "
+                f"NULL key column ({', '.join(self.key_cols)}); refusing to "
+                "rewrite — repair the store instead"
+            )
         out = self.spark.createDataFrame(rows, self.schema)
         out.coalesce(1).write.mode("overwrite").parquet(self.path)
 

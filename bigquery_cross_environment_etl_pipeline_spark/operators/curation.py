@@ -55,9 +55,18 @@ def global_running_sum(
     order, without a single-partition window (see module docstring).
 
     ``order_col`` must be unique and numeric (it defines the global
-    order; approxQuantile picks the bucket boundaries). The weight is
-    summed as bigint — exact, so boundary placement cannot perturb the
-    result.
+    order; approxQuantile picks the bucket boundaries). Uniqueness is
+    ENFORCED, not assumed: with duplicate keys any ROWS-frame running
+    sum is run-order-dependent on the tied rows, so a non-unique
+    caller would diverge from a single-partition oracle
+    nondeterministically. The check rides the subtotal aggregation
+    that phase 3 needs anyway (duplicate values always share a bucket
+    — bucketing is by value range — so per-bucket distinct counts
+    equal a global check). The weight is summed as bigint — exact, so
+    boundary placement cannot perturb the result. The window frame is
+    an explicit ROWS frame, matching the oracle convention
+    (``ROWS UNBOUNDED PRECEDING``) — the default frame over an ORDER
+    BY is RANGE, which merges ties.
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     boundaries: list[float] = []
@@ -74,16 +83,29 @@ def global_running_sum(
     local = ranged.withColumn(
         "_local_sum",
         F.sum(F.col(weight_col).cast("bigint")).over(
-            W.partitionBy("_pid").orderBy(order_col)
+            W.partitionBy("_pid")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
     # one row per bucket; collect is O(#buckets), never O(rows)
-    subtotals = {
-        r["_pid"]: r["_tot"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("_tot"))
+    subtotal_rows = (
+        ranged.groupBy("_pid")
+        .agg(
+            F.sum(F.col(weight_col).cast("bigint")).alias("_tot"),
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(order_col)).alias("_nd"),
+        )
         .collect()
-    }
+    )
+    dup_buckets = [r["_pid"] for r in subtotal_rows if r["_n"] != r["_nd"]]
+    if dup_buckets:
+        raise ValueError(
+            f"global_running_sum: order_col {order_col!r} is not unique "
+            f"(duplicate keys in bucket(s) {sorted(dup_buckets)}); a "
+            "running sum over tied keys is run-order-dependent"
+        )
+    subtotals = {r["_pid"]: r["_tot"] for r in subtotal_rows}
     offsets, acc = [], 0
     for pid in sorted(subtotals):
         offsets.append((pid, acc))

@@ -275,6 +275,58 @@ def verified_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs_inverted(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """EXACT hashed-shingle Jaccard for every document pair sharing at
+    least one shingle, via the inverted index — the complete ground
+    truth for measuring LSH banding quality (any pair with Jaccard > 0
+    shares a shingle, so nothing above any positive threshold can be
+    missed; pairs sharing nothing have Jaccard 0 by definition).
+
+    Dataflow: distinct (doc, shingle-hash) postings self-join on the
+    8-byte hash (the only thing shuffled), pair-count the matches
+    (= |intersection|, since per-doc hashes are distinct), then join
+    the two set cardinalities back for |union| = na + nb - i. No array
+    intersection, no text movement.
+
+    Scale contract: cost is sum over shingles of C(doc_freq, 2) — the
+    quality CANARY price, not a production path (boilerplate shingles
+    with huge doc-freq make it quadratic in the worst case). At 100 TB
+    this runs over a sampled stratum, exactly like ann_recall_at_k's
+    |Q|-bounded exact arm; the production dedup path stays
+    lsh_candidate_pairs -> verified_jaccard_pairs. Contentless docs
+    (no shingles) have no postings and appear in no pair, matching the
+    banding eligibility contract."""
+    sh = hashed_shingle_sets(docs, text_col, id_col, n).filter(F.col("_nsh") > 0)
+    posting = sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_h"))
+    inter = (
+        posting.select(F.col("_id").alias("doc_a"), "_h")
+        .join(posting.select(F.col("_id").alias("doc_b"), "_h"), "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    card = sh.select(F.col(id_col), F.col("_nsh"))
+    jac = F.col("_i").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_i")
+    ).cast("double")
+    return (
+        inter.join(
+            card.select(F.col(id_col).alias("doc_a"), F.col("_nsh").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            card.select(F.col(id_col).alias("doc_b"), F.col("_nsh").alias("_nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def ngram_jaccard_verify_blocked(
     df: DataFrame,
     text_col: str = "text",

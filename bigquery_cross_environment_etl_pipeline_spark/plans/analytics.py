@@ -1383,7 +1383,14 @@ def _gc_dead_pid_tables(spark: SparkSession, db: str) -> None:
         try:
             _os.kill(int(pid_part), 0)
         except ProcessLookupError:
-            spark.sql(f"DROP TABLE IF EXISTS {db}.{entry}")
+            # backtick-quoted: a foreign dir in the shared warehouse
+            # whose name isn't a valid unquoted identifier must not
+            # parse-error the reap; and one bad entry must never fail
+            # the caller's query (ADVICE r6) — the rmtree still runs
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{entry}`")
+            except Exception:  # noqa: BLE001 — reap is best-effort
+                pass
             _shutil.rmtree(_os.path.join(db_dir, entry), ignore_errors=True)
         except OSError:
             # PermissionError etc.: the pid exists but isn't ours —
@@ -1601,6 +1608,14 @@ def zorder_locality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- small-files compaction accounting (layout maintenance, driver-visible) --
+# PRECONDITION for the pinned 64/4 literals (ADVICE r6): the replayed
+# dataset's orders table must have >= 64 rows (an empty repartition
+# task writes NO file, so files_before would come up short) and >= 4
+# distinct o_orderkey values (range shuffle needs 4 non-empty buckets).
+# Every current fixture satisfies this by orders of magnitude (sf0.001
+# has ~1,500 orders; the edge fixture keeps the full orders table); a
+# future tinier fixture would hash-fail here with a count mismatch —
+# that failure means REVISIT THESE LITERALS, not the compaction code.
 @register(
     "compaction_file_accounting",
     oracle="""

@@ -574,9 +574,15 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert_config",
     oracle="""
     SELECT k, name, v FROM (
+      -- IS NULL arm (round-7 NULL-safety): SQL MERGE's ON t.k = u.k
+      -- never matches a NULL-key target row, so it SURVIVES unmodified
+      -- (Spark's left_anti agrees); a bare NOT IN would return NULL
+      -- for it and silently drop the row
       SELECT c_custkey AS k, c_name AS name, c_acctbal AS v
       FROM customer
-      WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+      WHERE c_custkey IS NULL
+         OR c_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 5 = 0)
       UNION ALL
       SELECT c_custkey AS k, upper(c_name) AS name, c_acctbal + 1000 AS v
       FROM customer WHERE c_custkey % 5 = 0
@@ -2543,6 +2549,214 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "org_id long, step string, status string, n long"
     )
+
+
+# --- protocol state-machine edge cases (adversarial seeded state) ------------
+@register(
+    "etl_protocol_edge_cases",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('failed_never_advances', true),
+      ('duplicate_success_ts_collapses', true),
+      ('null_end_success_ignored', true),
+      ('no_success_is_none', true),
+      ('invalid_status_rejected', true),
+      ('null_org_checkpoint_isolated', true),
+      ('update_matches_only_real_key', true),
+      ('null_org_lookup_no_match', true),
+      ('corrupt_store_update_refused', true),
+      ('store_intact_after_refusal', true),
+      ('null_keys_drop_from_join', true),
+      ('step_missing_returns_zero', true)
+    ) AS t(check_name, ok)
+    """,
+)
+def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint/config/stepper STATE MACHINES driven with
+    adversarial seeded state (round-7 new query, VERDICT r6 item 3 —
+    the protocol-side counterpart of the edge fixture, which can only
+    plant rows in the sf tables, not in the stores' temp state). Every
+    contract is pinned as a VALUES-oracle boolean:
+
+    - ``failed_never_advances``: a FAILED row dated AFTER the latest
+      SUCCESS must not advance ``last_success_watermark`` (reference
+      billing_etl_db.py:46-51 filters status='SUCCESS' before the
+      ORDER BY DESC LIMIT 1).
+    - ``duplicate_success_ts_collapses``: two SUCCESS rows with an
+      IDENTICAL end_date_time are a re-run, not ambiguity — the MAX
+      watermark is well-defined and ``latest_per_key`` still emits
+      exactly one row for the key.
+    - ``null_end_success_ignored``: a SUCCESS row with NULL
+      end_date_time (crash between status flip and watermark write)
+      must neither crash the argmax nor null it — MAX skips NULLs and
+      the previous watermark stands.
+    - ``no_success_is_none``: a tenant with only FAILED rows has no
+      watermark (None) — the epoch-default path's trigger (F3).
+    - ``invalid_status_rejected``: the store refuses a status outside
+      the protocol vocabulary loudly (ValueError), never appends it.
+    - ``null_org_checkpoint_isolated``: a NULL-org_id row planted by a
+      FOREIGN WRITER directly into the store's parquet (schema
+      nullability is a hint, not an enforcement, on file reads) must
+      not match any tenant's watermark read and must not crash it.
+    - ``update_matches_only_real_key``: on a CLEAN store the
+      whitelisted point UPDATE matches exactly the real key (``=`` is
+      NULL-safe-false) and reports 1 matched row.
+    - ``null_org_lookup_no_match``: with the corruption planted, the
+      point lookup still resolves the real tenant and the NULL row
+      matches nothing (reads tolerate — nullability is advisory on
+      file reads).
+    - ``corrupt_store_update_refused`` / ``store_intact_after_refusal``:
+      a point UPDATE on the corrupted store REFUSES loudly
+      (ConfigStore.write raises pre-write rather than silently
+      propagating a NULL-key row through the rewrite — the
+      stale-index refusal discipline), and the refusal leaves the
+      on-disk table bit-intact: the real row keeps its pre-refusal
+      value and the corrupt row is still there to repair.
+    - ``null_keys_drop_from_join``: the tenant fan-out join
+      (attach_config, inner) drops NULL-key messages AND NULL-key
+      config rows — NULL org ids never pair with each other.
+    - ``step_missing_returns_zero``: the stepper's point UPDATE on an
+      absent (stepid, org) reports 0 matched rows (the reference's
+      rowcount-checked path), never upserts.
+
+    Self-contained (temp-dir stores; reads no sf table), so the edge
+    fixture replays it bit-identically — the adversarial state is IN
+    the query."""
+    import datetime as dt
+    import tempfile
+
+    from ..operators.checkpoint import CheckpointLog
+    from ..operators.config import ConfigStore, StepStatusStore, attach_config
+    from ..schemas import (
+        CONFIG_SCHEMA,
+        STATUS_FAILED,
+        STATUS_SUCCESS,
+        STEP_STATUS_SCHEMA,
+    )
+
+    def _nullable(schema):
+        import copy
+
+        s = copy.deepcopy(schema)
+        for f in s.fields:
+            f.nullable = True
+        return s
+
+    jan10 = dt.datetime(2024, 1, 10, 1, 0, 0)
+    rows: list[tuple[str, bool]] = []
+    with tempfile.TemporaryDirectory(prefix="protocol_edge_") as tmp:
+        ckpt = CheckpointLog(spark, f"{tmp}/ckpt")
+        ckpt.save(STATUS_SUCCESS, 1, "p", end_date_time=jan10, now=jan10)
+        ckpt.save(
+            STATUS_FAILED, 1, "p",
+            end_date_time=dt.datetime(2024, 1, 20), now=dt.datetime(2024, 1, 20),
+        )
+        ckpt.save(STATUS_SUCCESS, 1, "p", end_date_time=None, now=jan10)
+        ckpt.save(STATUS_SUCCESS, 1, "p", end_date_time=jan10, now=jan10)
+        ckpt.save(
+            STATUS_FAILED, 2, "p",
+            end_date_time=dt.datetime(2024, 1, 5), now=dt.datetime(2024, 1, 5),
+        )
+        rows.append(
+            ("failed_never_advances", ckpt.last_success_watermark(1, "p") == jan10)
+        )
+        latest = ckpt.latest_per_key().collect()
+        key1 = [r for r in latest if r["org_id"] == 1 and r["project_id"] == "p"]
+        rows.append(
+            (
+                "duplicate_success_ts_collapses",
+                len(key1) == 1 and key1[0]["watermark"] == jan10,
+            )
+        )
+        rows.append(
+            ("null_end_success_ignored", ckpt.last_success_watermark(1, "p") is not None)
+        )
+        rows.append(("no_success_is_none", ckpt.last_success_watermark(2, "p") is None))
+        try:
+            ckpt.save("BOGUS", 1, "p")
+            rows.append(("invalid_status_rejected", False))
+        except ValueError:
+            rows.append(("invalid_status_rejected", True))
+        # foreign-writer corruption: NULL org_id straight into the files
+        from ..schemas import CHECKPOINT_SCHEMA
+
+        corrupt = spark.createDataFrame(
+            [(None, "p", STATUS_SUCCESS, dt.datetime(2024, 3, 1), jan10)],
+            _nullable(CHECKPOINT_SCHEMA),
+        )
+        corrupt.coalesce(1).write.mode("append").parquet(ckpt.path)
+        rows.append(
+            (
+                "null_org_checkpoint_isolated",
+                ckpt.last_success_watermark(1, "p") == jan10
+                and ckpt.read().count() == 6,
+            )
+        )
+
+        config = ConfigStore(spark, f"{tmp}/config")
+        config.write(
+            spark.createDataFrame(
+                [(7, "p7", "ds", "tbl", None, None, "svc")], CONFIG_SCHEMA
+            )
+        )
+        # happy path first (clean store): point UPDATE matches the one
+        # real key and reports it
+        n = config.update_values(7, "p7", {"pulsebillingdataset": "written"})
+        rows.append(("update_matches_only_real_key", n == 1))
+        # now the foreign-writer corruption
+        corrupt_cfg = spark.createDataFrame(
+            [(None, "p-null", None, None, None, None, None)],
+            _nullable(CONFIG_SCHEMA),
+        )
+        corrupt_cfg.coalesce(1).write.mode("append").parquet(config.path)
+        looked = config.lookup(7)
+        rows.append(
+            (
+                "null_org_lookup_no_match",
+                looked is not None
+                and looked["projectid"] == "p7"
+                and looked["pulsebillingdataset"] == "written",
+            )
+        )
+        try:
+            config.update_values(7, "p7", {"pulsebillingdataset": "clobber"})
+            rows.append(("corrupt_store_update_refused", False))
+        except ValueError:
+            rows.append(("corrupt_store_update_refused", True))
+        after = {
+            r["org_id"]: r["pulsebillingdataset"]
+            for r in spark.read.schema(_nullable(CONFIG_SCHEMA))
+            .parquet(config.path)
+            .collect()
+        }
+        rows.append(
+            (
+                "store_intact_after_refusal",
+                after.get(7) == "written"
+                and None in after
+                and len(after) == 2,
+            )
+        )
+        messages = spark.createDataFrame(
+            [(7, "job-a"), (None, "job-null")], "org_id long, job string"
+        )
+        cfg_df = spark.read.schema(_nullable(CONFIG_SCHEMA)).parquet(config.path)
+        joined = attach_config(messages, cfg_df, how="inner").collect()
+        rows.append(
+            (
+                "null_keys_drop_from_join",
+                len(joined) == 1 and joined[0]["job"] == "job-a",
+            )
+        )
+
+        steps = StepStatusStore(spark, f"{tmp}/steps")
+        steps.write(
+            spark.createDataFrame([(1, 7, False)], STEP_STATUS_SCHEMA)
+        )
+        rows.append(
+            ("step_missing_returns_zero", steps.set_step_completed(99, 7, True) == 0)
+        )
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
 
 
 # --- CDC apply-changes ------------------------------------------------------

@@ -71,49 +71,27 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # modified this round (round 6): null-SAFE full_outer merge keys in
-    # both incremental-maintenance queries (round-5 ADVICE item 1)
-    "incremental_agg_maintenance",
-    "incremental_join_maintenance",
-    # converted this round from rows-only to an EXACT oracle: sample
-    # membership is now a salted md5 hash of event_id, identical in
-    # DuckDB (VERDICT r5 item 3)
-    "stratified_sample_by_type",
-    # converted this round from rows-only to a bounds-checking exact
-    # oracle: sketch outputs verified against exactly-computed
-    # invariants rendered as booleans (VERDICT r5 item 4)
-    "approx_distinct_and_quantiles",
-    # new this round: the data-layout story made driver-visible —
-    # zero-exchange co-located join on bucketed tables (plan facts
-    # hash-pinned as booleans) and the Z-order cell math replayed
-    # stage-for-stage in SQL
-    "bucketed_join_rollup",
-    "zorder_locality_accounting",
-    # new this round (batch 4): ANN serving quality (recall@10 of the
-    # IVF probe vs exact, both arms stage-replayed), hybrid fusion on
-    # the production IVF-PQ dense arm, and small-files compaction
-    # accounting (file counts + range disjointness + byte fidelity
-    # hash-pinned, the bucketed_join_rollup pattern)
-    "ann_recall_at_k",
-    "hybrid_rrf_fusion_ivfpq",
-    "compaction_file_accounting",
-    # NOT forced: the 7 queries hardened by the round-6 fixture
-    # extension (grouped_median x2, value_percentiles_by_type,
-    # value_stats_exact, pandas_udf_transform_hook,
-    # streaming_dedup_unique_counts, streaming_left_outer_join_nulls)
-    # carry edge-only contracts (finite-values, NaN->NULL at the Arrow
-    # boundary, epoch-sentinel exclusion, dynamic advancer sentinels);
-    # driver-data outputs are bit-identical (full parity re-verified),
-    # and four of them sit in this round's never-green window anyway.
-    # NOT forced: the 17 embedding-family queries gained the shared
-    # vector-eligibility contract (similarity.embedding_eligible +
-    # eligible_emb_pred, applied identically to BOTH engines) after the
-    # edge fixture's adversarial embeddings surfaced 14 divergences.
-    # All driver-scale data is 100% eligible (verified at sf0.001/0.01/
-    # 0.1), so outputs on driver data are bit-identical to the rows
-    # their existing green evidence attests — re-verified 194/194 by
-    # the full vanilla parity gate. Forcing them would evict 11 of the
-    # 36 never-green queries from the round-6 window.
+    # round 7: the one never-externally-green query (r6 hash FAIL,
+    # unreproduced in three driver-realistic local replays). Hardened
+    # per VERDICT r6 item 1: global_running_sum's window frame is now
+    # an explicit ROWS frame with an enforced order-key uniqueness
+    # check, and the output gained a corpus_token_checksum column
+    # (corpus-wide SUM(n_tokens), both engines) so a repeat driver
+    # divergence localizes to tokenization vs prefix-sum arithmetic.
+    "corpus_sequence_packing",
+    # new this round (VERDICT r6 item 5): measured LSH dedup quality —
+    # banded-MinHash candidate recall/precision vs exact-Jaccard
+    # ground truth, hash-pinned (the ann_recall_at_k pattern applied
+    # to the dedup index family)
+    "dedup_recall_precision",
+    # new this round (VERDICT r6 item 3): checkpoint/config/stepper
+    # state machines driven with adversarial seeded state (FAILED-
+    # after-SUCCESS, duplicate watermarks, NULL-end SUCCESS, foreign-
+    # writer NULL-key rows) — contracts pinned as VALUES booleans
+    "etl_protocol_edge_cases",
+    # kept small on purpose: 53 queries' newest green evidence is r3
+    # or older (30 r1-only); the oldest-green-first policy needs the
+    # remaining ~48 window slots to clear that refresh backlog.
 ]
 
 _STABLE_ORDER = [

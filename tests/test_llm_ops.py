@@ -653,3 +653,32 @@ def test_bm25_index_append_equals_full_build(spark, tmp_path):
     assert [(r["doc_id"], r["bm25"]) for r in served_incr] == [
         (r["doc_id"], r["bm25"]) for r in served_full
     ]
+
+
+def test_inverted_exact_jaccard_matches_verify_stage(spark, docs_with_dups):
+    """The inverted-index exact-Jaccard ground truth (round-7, feeds
+    dedup_recall_precision) must agree pairwise with the established
+    array-intersect verify stage when that stage is handed EVERY pair —
+    two independent implementations of the same hashed-shingle Jaccard.
+    Also pins completeness on the planted duplicates: the exact copy
+    scores 1.0 and the near copy scores high."""
+    docs = docs_with_dups
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    via_verify = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.verified_jaccard_pairs(
+            docs, all_pairs, threshold=0.0
+        ).collect()
+    }
+    via_inverted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exact_jaccard_pairs_inverted(docs).collect()
+    }
+    assert via_inverted == via_verify
+    assert via_inverted[(3, 100003)] == 1.0
+    assert via_inverted[(5, 200005)] > 0.8

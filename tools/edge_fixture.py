@@ -91,9 +91,24 @@ EDGE_ROWS = {
     "orders": [
         {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": 10.0, "o_orderdate": "2024-03-01 00:00:00", "o_orderpriority": "1-URGENT"},
         {"o_orderkey": 900002, "o_custkey": None, "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
+        # ETL-state stand-ins (FIXTURES.md: orders plays the checkpoint
+        # log; o_orderstatus='F' plays SUCCESS). Round 7:
+        # DUPLICATE CHECKPOINT TIMESTAMPS — two 'F' rows, same custkey,
+        # identical o_orderdate: any per-key argmax must tie-break
+        # deterministically (orderkey), never arbitrarily
+        {"o_orderkey": 900003, "o_custkey": 77001, "o_orderstatus": "F", "o_totalprice": 10.0, "o_orderdate": "2024-06-01 00:00:00", "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 900004, "o_custkey": 77001, "o_orderstatus": "F", "o_totalprice": 11.0, "o_orderdate": "2024-06-01 00:00:00", "o_orderpriority": "2-HIGH"},
+        # FAILED-AFTER-SUCCESS — a LATER non-'F' row for the same key:
+        # the latest-success read must ignore it, not advance
+        {"o_orderkey": 900005, "o_custkey": 77001, "o_orderstatus": "P", "o_totalprice": 12.0, "o_orderdate": "2024-07-01 00:00:00", "o_orderpriority": "2-HIGH"},
     ],
     "customer": [
         {"c_custkey": 900001, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
+        # NULL org_id in the config relation (customer plays tenant
+        # config): point lookups / joins / merges must never match it,
+        # and NULL-key MERGE semantics (row survives unmodified) must
+        # agree across engines — a bare NOT IN oracle fails this one
+        {"c_custkey": None, "c_name": "null-org-config-row", "c_nationkey": 0, "c_acctbal": 1.0, "c_mktsegment": "BUILDING"},
     ],
     "embeddings": [
         # zero-norm vector: no defined cosine to anything — must be
