@@ -225,10 +225,12 @@ def _spin_parallel(
                 f.result()
                 for f in [ex.submit(_spin_once) for _ in range(workers)]
             )
-    except (OSError, BrokenExecutor):
-        # pool unavailable OR a worker died mid-spin (seccomp'd fork,
-        # OOM kill surface as BrokenProcessPool, not OSError) — a
-        # missing probe must degrade, never kill the whole bench pass
+    except (OSError, ImportError, BrokenExecutor):
+        # pool unavailable (ImportError: platforms without sem_open
+        # raise it at POOL CONSTRUCTION, not at module import) OR a
+        # worker died mid-spin (seccomp'd fork, OOM kill surface as
+        # BrokenProcessPool, not OSError) — a missing probe must
+        # degrade, never kill the whole bench pass
         return _spin_once(), True
     mid = len(times) // 2
     med = (

@@ -94,11 +94,23 @@ def global_running_sum(
         .agg(
             F.sum(F.col(weight_col).cast("bigint")).alias("_tot"),
             F.count(F.lit(1)).alias("_n"),
+            # count(col) is the NON-NULL count: compared against _n it
+            # detects NULL keys, compared against count_distinct it
+            # detects duplicates — two distinct failure modes, two
+            # distinct errors below
+            F.count(F.col(order_col)).alias("_nn"),
             F.count_distinct(F.col(order_col)).alias("_nd"),
         )
         .collect()
     )
-    dup_buckets = [r["_pid"] for r in subtotal_rows if r["_n"] != r["_nd"]]
+    null_buckets = [r["_pid"] for r in subtotal_rows if r["_n"] != r["_nn"]]
+    if null_buckets:
+        raise ValueError(
+            f"global_running_sum: order_col {order_col!r} has NULL keys; "
+            "a NULL has no position in a global order (engines disagree "
+            "on NULLS FIRST/LAST), so the running sum is ill-defined"
+        )
+    dup_buckets = [r["_pid"] for r in subtotal_rows if r["_nn"] != r["_nd"]]
     if dup_buckets:
         raise ValueError(
             f"global_running_sum: order_col {order_col!r} is not unique "

@@ -280,6 +280,7 @@ def exact_jaccard_pairs_inverted(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = SHINGLE_N,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """EXACT hashed-shingle Jaccard for every document pair sharing at
     least one shingle, via the inverted index — the complete ground
@@ -293,38 +294,56 @@ def exact_jaccard_pairs_inverted(
     the two set cardinalities back for |union| = na + nb - i. No array
     intersection, no text movement.
 
-    Scale contract: cost is sum over shingles of C(doc_freq, 2) — the
-    quality CANARY price, not a production path (boilerplate shingles
-    with huge doc-freq make it quadratic in the worst case). At 100 TB
-    this runs over a sampled stratum, exactly like ann_recall_at_k's
-    |Q|-bounded exact arm; the production dedup path stays
-    lsh_candidate_pairs -> verified_jaccard_pairs. Contentless docs
-    (no shingles) have no postings and appear in no pair, matching the
-    banding eligibility contract."""
+    ``min_jaccard`` enables SIZE-COMPATIBILITY pruning without losing
+    exactness above the bound: J(a,b) <= min(na,nb)/max(na,nb), so a
+    pair whose set sizes differ by more than the bound's ratio cannot
+    reach it and is dropped INSIDE the self-join, before the pair-count
+    shuffle (the standard set-similarity-join length filter). The
+    bound is applied as exact integer cross-multiplication
+    (q*min >= p*max for min_jaccard = p/q via Fraction), so both
+    engines prune the identical pair set. Returned pairs below
+    min_jaccard (size-compatible but low-overlap) are NOT filtered —
+    callers thresholding at >= min_jaccard see exactly the unpruned
+    result.
+
+    Scale contract: cost is sum over shingles of C(doc_freq, 2) over
+    size-compatible pairs — the quality CANARY price, not a production
+    path (boilerplate shingles with huge doc-freq make it quadratic in
+    the worst case). At 100 TB this runs over a sampled stratum,
+    exactly like ann_recall_at_k's |Q|-bounded exact arm; the
+    production dedup path stays lsh_candidate_pairs ->
+    verified_jaccard_pairs. Contentless docs (no shingles) have no
+    postings and appear in no pair, matching the banding eligibility
+    contract."""
     sh = hashed_shingle_sets(docs, text_col, id_col, n).filter(F.col("_nsh") > 0)
-    posting = sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_h"))
+    posting = sh.select(
+        F.col(id_col).alias("_id"), F.col("_nsh"), F.explode("sh").alias("_h")
+    )
+    a = posting.select(
+        F.col("_id").alias("doc_a"), F.col("_nsh").alias("_na"), "_h"
+    )
+    b = posting.select(
+        F.col("_id").alias("doc_b"), F.col("_nsh").alias("_nb"), "_h"
+    )
+    cond = (F.col("a._h") == F.col("b._h")) & (F.col("doc_a") < F.col("doc_b"))
+    if min_jaccard is not None:
+        from fractions import Fraction
+
+        frac = Fraction(str(min_jaccard))
+        p, q = frac.numerator, frac.denominator
+        small = F.least(F.col("_na"), F.col("_nb"))
+        large = F.greatest(F.col("_na"), F.col("_nb"))
+        cond = cond & (q * small >= p * large)
     inter = (
-        posting.select(F.col("_id").alias("doc_a"), "_h")
-        .join(posting.select(F.col("_id").alias("doc_b"), "_h"), "_h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
-    card = sh.select(F.col(id_col), F.col("_nsh"))
     jac = F.col("_i").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_i")
     ).cast("double")
-    return (
-        inter.join(
-            card.select(F.col(id_col).alias("doc_a"), F.col("_nsh").alias("_na")),
-            "doc_a",
-        )
-        .join(
-            card.select(F.col(id_col).alias("doc_b"), F.col("_nsh").alias("_nb")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def ngram_jaccard_verify_blocked(

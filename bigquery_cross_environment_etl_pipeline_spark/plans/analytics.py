@@ -1383,12 +1383,16 @@ def _gc_dead_pid_tables(spark: SparkSession, db: str) -> None:
         try:
             _os.kill(int(pid_part), 0)
         except ProcessLookupError:
-            # backtick-quoted: a foreign dir in the shared warehouse
-            # whose name isn't a valid unquoted identifier must not
-            # parse-error the reap; and one bad entry must never fail
-            # the caller's query (ADVICE r6) — the rmtree still runs
+            # backtick-quoted WITH embedded backticks doubled: a foreign
+            # dir whose name isn't a valid unquoted identifier must not
+            # parse-error the reap, and a name containing a backtick
+            # must not break OUT of the quoting (an unescaped
+            # 'x` --_<deadpid>' would comment the tail off and DROP a
+            # live pid's table); one bad entry must never fail the
+            # caller's query (ADVICE r6) — the rmtree still runs
+            db_q, entry_q = db.replace("`", "``"), entry.replace("`", "``")
             try:
-                spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{entry}`")
+                spark.sql(f"DROP TABLE IF EXISTS `{db_q}`.`{entry_q}`")
             except Exception:  # noqa: BLE001 — reap is best-effort
                 pass
             _shutil.rmtree(_os.path.join(db_dir, entry), ignore_errors=True)

@@ -478,6 +478,15 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RP_THRESHOLDS = (0.3, 0.5, 0.7)
+# exact integer ratio of the SMALLEST threshold, for the
+# size-compatibility prune (J <= min/max, so q*min(n) >= p*max(n) is a
+# necessary condition for J >= p/q) — identical arithmetic both engines
+from fractions import Fraction as _Fraction
+
+_RP_P, _RP_Q = (
+    _Fraction(str(min(_RP_THRESHOLDS))).numerator,
+    _Fraction(str(min(_RP_THRESHOLDS))).denominator,
+)
 
 
 @register(
@@ -493,19 +502,21 @@ _RP_THRESHOLDS = (0.3, 0.5, 0.7)
            UNNEST({_DUCK_SHINGLES}) AS t(s)
     ),
     card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    post AS (SELECT s.doc_id, s.h, c.n FROM sh s JOIN card c USING (doc_id)),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS i
+      FROM post a JOIN post b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+       AND {_RP_Q} * LEAST(a.n, b.n) >= {_RP_P} * GREATEST(a.n, b.n)
+      GROUP BY 1, 2, 3, 4
     ),
     truth AS (
       SELECT t.doc_a, t.doc_b,
-             CAST(t.i AS DOUBLE) / CAST(ca.n + cb.n - t.i AS DOUBLE)
+             CAST(t.i AS DOUBLE) / CAST(t.na + t.nb - t.i AS DOUBLE)
                AS jaccard,
              (c.doc_a IS NOT NULL) AS is_cand
       FROM inter t
-      JOIN card ca ON t.doc_a = ca.doc_id
-      JOIN card cb ON t.doc_b = cb.doc_id
       LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     ),
     thr AS (SELECT UNNEST([{", ".join(f"{t}::DOUBLE" for t in _RP_THRESHOLDS)}])
@@ -547,19 +558,31 @@ def dedup_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the truth arm is the quality-canary price (doc-freq-
     quadratic worst case; run over a sampled stratum at 100 TB), the
-    candidate arm is the production path. The threshold fan-out is a
-    3-literal stack over ONE pre-aggregated row — no re-scan per
-    threshold."""
+    candidate arm is the production path. ONE full_outer join of truth
+    and candidates feeds ONE conditional-aggregate pass computing all
+    counts (n_candidates included — a separate count(cand) aggregate
+    would re-execute the whole LSH subtree, Spark reuses no exchange
+    across the two sinks), then a 3-literal stack fans out the
+    threshold rows — no re-scan per threshold."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs)
-    cand = dedup.lsh_candidate_pairs(sigs).select("doc_a", "doc_b")
-    truth = dedup.exact_jaccard_pairs_inverted(docs)
-    marked = truth.join(
-        cand.withColumn("_cand", F.lit(True)), ["doc_a", "doc_b"], "left"
+    cand = dedup.lsh_candidate_pairs(sigs).select(
+        "doc_a", "doc_b", F.lit(True).alias("_cand")
     )
-    # one conditional-aggregate pass over the truth pairs, then a
-    # 3-row stack — the empty-truth edge keeps all threshold rows
-    aggs = []
+    # size-compatibility prune at the smallest threshold: exact above
+    # the bound, and it cuts the pair-count shuffle by the pairs that
+    # provably cannot reach 0.3 (J <= min/max of the set sizes)
+    truth = dedup.exact_jaccard_pairs_inverted(
+        docs, min_jaccard=min(_RP_THRESHOLDS)
+    )
+    # full_outer: truth-only rows (LSH missed them), cand-only rows
+    # (exact jaccard < the smallest threshold — sub-bound or no shared
+    # shingle), and the overlap. NULL jaccard (cand-only) fails every
+    # `>= t`, which IS its below-threshold semantics.
+    marked = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    aggs = [
+        F.coalesce(F.sum(F.col("_cand").cast("int")), F.lit(0)).alias("_nc")
+    ]
     for i, t in enumerate(_RP_THRESHOLDS):
         hit = F.col("jaccard") >= F.lit(t)
         aggs.append(
@@ -577,16 +600,12 @@ def dedup_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({t} AS DOUBLE), _nt{i}, _tp{i}"
         for i, t in enumerate(_RP_THRESHOLDS)
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("_nc"))
-    per_thr = (
-        marked.agg(*aggs)
-        .select(
-            F.expr(
-                f"stack({len(_RP_THRESHOLDS)}, {stack_args})"
-                " AS (threshold, n_truth, n_true_positives)"
-            )
-        )
-        .crossJoin(F.broadcast(n_cand))
+    per_thr = marked.agg(*aggs).select(
+        F.expr(
+            f"stack({len(_RP_THRESHOLDS)}, {stack_args})"
+            " AS (threshold, n_truth, n_true_positives)"
+        ),
+        "_nc",
     )
     return per_thr.select(
         "threshold",

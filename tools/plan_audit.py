@@ -28,8 +28,13 @@ IN_RESULT_PLAN_FACTS = {
     # file counts + range disjointness + byte fidelity ride the result;
     # eager fragment/compact cycle at build time
     "compaction_file_accounting",
-    # every contract is a pinned VALUES boolean over O(rows-written)
-    # temp state; the data paths are point ops on KB-sized stores
+}
+
+#: queries whose oracles pin STATE-MACHINE contracts (VALUES booleans
+#: over O(rows-written) temp stores), not plan facts — their data
+#: paths are point ops on KB-sized state, so there is no data-sized
+#: plan to audit; labeled honestly rather than claiming plan coverage
+STATE_CONTRACT_ONLY = {
     "etl_protocol_edge_cases",
     "etl_provision_rollback",
 }
@@ -186,6 +191,11 @@ def main() -> None:
             lines.append(f"| {name} | {'✓' if name in oracles else 'rows-only'} "
                          f"| — | — | — | — | — | plan facts hash-pinned in-result |")
             continue
+        if name in STATE_CONTRACT_ONLY:
+            lines.append(f"| {name} | {'✓' if name in oracles else 'rows-only'} "
+                         f"| — | — | — | — | — | state contracts pinned in-result; "
+                         f"no data-sized plan |")
+            continue
         stage = name in data_path
         fn = data_path.get(name, queries.get(name))
         plan = (
@@ -227,7 +237,10 @@ def main() -> None:
         "state-backed within-watermark dedup is audited as dropDuplicates,",
         "the same key-hash exchange shape). Rows tagged `plan facts",
         "hash-pinned in-result` compute their scale-relevant plan",
-        "assertions inside the query, verified by the oracle hash.",
+        "assertions inside the query, verified by the oracle hash. Rows",
+        "tagged `state contracts pinned in-result` pin state-machine",
+        "behavior, not plan shape — their data paths are point ops over",
+        "KB-sized stores, so there is no data-sized plan to audit.",
         "",
         "BNLJ appearing with count 1 corresponds to a crossJoin against a",
         "broadcast 1-row query vector (ANN/top-k) — linear, not quadratic.",
