@@ -131,9 +131,11 @@ BENCH_QUERIES = [
     "ann_recall_at_k",
     "hybrid_rrf_fusion_ivfpq",
     "compaction_file_accounting",
-    # round-7 addition: measured LSH banding quality (recall/precision
-    # vs the inverted-index exact-Jaccard ground truth)
+    # round-7 additions: measured LSH banding quality (recall/precision
+    # vs the inverted-index exact-Jaccard ground truth) and the real
+    # JDBC connector round-trip (embedded Derby, partitioned read)
     "dedup_recall_precision",
+    "jdbc_roundtrip_rollup",
 ]
 
 

@@ -2551,6 +2551,105 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real JDBC connector round-trip (embedded Derby) --------------------------
+@register(
+    "jdbc_roundtrip_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(4 AS BIGINT) AS n_read_partitions,
+           TRUE AS filter_pushed
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The external-connector path exercised over a REAL JDBC protocol
+    (round-7; closes the 'JDBC reader is configuration-only' gap): a
+    deterministic orders slice is written through ``DataFrame.write.jdbc``
+    into an embedded Derby database (Derby ships in Spark's jars — the
+    same code path a MySQL endpoint takes, reference
+    core/database/database_class.py:12-47, minus the network), read
+    back through ``sources/formats.jdbc_reader`` as a PARTITIONED scan
+    (4 ranged SELECTs on o_orderkey — how a cluster drains a sharded
+    OLTP source in parallel), and rolled up per status. The oracle
+    computes the same rollup from the parquet source, so the hash
+    proves BYTE FIDELITY through write->store->partitioned-read; two
+    connector plan facts ride the result as pinned columns:
+    ``n_read_partitions`` (the ranged split really happened) and
+    ``filter_pushed`` (a probe predicate compiles into the JDBC
+    source's PushedFilters — evaluated BY the database, the property
+    that keeps a 100 TB-side extract from shipping cold rows).
+
+    Bounded driver work: the rollup (<= #statuses rows) is collected
+    before the TemporaryDirectory exits, exactly like
+    compaction_file_accounting."""
+    import re
+    import tempfile
+
+    from ..sources.formats import jdbc_reader
+
+    _DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    with tempfile.TemporaryDirectory(prefix="jdbc_rt_") as tmp:
+        url = f"jdbc:derby:{tmp}/db;create=true"
+        orders.write.jdbc(
+            url, "ORDERS_RT", mode="overwrite", properties={"driver": _DERBY}
+        )
+        back = jdbc_reader(
+            spark,
+            url,
+            "ORDERS_RT",
+            partition_column="o_orderkey",
+            num_partitions=4,
+            lower_bound=0,
+            upper_bound=1_000_000,
+            driver=_DERBY,
+        ).load()
+        n_parts = back.rdd.getNumPartitions()
+        probe_plan = (
+            back.filter(F.col("o_totalprice") > F.lit(0.0))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushed = bool(
+            re.search(
+                r"PushedFilters: \[[^\]]*GreaterThan\(o_totalprice",
+                probe_plan,
+                re.IGNORECASE,
+            )
+        )
+        rollup = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    rows = [
+        (r["o_orderstatus"], r["n_orders"], r["total_price"], n_parts, pushed)
+        for r in rollup
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, total_price double,"
+        " n_read_partitions bigint, filter_pushed boolean",
+    )
+
+
 # --- protocol state-machine edge cases (adversarial seeded state) ------------
 @register(
     "etl_protocol_edge_cases",

@@ -89,6 +89,16 @@ _FORCE_WINDOW: list[str] = [
     # after-SUCCESS, duplicate watermarks, NULL-end SUCCESS, foreign-
     # writer NULL-key rows) — contracts pinned as VALUES booleans
     "etl_protocol_edge_cases",
+    # new this round ("what's missing" item 2): the external-connector
+    # path over a REAL JDBC protocol (embedded Derby) — byte fidelity
+    # through write -> partitioned ranged read, with the split count
+    # and database-side filter pushdown pinned as columns
+    "jdbc_roundtrip_rollup",
+    # NOT forced: scalar_name_mangling's NULL-org fix (format_string ->
+    # NULL-propagating concat, round-7 edge-fixture finding) changes
+    # output only for NULL keys, which no driver dataset contains —
+    # bit-identical on driver data, prior greens attest; it also sits
+    # in this round's oldest-green refresh window anyway (r1-only).
     # kept small on purpose: 53 queries' newest green evidence is r3
     # or older (30 r1-only); the oldest-green-first policy needs the
     # remaining ~48 window slots to clear that refresh backlog.

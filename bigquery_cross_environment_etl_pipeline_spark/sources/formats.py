@@ -107,26 +107,34 @@ def jdbc_reader(
     spark: SparkSession,
     url: str,
     table: str,
-    user: str,
-    password: str,
+    user: str | None = None,
+    password: str | None = None,
     partition_column: str | None = None,
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    driver: str | None = None,
 ):
     """Configured JDBC read (the reference's MySQL side, reference
     core/database/database_class.py:12-38). Returns the reader so
-    callers can `.load()` when a server is reachable; partitioned on a
-    numeric column so the scan parallelizes. Requires the JDBC driver
-    jar on the classpath (not bundled in this image — the ETL tests use
-    the parquet-backed stores instead)."""
+    callers can `.load()`; partitioned on a numeric column so the scan
+    parallelizes (each partition becomes one ranged SELECT — the shape
+    a 1000-executor cluster uses to drain a sharded OLTP source).
+    Credentials and driver are optional: embedded engines (Derby, which
+    ships in Spark's jars and backs the driver-visible
+    ``jdbc_roundtrip_rollup`` query and tests/test_jdbc_roundtrip.py)
+    need neither, a real MySQL endpoint passes all three."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
     )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)

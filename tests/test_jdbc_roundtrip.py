@@ -1,0 +1,93 @@
+"""Real JDBC protocol round-trip over embedded Derby (ships in Spark's
+jars) — upgrades the connector surface from configured-only to
+exercised: write path, partitioned parallel read, filter pushdown into
+the database, and type fidelity including timestamps.
+
+A MySQL endpoint differs from this only by URL/credentials/network;
+the Spark-side code path (`DataFrameWriter.jdbc`,
+`sources/formats.jdbc_reader`) is identical.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_cross_environment_etl_pipeline_spark.sources.formats import jdbc_reader
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+_DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_write_partitioned_read_roundtrip(spark, derby_url):
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(400)
+    )
+    orders.write.jdbc(
+        derby_url, "ORDERS_T", mode="overwrite", properties={"driver": _DERBY}
+    )
+    back = jdbc_reader(
+        spark,
+        derby_url,
+        "ORDERS_T",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1_000_000,
+        driver=_DERBY,
+    ).load()
+    # the ranged split really happens: 4 partitions, content identical
+    assert back.rdd.getNumPartitions() == 4
+    src = sorted(map(tuple, orders.collect()))
+    rt = sorted(map(tuple, back.collect()))
+    assert rt == src
+
+
+def test_jdbc_filter_pushdown_reaches_database(spark, derby_url):
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("value").isNotNull())
+        .limit(300)
+    )
+    events.write.jdbc(
+        derby_url, "EVENTS_T", mode="overwrite", properties={"driver": _DERBY}
+    )
+    back = jdbc_reader(spark, derby_url, "EVENTS_T", driver=_DERBY).load()
+    flt = back.filter(F.col("value") > 2.0)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"GreaterThan\(value,2\.0\)", m.group(1)), plan[:800]
+    # pushed predicate returns the same rows the unfiltered read + a
+    # Spark-side filter would
+    expected = sorted(
+        r["event_id"] for r in back.collect() if r["value"] > 2.0
+    )
+    assert sorted(r["event_id"] for r in flt.collect()) == expected
+
+
+def test_jdbc_timestamp_fidelity(spark, derby_url):
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts")
+        .filter(F.col("ts").isNotNull())
+        .limit(200)
+    )
+    ev.write.jdbc(
+        derby_url, "TS_T", mode="overwrite", properties={"driver": _DERBY}
+    )
+    back = jdbc_reader(spark, derby_url, "TS_T", driver=_DERBY).load()
+    src = {r["event_id"]: r["ts"] for r in ev.collect()}
+    rt = {r["event_id"]: r["ts"] for r in back.collect()}
+    assert rt == src
