@@ -54,17 +54,21 @@ def global_running_sum(
     """Inclusive global running sum of ``weight_col`` in ``order_col``
     order, without a single-partition window (see module docstring).
 
-    ``order_col`` must be unique and numeric (it defines the global
-    order; approxQuantile picks the bucket boundaries). Uniqueness is
-    ENFORCED, not assumed: with duplicate keys any ROWS-frame running
-    sum is run-order-dependent on the tied rows, so a non-unique
-    caller would diverge from a single-partition oracle
-    nondeterministically. The check rides the subtotal aggregation
-    that phase 3 needs anyway (duplicate values always share a bucket
-    — bucketing is by value range — so per-bucket distinct counts
-    equal a global check). The weight is summed as bigint — exact, so
-    boundary placement cannot perturb the result. The window frame is
-    an explicit ROWS frame, matching the oracle convention
+    ``order_col`` must be unique, non-NULL, and numeric (it defines
+    the global order; approxQuantile picks the bucket boundaries).
+    Both properties are ENFORCED, not assumed: with duplicate keys any
+    ROWS-frame running sum is run-order-dependent on the tied rows
+    (diverging from a single-partition oracle nondeterministically),
+    and a NULL key has no position in a global order (engines disagree
+    on NULLS FIRST/LAST). The checks ride the per-bucket window sort
+    the subtotal job pays anyway: duplicate values always share a
+    bucket (bucketing is by value range) and sort adjacent, so a
+    lag-equality flag max'd per bucket is an exact global duplicate
+    test — no count_distinct expand/second hash aggregate (a measured
+    1.6x regression on corpus_token_budget_curation when first shipped
+    that way). The weight is summed as bigint — exact, so boundary
+    placement cannot perturb the result. The window frame is an
+    explicit ROWS frame, matching the oracle convention
     (``ROWS UNBOUNDED PRECEDING``) — the default frame over an ORDER
     BY is RANGE, which merges ties.
     """
@@ -80,37 +84,37 @@ def global_running_sum(
     ranged = df.withColumn("_pid", bucket.cast("int")).repartition(
         len(boundaries) + 1, "_pid"
     )
+    w_order = W.partitionBy("_pid").orderBy(order_col)
     local = ranged.withColumn(
         "_local_sum",
         F.sum(F.col(weight_col).cast("bigint")).over(
-            W.partitionBy("_pid")
-            .orderBy(order_col)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    # one row per bucket; collect is O(#buckets), never O(rows)
+    # one row per bucket; collect is O(#buckets), never O(rows). The
+    # lag-equality flag shares w_order's sort: equal keys are adjacent
+    # within their bucket, so max(_tie) per bucket is an exact global
+    # duplicate test riding the pass this job already pays.
+    checked = local.withColumn(
+        "_tie", F.lag(F.col(order_col)).over(w_order).eqNullSafe(F.col(order_col))
+    )
     subtotal_rows = (
-        ranged.groupBy("_pid")
+        checked.groupBy("_pid")
         .agg(
             F.sum(F.col(weight_col).cast("bigint")).alias("_tot"),
-            F.count(F.lit(1)).alias("_n"),
-            # count(col) is the NON-NULL count: compared against _n it
-            # detects NULL keys, compared against count_distinct it
-            # detects duplicates — two distinct failure modes, two
-            # distinct errors below
-            F.count(F.col(order_col)).alias("_nn"),
-            F.count_distinct(F.col(order_col)).alias("_nd"),
+            F.max(F.coalesce(F.col("_tie"), F.lit(False))).alias("_has_dup"),
+            F.max(F.col(order_col).isNull()).alias("_has_null"),
         )
         .collect()
     )
-    null_buckets = [r["_pid"] for r in subtotal_rows if r["_n"] != r["_nn"]]
+    null_buckets = [r["_pid"] for r in subtotal_rows if r["_has_null"]]
     if null_buckets:
         raise ValueError(
             f"global_running_sum: order_col {order_col!r} has NULL keys; "
             "a NULL has no position in a global order (engines disagree "
             "on NULLS FIRST/LAST), so the running sum is ill-defined"
         )
-    dup_buckets = [r["_pid"] for r in subtotal_rows if r["_nn"] != r["_nd"]]
+    dup_buckets = [r["_pid"] for r in subtotal_rows if r["_has_dup"]]
     if dup_buckets:
         raise ValueError(
             f"global_running_sum: order_col {order_col!r} is not unique "

@@ -94,6 +94,13 @@ PROBE_QUERIES = [
     "ann_recall_at_k",
     "hybrid_rrf_fusion_ivfpq",
     "compaction_file_accounting",
+    # round-7 additions: the LSH-quality canary (its exact-truth arm is
+    # doc-freq-quadratic by design — the probe MEASURES how fast the
+    # canary price grows so the sampled-stratum cutover point at scale
+    # is a number, not a guess) and the JDBC connector round-trip
+    # (write + ranged-read cost must scale linearly with the slice)
+    "dedup_recall_precision",
+    "jdbc_roundtrip_rollup",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
