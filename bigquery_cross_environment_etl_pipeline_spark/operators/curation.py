@@ -102,7 +102,9 @@ def global_running_sum(
         checked.groupBy("_pid")
         .agg(
             F.sum(F.col(weight_col).cast("bigint")).alias("_tot"),
-            F.max(F.coalesce(F.col("_tie"), F.lit(False))).alias("_has_dup"),
+            # eqNullSafe never yields NULL (first row: NULL <=> key is
+            # plain False), so max over _tie needs no coalesce
+            F.max(F.col("_tie")).alias("_has_dup"),
             F.max(F.col(order_col).isNull()).alias("_has_null"),
         )
         .collect()

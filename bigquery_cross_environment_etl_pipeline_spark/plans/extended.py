@@ -2586,11 +2586,18 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bounded driver work: the rollup (<= #statuses rows) is collected
     before the TemporaryDirectory exits, exactly like
-    compaction_file_accounting."""
+    compaction_file_accounting. Partition bounds come from the written
+    slice's MIN/MAX (one tiny aggregate), not constants — constant
+    bounds silently degenerate at larger SFs into one open-ended
+    straggler SELECT holding most of the table while the partition
+    count still reads 4. The embedded database is SHUT DOWN before its
+    directory is deleted (Derby signals a successful shutdown with
+    SQLException 08006) — without it every invocation leaks a booted
+    engine instance with open file handles for the JVM's lifetime."""
     import re
     import tempfile
 
-    from ..sources.formats import jdbc_reader
+    from ..sources.formats import derby_shutdown, jdbc_reader
 
     _DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
     orders = (
@@ -2599,46 +2606,53 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
     with tempfile.TemporaryDirectory(prefix="jdbc_rt_") as tmp:
-        url = f"jdbc:derby:{tmp}/db;create=true"
+        db = f"{tmp}/db"
+        url = f"jdbc:derby:{db};create=true"
         orders.write.jdbc(
             url, "ORDERS_RT", mode="overwrite", properties={"driver": _DERBY}
         )
-        back = jdbc_reader(
-            spark,
-            url,
-            "ORDERS_RT",
-            partition_column="o_orderkey",
-            num_partitions=4,
-            lower_bound=0,
-            upper_bound=1_000_000,
-            driver=_DERBY,
-        ).load()
-        n_parts = back.rdd.getNumPartitions()
-        probe_plan = (
-            back.filter(F.col("o_totalprice") > F.lit(0.0))
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        pushed = bool(
-            re.search(
-                r"PushedFilters: \[[^\]]*GreaterThan\(o_totalprice",
-                probe_plan,
-                re.IGNORECASE,
+        try:
+            bounds = orders.agg(
+                F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+            ).first()
+            back = jdbc_reader(
+                spark,
+                url,
+                "ORDERS_RT",
+                partition_column="o_orderkey",
+                num_partitions=4,
+                lower_bound=int(bounds["lo"]),
+                upper_bound=int(bounds["hi"]) + 1,
+                driver=_DERBY,
+            ).load()
+            n_parts = back.rdd.getNumPartitions()
+            probe_plan = (
+                back.filter(F.col("o_totalprice") > F.lit(0.0))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
             )
-        )
-        rollup = (
-            back.groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            pushed = bool(
+                re.search(
+                    r"PushedFilters: \[[^\]]*GreaterThan\(o_totalprice",
+                    probe_plan,
+                    re.IGNORECASE,
                 )
-                .cast("double")
-                .alias("total_price"),
             )
-            .collect()
-        )
+            rollup = (
+                back.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                    )
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .collect()
+            )
+        finally:
+            derby_shutdown(spark, db)
     rows = [
         (r["o_orderstatus"], r["n_orders"], r["total_price"], n_parts, pushed)
         for r in rollup

@@ -103,6 +103,23 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Shut down one embedded Derby database before its directory is
+    deleted. Derby keeps every booted database registered in the JVM —
+    page cache, background threads, open file handles — until an
+    explicit ``;shutdown=true`` connection; deleting the directory out
+    from under a booted engine leaks all of that (and disk, on posix,
+    until JVM exit) once per invocation. Derby signals a SUCCESSFUL
+    shutdown by raising SQLException 08006, so the raise is swallowed;
+    a database that was never booted raises too, equally fine."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 — 08006 IS the success signal
+        pass
+
+
 def jdbc_reader(
     spark: SparkSession,
     url: str,

@@ -6,6 +6,11 @@ the database, and type fidelity including timestamps.
 A MySQL endpoint differs from this only by URL/credentials/network;
 the Spark-side code path (`DataFrameWriter.jdbc`,
 `sources/formats.jdbc_reader`) is identical.
+
+Slices are DETERMINISTIC FILTERS, never ``limit()``: a bare LIMIT
+re-evaluates per job with no guaranteed row selection, so the write
+action and a later source-side collect could pick different rows — the
+same per-job re-evaluation class curation.py documents.
 """
 
 from __future__ import annotations
@@ -15,7 +20,10 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from bigquery_cross_environment_etl_pipeline_spark.sources.formats import jdbc_reader
+from bigquery_cross_environment_etl_pipeline_spark.sources.formats import (
+    derby_shutdown,
+    jdbc_reader,
+)
 from bigquery_cross_environment_etl_pipeline_spark.sources.registry import load_table
 
 from .conftest import SF_SMOKE
@@ -24,22 +32,28 @@ _DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 @pytest.fixture()
-def derby_url(tmp_path):
-    return f"jdbc:derby:{tmp_path}/db;create=true"
+def derby_db(spark, tmp_path):
+    db = f"{tmp_path}/db"
+    yield db
+    derby_shutdown(spark, db)
 
 
-def test_jdbc_write_partitioned_read_roundtrip(spark, derby_url):
+def _url(db: str) -> str:
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_jdbc_write_partitioned_read_roundtrip(spark, derby_db):
     orders = (
         load_table(spark, SF_SMOKE, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-        .limit(400)
+        .filter(F.col("o_orderkey") % 7 == 0)
     )
     orders.write.jdbc(
-        derby_url, "ORDERS_T", mode="overwrite", properties={"driver": _DERBY}
+        _url(derby_db), "ORDERS_T", mode="overwrite", properties={"driver": _DERBY}
     )
     back = jdbc_reader(
         spark,
-        derby_url,
+        _url(derby_db),
         "ORDERS_T",
         partition_column="o_orderkey",
         num_partitions=4,
@@ -50,21 +64,21 @@ def test_jdbc_write_partitioned_read_roundtrip(spark, derby_url):
     # the ranged split really happens: 4 partitions, content identical
     assert back.rdd.getNumPartitions() == 4
     src = sorted(map(tuple, orders.collect()))
+    assert len(src) > 50
     rt = sorted(map(tuple, back.collect()))
     assert rt == src
 
 
-def test_jdbc_filter_pushdown_reaches_database(spark, derby_url):
+def test_jdbc_filter_pushdown_reaches_database(spark, derby_db):
     events = (
         load_table(spark, SF_SMOKE, "events")
         .select("event_id", "user_id", "value")
-        .filter(F.col("value").isNotNull())
-        .limit(300)
+        .filter(F.col("value").isNotNull() & (F.col("event_id") % 11 == 0))
     )
     events.write.jdbc(
-        derby_url, "EVENTS_T", mode="overwrite", properties={"driver": _DERBY}
+        _url(derby_db), "EVENTS_T", mode="overwrite", properties={"driver": _DERBY}
     )
-    back = jdbc_reader(spark, derby_url, "EVENTS_T", driver=_DERBY).load()
+    back = jdbc_reader(spark, _url(derby_db), "EVENTS_T", driver=_DERBY).load()
     flt = back.filter(F.col("value") > 2.0)
     plan = flt._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -77,17 +91,17 @@ def test_jdbc_filter_pushdown_reaches_database(spark, derby_url):
     assert sorted(r["event_id"] for r in flt.collect()) == expected
 
 
-def test_jdbc_timestamp_fidelity(spark, derby_url):
+def test_jdbc_timestamp_fidelity(spark, derby_db):
     ev = (
         load_table(spark, SF_SMOKE, "events")
         .select("event_id", "ts")
-        .filter(F.col("ts").isNotNull())
-        .limit(200)
+        .filter(F.col("ts").isNotNull() & (F.col("event_id") % 13 == 0))
     )
     ev.write.jdbc(
-        derby_url, "TS_T", mode="overwrite", properties={"driver": _DERBY}
+        _url(derby_db), "TS_T", mode="overwrite", properties={"driver": _DERBY}
     )
-    back = jdbc_reader(spark, derby_url, "TS_T", driver=_DERBY).load()
+    back = jdbc_reader(spark, _url(derby_db), "TS_T", driver=_DERBY).load()
     src = {r["event_id"]: r["ts"] for r in ev.collect()}
+    assert len(src) > 50
     rt = {r["event_id"]: r["ts"] for r in back.collect()}
     assert rt == src
