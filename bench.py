@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     # JDBC connector round-trip (embedded Derby, partitioned read)
     "dedup_recall_precision",
     "jdbc_roundtrip_rollup",
+    "multimodal_image_decode",
 ]
 
 

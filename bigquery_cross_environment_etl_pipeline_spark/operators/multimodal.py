@@ -3,10 +3,13 @@
 Images/audio/video are opaque ``binary`` payload columns with typed
 metadata (schemas.MULTIMODAL_ASSET_SCHEMA). The Spark-side plumbing —
 schema, partitioning, Arrow batch shape, UDF signatures — is real and
-tested; the actual media decode is STUBBED (image/audio libraries are
-not in this container): ``decode_image`` raises NotImplementedError and
-``extract_features`` substitutes a deterministic fake featurizer with
-the exact shape a real one would have.
+tested. Since round 7 the pixel decode itself is REAL for uncompressed
+formats (``decode_image`` parses binary PPM/PGM and 24-bit BMP with
+pure numpy, verified against an arithmetic oracle by the
+``multimodal_image_decode`` query); only compressed codecs (JPEG/PNG/
+audio/video) remain the declared capability gate — their libraries are
+not in this container. ``extract_features`` keeps the deterministic
+hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
 batches — the decode stage is embarrassingly parallel and IO-bound, so
@@ -87,14 +90,114 @@ def ingest_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
     )
 
 
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after the magic,
+    honoring '#' comments (the netpbm header grammar); returns the
+    tokens and the offset of the first raster byte (exactly one
+    whitespace byte after the last header token)."""
+    tokens: list[int] = []
+    i = 2  # past magic
+    while len(tokens) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    return tokens, i + 1  # single whitespace separates header and raster
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB: real deployments decode with PIL/libvips here. The Spark
-    plumbing around this function (Arrow batching, schema, partitioning)
-    is the tested surface."""
+    """Decode an image payload to an HxWx{1,3} uint8 numpy array —
+    REAL (pure-numpy) for the uncompressed formats a pipeline's own
+    artifacts use: binary PPM (P6, RGB), binary PGM (P5, grayscale),
+    and uncompressed 24-bit bottom-up BMP. Compressed codecs
+    (JPEG/PNG/WebP/...) need a codec library this container doesn't
+    ship, so they remain the declared capability gate — wire
+    ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
+
+    Round 7: previously the WHOLE function was the gate; now only the
+    compressed branch is."""
+    import numpy as np
+
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P5"):
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 3 if magic == b"P6" else 1
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+        arr = raster.reshape(h, w, ch)
+        return arr[:, :, 0] if ch == 1 else arr
+    if magic == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bits = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bits != 24 or comp != 0 or h <= 0:
+            raise NotImplementedError(
+                "only uncompressed 24-bit bottom-up BMP is supported "
+                "without an image library"
+            )
+        stride = (w * 3 + 3) // 4 * 4  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up -> top-down
+        return bgr[:, :, ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "container; wire PIL.Image.open(io.BytesIO(payload)) here"
+        "compressed image codecs require an image library not present in "
+        "this container; wire PIL.Image.open(io.BytesIO(payload)) here"
     )
+
+
+DECODE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_channels int, pixel_sum bigint"
+)
+
+
+def decode_image_features(assets: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """REAL decode stage over ``mapInPandas``: each binary payload is
+    parsed by ``decode_image`` (pure numpy for uncompressed formats)
+    and reduced to exact-integer facts — dimensions, channel count,
+    and the uint8 pixel sum (order-independent, so it hash-compares
+    bitwise against an arithmetic oracle). NULL payloads produce NULL
+    facts rather than killing the Arrow batch (the extract_features
+    contract). The decode is embarrassingly parallel: payloads never
+    shuffle, each batch decodes where it was read."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            width, height, nch, psum = [], [], [], []
+            for b in pdf["payload"]:
+                if b is None:
+                    width.append(None); height.append(None)
+                    nch.append(None); psum.append(None)
+                    continue
+                arr = decode_image(bytes(b))
+                h, w = arr.shape[:2]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                width.append(w); height.append(h); nch.append(ch)
+                psum.append(int(arr.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "width": pd.array(width, dtype="Int32"),
+                    "height": pd.array(height, dtype="Int32"),
+                    "n_channels": pd.array(nch, dtype="Int32"),
+                    "pixel_sum": pd.array(psum, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, DECODE_SCHEMA)
 
 
 FEATURE_SCHEMA = (

@@ -1699,6 +1699,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_assets(docs))
 
 
+@register(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(6 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(list_sum([
+             (doc_id + 3*((i//3) % (8 + doc_id % 5))
+                     + 7*(i // (3*(8 + doc_id % 5)))
+                     + 11*(i % 3)) % 256
+             for i in generate_series(0,
+               (8 + doc_id % 5) * (6 + doc_id % 7) * 3 - 1)
+           ]) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, driver-visible (round 7 — shrinks the
+    'pixel decode is a declared stub' gap to compressed codecs only):
+    a deterministic binary PPM (P6) image per document — pixel(x,y,c) =
+    (doc_id + 3x + 7y + 11c) mod 256 at width 8+id%5, height 6+id%7 —
+    is ENCODED engine-side (numpy -> netpbm bytes in one mapInPandas
+    stage) and then DECODED by ``operators/multimodal.decode_image``'s
+    pure-numpy parser in a second stage, which emits the parsed
+    dimensions, channel count, and exact uint8 pixel sum. The oracle
+    recomputes every one of those facts ARITHMETICALLY from the pixel
+    formula (order-independent integer sum), so a decoder that
+    misparses the header grammar, raster offset, or row layout
+    hash-fails. Compressed codecs (JPEG/PNG) remain the capability
+    gate inside decode_image; uncompressed formats are now real.
+
+    Scale: encode and decode are both Arrow-batched map stages with
+    zero shuffles — payloads decode where they are produced, the shape
+    a 100 TB media pipeline needs (decode is embarrassingly parallel
+    and must never move the bytes)."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 7
+                x = np.arange(w).reshape(1, w, 1)
+                y = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_image_features(assets)
+
+
 # ---------------------------------------------------------------------------
 # Composite curation pipeline (quality -> lang -> dedup -> token budget)
 # ---------------------------------------------------------------------------

@@ -94,6 +94,12 @@ _FORCE_WINDOW: list[str] = [
     # through write -> partitioned ranged read, with the split count
     # and database-side filter pushdown pinned as columns
     "jdbc_roundtrip_rollup",
+    # new this round (carry-over gap shrunk): REAL pixel decode —
+    # decode_image now parses binary PPM/PGM/BMP with pure numpy; the
+    # query encodes a deterministic PPM per document and hash-verifies
+    # the decoded dimensions + exact pixel sum against an arithmetic
+    # oracle (compressed codecs remain the declared gate)
+    "multimodal_image_decode",
     # NOT forced: scalar_name_mangling's NULL-org fix (format_string ->
     # NULL-propagating concat, round-7 edge-fixture finding) changes
     # output only for NULL keys, which no driver dataset contains —

@@ -235,9 +235,92 @@ def test_multimodal_arrow_path_matches_pandas_path(spark):
     assert via_pandas == via_arrow
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_compressed_codecs_still_gated():
+    """Compressed codecs stay the declared capability gate (round 7
+    narrowed the gate from ALL formats to compressed-only)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def _ppm_bytes(d: int, w: int, h: int, header: bytes | None = None):
+    """(P6 payload bytes, expected HxWx3 pixel array)."""
+    import numpy as np
+
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    px = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+    head = header if header is not None else b"P6\n%d %d\n255\n" % (w, h)
+    return head + px.tobytes(), px
+
+
+def test_decode_ppm_with_header_comments():
+    """Netpbm headers allow '#' comments anywhere between tokens — the
+    parser must skip them and land the raster offset exactly."""
+    import numpy as np
+
+    payload, px = _ppm_bytes(
+        42, 5, 4, header=b"P6\n# made by a tool\n5 # width\n4\n# c\n255\n"
+    )
+    arr = multimodal.decode_image(payload)
+    assert arr.shape == (4, 5, 3)
+    assert np.array_equal(arr, px)
+
+
+def test_decode_pgm_grayscale():
+    import numpy as np
+
+    raster = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    arr = multimodal.decode_image(b"P5\n4 3\n255\n" + raster.tobytes())
+    assert arr.shape == (3, 4)
+    assert np.array_equal(arr, raster)
+
+
+def test_decode_bmp_matches_ppm_pixels():
+    """Uncompressed 24-bit BMP (bottom-up rows, BGR, 4-byte row
+    padding) must decode to the same RGB array as the PPM twin — two
+    independent container formats, one pixel truth."""
+    import struct
+
+    import numpy as np
+
+    w, h = 5, 4  # w*3 = 15 -> 1 pad byte per row: exercises the stride
+    _, px = _ppm_bytes(7, w, h)
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    arr = multimodal.decode_image(bytes(header + raster))
+    assert arr.shape == (h, w, 3)
+    assert np.array_equal(arr, px)
+
+
+def test_decode_image_features_stage(spark):
+    """The mapInPandas decode stage: real parse, exact integer facts,
+    NULL payload -> NULL facts without killing the batch."""
+    import numpy as np
+
+    p1, px1 = _ppm_bytes(3, 4, 3)
+    p2, px2 = _ppm_bytes(9, 6, 2)
+    assets = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2)), (3, None)],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.decode_image_features(assets).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 3)
+    assert rows[1]["pixel_sum"] == int(px1.astype("int64").sum())
+    assert rows[2]["pixel_sum"] == int(px2.astype("int64").sum())
+    assert rows[3]["width"] is None and rows[3]["pixel_sum"] is None
 
 
 def test_frame_sample_plan(spark):
