@@ -90,36 +90,82 @@ def ingest_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
     )
 
 
-def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
-    """First ``n`` whitespace-separated integer tokens after the magic,
-    honoring '#' comments (the netpbm header grammar); returns the
-    tokens and the offset of the first raster byte (exactly one
-    whitespace byte after the last header token)."""
+def _ppm_header(payload: bytes, ch: int) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm header: (width, height, maxval, raster
+    offset). Tokens are decimal runs separated by whitespace and/or
+    '#'-to-newline comments ('#' may sit flush against a digit — it
+    terminates the token). The raster delimiter is genuinely ambiguous
+    when a comment trails the maxval (the raster is arbitrary binary,
+    so 'space then #' could be either a header comment or pixel
+    bytes); the EXACT raster length w*h*ch is the disambiguator —
+    well-formed writers emit exactly that many bytes, so the candidate
+    offset (strict single-whitespace vs comment-skipping) leaving
+    exactly the raster is chosen, falling back to whichever leaves
+    enough bytes, and raising (never silently misreading) when neither
+    does."""
+    L = len(payload)
     tokens: list[int] = []
     i = 2  # past magic
-    while len(tokens) < n:
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while i < len(payload) and payload[i] != 0x0A:
+    while len(tokens) < 3:
+        while i < L:
+            b = payload[i : i + 1]
+            if b.isspace():
                 i += 1
-            continue
+            elif b == b"#":
+                while i < L and payload[i] != 0x0A:
+                    i += 1
+            else:
+                break
         j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
+        while j < L and payload[j : j + 1].isdigit():
             j += 1
+        if j == i:
+            raise ValueError("malformed netpbm header")
         tokens.append(int(payload[i:j]))
         i = j
-    return tokens, i + 1  # single whitespace separates header and raster
+    w, h, maxval = tokens
+    need = w * h * ch
+    strict = i + 1 if i < L and payload[i : i + 1].isspace() else None
+    # lenient candidate ONLY when a comment trails the maxval (after an
+    # optional whitespace run): each comment's terminating newline is
+    # the delimiter, and nothing beyond it is consumed — the raster is
+    # arbitrary binary, so eating "whitespace-valued" pixel bytes here
+    # would silently shift the offset
+    lenient = None
+    k = i
+    while k < L and payload[k : k + 1].isspace():
+        k += 1
+    while k < L and payload[k : k + 1] == b"#":
+        while k < L and payload[k] != 0x0A:
+            k += 1
+        k += 1  # past the comment's newline — a valid delimiter
+        lenient = k
+    for cand in (strict, lenient):
+        if cand is not None and L - cand == need:
+            return w, h, maxval, cand
+    for cand in (strict, lenient):
+        if cand is not None and L - cand >= need:
+            return w, h, maxval, cand
+    raise ValueError("netpbm raster truncated")
+
+
+#: DIB header sizes sharing BITMAPINFOHEADER's field layout for
+#: everything this decoder reads (V2/V3/V4/V5 are supersets)
+_BMP_INFO_SIZES = {40, 52, 56, 108, 124}
 
 
 def decode_image(payload: bytes) -> object:
-    """Decode an image payload to an HxWx{1,3} uint8 numpy array —
-    REAL (pure-numpy) for the uncompressed formats a pipeline's own
-    artifacts use: binary PPM (P6, RGB), binary PGM (P5, grayscale),
-    and uncompressed 24-bit bottom-up BMP. Compressed codecs
-    (JPEG/PNG/WebP/...) need a codec library this container doesn't
-    ship, so they remain the declared capability gate — wire
+    """Decode an image payload to a uint8 numpy array — HxWx3 for
+    color, HxW for grayscale; always a fresh WRITABLE array (never a
+    read-only view over the payload buffer). REAL (pure-numpy) for the
+    uncompressed formats a pipeline's own artifacts use: binary PPM
+    (P6, RGB), binary PGM (P5, grayscale), and uncompressed 24-bit
+    bottom-up BMP with a BITMAPINFOHEADER-family DIB header. Compressed
+    codecs (JPEG/PNG/WebP/...) need a codec library this container
+    doesn't ship, so they remain the declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
+    Malformed payloads raise ValueError loudly — silent misreads are
+    designed out (see ``_ppm_header``).
 
     Round 7: previously the WHOLE function was the gate; now only the
     compressed branch is."""
@@ -127,26 +173,36 @@ def decode_image(payload: bytes) -> object:
 
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
-        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        ch = 3 if magic == b"P6" else 1
+        w, h, maxval, off = _ppm_header(payload, ch)
         if maxval > 255:
             raise NotImplementedError("16-bit netpbm not supported")
-        ch = 3 if magic == b"P6" else 1
         raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
-        arr = raster.reshape(h, w, ch)
+        arr = raster.reshape(h, w, ch).copy()  # writable, detached
         return arr[:, :, 0] if ch == 1 else arr
     if magic == b"BM":
         import struct
 
+        if len(payload) < 34:
+            raise ValueError("BMP header truncated")
+        dib = struct.unpack_from("<I", payload, 14)[0]
+        if dib not in _BMP_INFO_SIZES:
+            raise NotImplementedError(
+                f"BMP DIB header size {dib} (e.g. OS/2 BITMAPCOREHEADER) "
+                "is not supported without an image library"
+            )
         off = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
         bits = struct.unpack_from("<H", payload, 28)[0]
         comp = struct.unpack_from("<I", payload, 30)[0]
-        if bits != 24 or comp != 0 or h <= 0:
+        if bits != 24 or comp != 0 or h <= 0 or w <= 0:
             raise NotImplementedError(
                 "only uncompressed 24-bit bottom-up BMP is supported "
                 "without an image library"
             )
         stride = (w * 3 + 3) // 4 * 4  # rows padded to 4 bytes
+        if len(payload) < off + stride * h:
+            raise ValueError("BMP raster truncated")
         rows = np.frombuffer(
             payload, dtype=np.uint8, count=stride * h, offset=off
         ).reshape(h, stride)
@@ -163,14 +219,18 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_image_features(assets: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """REAL decode stage over ``mapInPandas``: each binary payload is
+def decode_image_features(assets: DataFrame) -> DataFrame:
+    """REAL decode stage over ``mapInPandas``: each ``payload`` is
     parsed by ``decode_image`` (pure numpy for uncompressed formats)
     and reduced to exact-integer facts — dimensions, channel count,
     and the uint8 pixel sum (order-independent, so it hash-compares
-    bitwise against an arithmetic oracle). NULL payloads produce NULL
-    facts rather than killing the Arrow batch (the extract_features
-    contract). The decode is embarrassingly parallel: payloads never
+    bitwise against an arithmetic oracle). Input contract: columns
+    ``asset_id`` and ``payload``. NULL and UNDECODABLE payloads
+    (malformed bytes, gated codecs) produce NULL facts rather than
+    killing the Arrow batch — one bad asset must not take the other
+    thousands in its batch down with it (the extract_features
+    contract); a curation filter on ``width IS NULL`` isolates them
+    downstream. The decode is embarrassingly parallel: payloads never
     shuffle, each batch decodes where it was read."""
     import pandas as pd
 
@@ -178,18 +238,25 @@ def decode_image_features(assets: DataFrame, id_col: str = "asset_id") -> DataFr
         for pdf in batches:
             width, height, nch, psum = [], [], [], []
             for b in pdf["payload"]:
-                if b is None:
+                arr = None
+                if b is not None:
+                    try:
+                        arr = decode_image(bytes(b))
+                    except (ValueError, NotImplementedError, IndexError):
+                        arr = None  # undecodable -> NULL facts
+                if arr is None:
                     width.append(None); height.append(None)
                     nch.append(None); psum.append(None)
                     continue
-                arr = decode_image(bytes(b))
                 h, w = arr.shape[:2]
                 ch = 1 if arr.ndim == 2 else arr.shape[2]
                 width.append(w); height.append(h); nch.append(ch)
-                psum.append(int(arr.astype("int64").sum()))
+                # sum with an int64 accumulator, no 8x int64 copy of
+                # the pixel buffer
+                psum.append(int(arr.sum(dtype="int64")))
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf[id_col],
+                    "asset_id": pdf["asset_id"],
                     "width": pd.array(width, dtype="Int32"),
                     "height": pd.array(height, dtype="Int32"),
                     "n_channels": pd.array(nch, dtype="Int32"),

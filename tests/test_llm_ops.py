@@ -302,6 +302,58 @@ def test_decode_bmp_matches_ppm_pixels():
     assert np.array_equal(arr, px)
 
 
+def test_decode_ppm_comment_after_maxval_and_flush_hash():
+    """The two header-grammar traps: a comment trailing the maxval
+    ('255 # c\\n') and a '#' flush against the digits ('255# c\\n') —
+    the exact-raster-length disambiguation must land the raster offset
+    on the pixels, not inside the comment."""
+    import numpy as np
+
+    _, px = _ppm_bytes(11, 3, 2)
+    for head in (b"P6\n3 2\n255 # maxval comment\n", b"P6\n3 2\n255# c\n"):
+        arr = multimodal.decode_image(head + px.tobytes())
+        assert np.array_equal(arr, px), head
+
+
+def test_decode_is_writable_and_loud_on_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    payload, px = _ppm_bytes(5, 4, 3)
+    arr = multimodal.decode_image(payload)
+    arr[0, 0, 0] = 7  # must be a writable copy, not a payload view
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n4 4\n255\n" + b"12345")  # truncated
+    with _pytest.raises(NotImplementedError):
+        # OS/2 BITMAPCOREHEADER (DIB size 12) is gated, not misparsed
+        import struct
+
+        core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack(
+            "<IHHHH", 12, 4, 4, 1, 24
+        )
+        multimodal.decode_image(core + b"\x00" * 64)
+
+
+def test_decode_stage_isolates_bad_payloads(spark):
+    """A malformed or codec-gated payload yields NULL facts for ITS
+    row; the rest of the Arrow batch decodes normally."""
+    p_ok, px = _ppm_bytes(4, 3, 3)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(p_ok)),
+            (2, bytearray(b"P6\n9 9\n255\nshort")),  # truncated raster
+            (3, bytearray(b"\x89PNG garbage")),  # gated codec
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.decode_image_features(assets).collect()
+    }
+    assert rows[1]["pixel_sum"] == int(px.astype("int64").sum())
+    assert rows[2]["width"] is None and rows[3]["width"] is None
+
+
 def test_decode_image_features_stage(spark):
     """The mapInPandas decode stage: real parse, exact integer facts,
     NULL payload -> NULL facts without killing the batch."""
