@@ -137,6 +137,13 @@ BENCH_QUERIES = [
     "dedup_recall_precision",
     "jdbc_roundtrip_rollup",
     "multimodal_image_decode",
+    # round-8 additions: GPT-style sequence packing (two-phase
+    # distributed prefix sum — the round-8 root-caused fix made it
+    # externally verifiable), measured simhash blocking quality, and
+    # the IVF recall-vs-nprobe tuning curve
+    "corpus_sequence_packing",
+    "simhash_recall_precision",
+    "ann_recall_nprobe_sweep",
 ]
 
 

@@ -160,17 +160,30 @@ def sequence_packing(
     with_running = global_running_sum(
         docs, order_col=id_col, weight_col=token_count_col, out_col="_incl"
     )
-    start = (F.col("_incl") - F.col(token_count_col)).cast("bigint")
-    end_incl = F.col("_incl") - 1
-    return with_running.select(
+    # Integer DIV / pmod, not floor(x / N): Spark `/` on bigint goes
+    # through DOUBLE, exact only below 2^53 total corpus tokens. DIV
+    # stays in bigint at ANY magnitude and matches DuckDB `//`
+    # bit-for-bit (offsets are non-negative, so trunc == floor and
+    # pmod == %). VERDICT r7 item 2.
+    base = with_running.select(
         F.col(id_col),
         F.col(token_count_col).cast("bigint").alias("n_tokens"),
-        start.alias("start_offset"),
-        F.floor(start / seq_len).cast("bigint").alias("pack_id"),
-        (start % seq_len).cast("bigint").alias("offset_in_pack"),
-        (F.floor(end_incl / seq_len) > F.floor(start / seq_len)).alias(
-            "spans_boundary"
+        (F.col("_incl") - F.col(token_count_col)).cast("bigint").alias(
+            "start_offset"
         ),
+        (F.col("_incl") - 1).cast("bigint").alias("_end_incl"),
+    )
+    seq = F.lit(int(seq_len))
+    return base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("start_offset"),
+        F.expr(f"start_offset DIV {int(seq_len)}").cast("bigint").alias("pack_id"),
+        F.pmod(F.col("start_offset"), seq).cast("bigint").alias("offset_in_pack"),
+        (
+            F.expr(f"_end_incl DIV {int(seq_len)}")
+            > F.expr(f"start_offset DIV {int(seq_len)}")
+        ).alias("spans_boundary"),
     )
 
 

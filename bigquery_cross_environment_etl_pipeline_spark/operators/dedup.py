@@ -330,6 +330,23 @@ def exact_jaccard_pairs_inverted(
         from fractions import Fraction
 
         frac = Fraction(str(min_jaccard))
+        if frac.denominator > 10**6:
+            # q*small / p*large multiply bigint shingle counts; a
+            # non-terminating decimal threshold (e.g. 1/3 ->
+            # q = 10^16) overflows int64 for docs beyond ~900
+            # shingles, silently breaking the "both engines prune the
+            # identical pair set" contract (ADVICE r7). Refuse loudly
+            # rather than limit_denominator: oracles derive their own
+            # Fraction from the same literal, so a silent engine-side
+            # rounding would itself diverge from the oracle's prune.
+            raise ValueError(
+                f"exact_jaccard_pairs_inverted: min_jaccard={min_jaccard!r}"
+                f" is not a short decimal (denominator {frac.denominator});"
+                " the exact integer size-compatibility prune multiplies"
+                " shingle counts by the denominator and would overflow"
+                " int64. Pass a terminating decimal like 0.3 or"
+                " round(x, 6)."
+            )
         p, q = frac.numerator, frac.denominator
         small = F.least(F.col("_na"), F.col("_nb"))
         large = F.greatest(F.col("_na"), F.col("_nb"))

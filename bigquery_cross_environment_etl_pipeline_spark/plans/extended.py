@@ -1399,12 +1399,14 @@ def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_recall_oracle(n_queries: int = 5, k: int = 10) -> str:
+def _ivf_recall_oracle(n_queries: int = 5, k: int = 10, nprobe: int = 4) -> str:
     """Recall@k replay: the approx arm is the FULL batched-IVF stage
     replay (``_ivf_batch_oracle``), the exact arm is the brute-force
     per-query top-k (the embedding_batch_topk shape at k=10), and
     recall is one COUNT ratio per query — a single IEEE division of
-    two small integers, hash-exact."""
+    two small integers, hash-exact. ``nprobe`` parameterizes the
+    approx arm so the nprobe-sweep query can replay one block per
+    probe width."""
     from ..operators.similarity import eligible_emb_pred
 
     dot = _duck_dot64
@@ -1415,7 +1417,8 @@ def _ivf_recall_oracle(n_queries: int = 5, k: int = 10) -> str:
     )
     return f"""
     WITH approx AS (
-      SELECT qid, vec_id FROM ({_ivf_batch_oracle(k=k, n_queries=n_queries)})
+      SELECT qid, vec_id
+      FROM ({_ivf_batch_oracle(k=k, n_queries=n_queries, nprobe=nprobe)})
     ),
     exact AS (
       SELECT qid, vec_id FROM (
@@ -1505,6 +1508,109 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("a_vec").cast("bigint").alias("n_hits"),
+        (
+            F.count("a_vec").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _ivf_nprobe_sweep_oracle(n_queries: int = 5, k: int = 10) -> str:
+    """One ``_ivf_recall_oracle`` block per probe width, UNION ALL'd
+    with the width as a literal column — the CTE chains repeat per
+    block, which DuckDB folds fine at oracle scale."""
+    blocks = [
+        f"SELECT CAST({np} AS BIGINT) AS nprobe, * FROM"
+        f" ({_ivf_recall_oracle(n_queries=n_queries, k=k, nprobe=np)})"
+        for np in _NPROBE_SWEEP
+    ]
+    return " UNION ALL ".join(blocks)
+
+
+@register("ann_recall_nprobe_sweep", oracle=_ivf_nprobe_sweep_oracle())
+def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE, measured and externally hash-verified
+    (round 8 — extends ann_recall_at_k's single point): recall@10 per
+    query at every probe width in {1, 2, 4} of 8 cells, against the
+    same brute-force exact arm. This is the query a vector platform
+    runs to PICK nprobe — the recall column quantifies what each
+    additional probed cell buys, so the latency/quality trade is a
+    measured table instead of folklore.
+
+    Cost shape: the persisted index is built once (shared cache with
+    every other IVF query); each sweep point is one partition-pruned
+    probe of nprobe/8 of the data — the sweep total reads 7/8 of one
+    full scan across its three arms. The exact arm is computed ONCE
+    and joined against all sweep points. At 100 TB the sweep runs on
+    the |Q|-bounded query sample exactly like ann_recall_at_k; the
+    per-point probes stay partition-pruned, so the whole curve costs
+    less than one brute-force scan."""
+    from ..operators.similarity import (
+        ann_batch_topk_ivf_probe,
+        dot_expr,
+        norm_expr,
+    )
+
+    emb = _load_emb(spark, sf_dir)
+    index_path = _ivf_index(spark, sf_dir)
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    approx = None
+    for np_ in _NPROBE_SWEEP:
+        arm = ann_batch_topk_ivf_probe(
+            spark, index_path, qvecs, k=10, nprobe=np_
+        ).select(
+            F.lit(np_).cast("bigint").alias("a_np"),
+            F.col("qid").alias("a_qid"),
+            F.col("vec_id").alias("a_vec"),
+        )
+        approx = arm if approx is None else approx.unionByName(arm)
+
+    with_norm = emb.select(
+        "vec_id", "embedding", norm_expr("embedding").alias("_nrm")
+    )
+    q = with_norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    scored = with_norm.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            dot_expr("embedding", "_qvec") / (F.col("_nrm") * F.col("_qnrm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    # exact x sweep-points: each (qid, vec_id) exact hit is judged at
+    # every probe width; the probe widths fan out from a 3-literal
+    # array so the exact arm is computed once
+    fanned = exact.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(np_).cast("bigint") for np_ in _NPROBE_SWEEP])),
+    )
+    joined = fanned.join(
+        approx,
+        (F.col("nprobe") == F.col("a_np"))
+        & (F.col("qid") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vec")),
+        "left",
+    )
+    return joined.groupBy("nprobe", "qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         F.count("a_vec").cast("bigint").alias("n_hits"),
         (
@@ -2608,13 +2714,26 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="jdbc_rt_") as tmp:
         db = f"{tmp}/db"
         url = f"jdbc:derby:{db};create=true"
-        orders.write.jdbc(
-            url, "ORDERS_RT", mode="overwrite", properties={"driver": _DERBY}
-        )
+        # write INSIDE the try: a failure mid-write must still reach
+        # derby_shutdown before the TemporaryDirectory deletes the
+        # booted engine's files out from under it (ADVICE r7)
         try:
+            orders.write.jdbc(
+                url, "ORDERS_RT", mode="overwrite", properties={"driver": _DERBY}
+            )
             bounds = orders.agg(
                 F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
             ).first()
+            if bounds["lo"] is None:
+                # MIN/MAX over an empty slice are NULL; int(None) would
+                # raise an opaque TypeError. Name the precondition
+                # instead (ADVICE r7) — same convention as the pinned-
+                # literal precondition in compaction_file_accounting.
+                raise ValueError(
+                    "jdbc_roundtrip_rollup: the o_orderkey % 20 == 0 "
+                    "slice of orders is empty at this SF; ranged JDBC "
+                    "partition bounds need a non-empty written slice"
+                )
             back = jdbc_reader(
                 spark,
                 url,

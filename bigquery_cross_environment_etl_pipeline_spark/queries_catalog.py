@@ -71,43 +71,44 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # round 7: the one never-externally-green query (r6 hash FAIL,
-    # unreproduced in three driver-realistic local replays). Hardened
-    # per VERDICT r6 item 1: global_running_sum's window frame is now
-    # an explicit ROWS frame with an enforced order-key uniqueness
-    # check, and the output gained a corpus_token_checksum column
-    # (corpus-wide SUM(n_tokens), both engines) so a repeat driver
-    # divergence localizes to tokenization vs prefix-sum arithmetic.
+    # round 8: the two-round driver red, root-caused this round. NOT
+    # the tokenizer (text_token_counts — the identical tokenizer over
+    # the identical table — was hash-GREEN in the same r7 driver run,
+    # CORRECTNESS_r07.json): the oracle's start_offset was the ONLY
+    # uncast HUGEINT output in the catalog. DuckDB SUM(BIGINT) returns
+    # int128; an Arrow-path consumer (the driver) surfaces it as
+    # decimal128 -> Python Decimal, hashing unequal to Spark's int64
+    # even with every value identical, while a fetchall() consumer
+    # (the local harness) gets plain ints — exactly the green-local /
+    # red-driver split observed in r6 AND r7. Fixed by CAST AS BIGINT
+    # in the oracle; tests/test_oracle_types.py now runs every oracle
+    # in DuckDB and bans HUGEINT outputs so the class cannot recur.
+    # Also hardened per VERDICT r7 item 1b: pack arithmetic is integer
+    # DIV/pmod (exact at any magnitude), not floor(double-division).
     "corpus_sequence_packing",
-    # new this round (VERDICT r6 item 5): measured LSH dedup quality —
-    # banded-MinHash candidate recall/precision vs exact-Jaccard
-    # ground truth, hash-pinned (the ann_recall_at_k pattern applied
-    # to the dedup index family)
-    "dedup_recall_precision",
-    # new this round (VERDICT r6 item 3): checkpoint/config/stepper
-    # state machines driven with adversarial seeded state (FAILED-
-    # after-SUCCESS, duplicate watermarks, NULL-end SUCCESS, foreign-
-    # writer NULL-key rows) — contracts pinned as VALUES booleans
-    "etl_protocol_edge_cases",
-    # new this round ("what's missing" item 2): the external-connector
-    # path over a REAL JDBC protocol (embedded Derby) — byte fidelity
-    # through write -> partitioned ranged read, with the split count
-    # and database-side filter pushdown pinned as columns
-    "jdbc_roundtrip_rollup",
-    # new this round (carry-over gap shrunk): REAL pixel decode —
-    # decode_image now parses binary PPM/PGM/BMP with pure numpy; the
-    # query encodes a deterministic PPM per document and hash-verifies
-    # the decoded dimensions + exact pixel sum against an arithmetic
-    # oracle (compressed codecs remain the declared gate)
-    "multimodal_image_decode",
-    # NOT forced: scalar_name_mangling's NULL-org fix (format_string ->
-    # NULL-propagating concat, round-7 edge-fixture finding) changes
-    # output only for NULL keys, which no driver dataset contains —
-    # bit-identical on driver data, prior greens attest; it also sits
-    # in this round's oldest-green refresh window anyway (r1-only).
-    # kept small on purpose: 53 queries' newest green evidence is r3
-    # or older (30 r1-only); the oldest-green-first policy needs the
-    # remaining ~48 window slots to clear that refresh backlog.
+    # new this round (VERDICT r7 item 1a): the packing query's
+    # tokenization arm split into its own externally-hashed query —
+    # with packing, two independent driver hash bits that localize any
+    # future divergence (this red => tokenizer; this green + packing
+    # red => prefix-sum/packing arithmetic).
+    "corpus_token_checksum",
+    # new this round (VERDICT r7 item 5): measured simhash dedup
+    # quality — the production blocking+hamming candidate generator
+    # scored per radius against the same exact inverted-index Jaccard
+    # truth the MinHash banding is measured against
+    "simhash_recall_precision",
+    # new this round: the IVF tuning curve — recall@10 per query at
+    # every probe width (1/2/4 of 8 cells) vs the exact arm, the
+    # measured latency/quality trade (extends ann_recall_at_k's
+    # single point)
+    "ann_recall_nprobe_sweep",
+    # NOT forced: jdbc_roundtrip_rollup's r8 changes (write moved
+    # inside try/finally, empty-slice ValueError guard) and the
+    # exact_jaccard size-compat denominator guard alter only failure
+    # paths — bit-identical output on driver data, r7 greens attest.
+    # kept ≤3 on purpose (VERDICT r7 item 2): 8 queries' newest green
+    # evidence is still r2/r3; the oldest-green-first policy needs the
+    # remaining ~47 window slots to finish that refresh backlog.
 ]
 
 _STABLE_ORDER = [

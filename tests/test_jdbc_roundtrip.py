@@ -105,3 +105,50 @@ def test_jdbc_timestamp_fidelity(spark, derby_db):
     assert len(src) > 50
     rt = {r["event_id"]: r["ts"] for r in back.collect()}
     assert rt == src
+
+
+def _orders_slice_dir(spark, tmp_path, keys):
+    """Write a tiny orders.parquet containing exactly the given
+    o_orderkey values (copied rows re-keyed from sf0.001), so the
+    registered jdbc_roundtrip_rollup query can be driven against a
+    controlled `% 20 == 0` slice."""
+    base = load_table(spark, SF_SMOKE, "orders").limit(0)
+    one = load_table(spark, SF_SMOKE, "orders").orderBy("o_orderkey").limit(1)
+    rows = one.collect() * len(keys)
+    out = spark.createDataFrame(
+        [r.asDict() | {"o_orderkey": k} for r, k in zip(rows, keys)],
+        base.schema,
+    ) if keys else base
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    out.coalesce(1).write.parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_jdbc_rollup_empty_slice_raises_named_precondition(spark, tmp_path):
+    """ADVICE r7: an empty o_orderkey % 20 == 0 slice must fail with a
+    ValueError naming the precondition, not an opaque int(None)
+    TypeError from NULL MIN/MAX bounds."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.extended import (
+        jdbc_roundtrip_rollup,
+    )
+
+    sf = _orders_slice_dir(spark, tmp_path, keys=[1, 3, 7, 21, 41])
+    with pytest.raises(ValueError, match="slice of orders is empty"):
+        jdbc_roundtrip_rollup(spark, sf)
+
+
+def test_jdbc_rollup_single_key_slice_degenerate_bounds(spark, tmp_path):
+    """VERDICT r7 item 4: a single-key slice gives MIN == MAX, i.e.
+    lower_bound == upper_bound - 1 — the degenerate ranged
+    partitioning must still read the row (no empty-range stride or
+    off-by-one drop) and the rollup must count exactly it."""
+    from bigquery_cross_environment_etl_pipeline_spark.plans.extended import (
+        jdbc_roundtrip_rollup,
+    )
+
+    sf = _orders_slice_dir(spark, tmp_path, keys=[1, 3, 40, 41])
+    out = jdbc_roundtrip_rollup(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["n_orders"] == 1
+    assert out[0]["filter_pushed"] is True

@@ -817,3 +817,14 @@ def test_inverted_exact_jaccard_matches_verify_stage(spark, docs_with_dups):
     assert via_inverted == via_verify
     assert via_inverted[(3, 100003)] == 1.0
     assert via_inverted[(5, 200005)] > 0.8
+
+
+def test_exact_jaccard_refuses_overflowing_threshold(docs_with_dups):
+    """ADVICE r7: a non-terminating decimal threshold (1/3 ->
+    denominator 10^16) would overflow the int64 size-compatibility
+    cross-multiplication for docs beyond ~900 shingles. The guard
+    must refuse it loudly at call time, before any job runs."""
+    with pytest.raises(ValueError, match="not a short decimal"):
+        dedup.exact_jaccard_pairs_inverted(
+            docs_with_dups, min_jaccard=1 / 3
+        )

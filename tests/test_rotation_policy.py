@@ -107,3 +107,16 @@ def test_steady_state_staleness_bound():
         gaps = [b - a for a, b in zip(rounds, rounds[1:])]
         gaps.append(last_round + 1 - rounds[-1])
         assert max(gaps) <= period + 1, (n, rounds)
+
+
+def test_ledger_keys_are_live_catalog_names():
+    """VERDICT r7 item 3: a query renamed or removed after earning
+    driver evidence must not keep a dead ledger key — rotation slots
+    and coverage accounting must track live names only (update_ledger
+    purges via build_ledger(live_names=...))."""
+    names, _ = _catalog()
+    ledger = qc._load_ledger()
+    dead = (set(ledger.get("green", {})) | set(ledger.get("rows_only", {}))) - set(
+        names
+    )
+    assert not dead, f"ledger keys absent from the catalog: {sorted(dead)}"

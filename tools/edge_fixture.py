@@ -101,6 +101,14 @@ EDGE_ROWS = {
         # FAILED-AFTER-SUCCESS — a LATER non-'F' row for the same key:
         # the latest-success read must ignore it, not advance
         {"o_orderkey": 900005, "o_custkey": 77001, "o_orderstatus": "P", "o_totalprice": 12.0, "o_orderdate": "2024-07-01 00:00:00", "o_orderpriority": "2-HIGH"},
+        # round 8 (VERDICT r7 item 4): rows INSIDE the
+        # jdbc_roundtrip_rollup slice (o_orderkey % 20 == 0) with NULL
+        # status and NULL price — NULLs must survive the REAL Derby
+        # write -> partitioned ranged read byte-identically: a NULL
+        # status forms its own rollup group and an all-NULL price
+        # group sums to NULL on BOTH engines
+        {"o_orderkey": 900020, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": "2024-03-05 00:00:00", "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900040, "o_custkey": 1, "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": "2024-03-06 00:00:00", "o_orderpriority": "3-MEDIUM"},
     ],
     "customer": [
         {"c_custkey": 900001, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},

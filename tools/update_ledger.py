@@ -28,7 +28,14 @@ LEDGER = os.path.join(
 )
 
 
-def build_ledger(repo: str = REPO) -> dict:
+def build_ledger(repo: str = REPO, live_names: set[str] | None = None) -> dict:
+    """``live_names`` restricts the ledger to names registered in the
+    CURRENT catalog (VERDICT r7 item 3): a query renamed or removed
+    after earning driver evidence (e.g. ``dedup_ngram_jaccard_pairs``
+    -> ``dedup_ngram_jaccard_verify_blocked`` in round 4) must not
+    keep a dead ledger key — the rotation would budget refresh slots
+    for a name the driver can never check again, and coverage
+    accounting would count evidence no live query owns."""
     green: dict[str, list[int]] = {}
     rows_only: dict[str, list[int]] = {}
     rounds: list[int] = []
@@ -41,6 +48,8 @@ def build_ledger(repo: str = REPO) -> dict:
         with open(path) as f:
             record = json.load(f)
         for name, res in record.items():
+            if live_names is not None and name not in live_names:
+                continue
             if res.get("hash_match"):
                 green.setdefault(name, []).append(rnd)
             elif res.get("rows_match") and not res.get("err"):
@@ -52,8 +61,20 @@ def build_ledger(repo: str = REPO) -> dict:
     }
 
 
+def catalog_names(repo: str = REPO) -> set[str]:
+    """Names registered in the current catalog. Imports the package
+    (and therefore a JVM-less pyspark), so only main() pays it — tests
+    that already hold a catalog pass live_names explicitly."""
+    import sys
+
+    sys.path.insert(0, repo)
+    from bigquery_cross_environment_etl_pipeline_spark import queries_catalog
+
+    return set(queries_catalog.spark_queries())
+
+
 def main() -> None:
-    ledger = build_ledger()
+    ledger = build_ledger(live_names=catalog_names())
     with open(LEDGER, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
         f.write("\n")
