@@ -2714,6 +2714,20 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="jdbc_rt_") as tmp:
         db = f"{tmp}/db"
         url = f"jdbc:derby:{db};create=true"
+        # bounds BEFORE the write: MIN/MAX over an empty slice are
+        # NULL, and int(None) would raise an opaque TypeError later —
+        # name the precondition instead (ADVICE r7), and do it before
+        # any Derby engine boots or an empty ORDERS_RT table is
+        # created, so the guard path never touches JDBC at all.
+        bounds = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            raise ValueError(
+                "jdbc_roundtrip_rollup: the o_orderkey % 20 == 0 "
+                "slice of orders is empty at this SF; ranged JDBC "
+                "partition bounds need a non-empty written slice"
+            )
         # write INSIDE the try: a failure mid-write must still reach
         # derby_shutdown before the TemporaryDirectory deletes the
         # booted engine's files out from under it (ADVICE r7)
@@ -2721,19 +2735,6 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.write.jdbc(
                 url, "ORDERS_RT", mode="overwrite", properties={"driver": _DERBY}
             )
-            bounds = orders.agg(
-                F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-            ).first()
-            if bounds["lo"] is None:
-                # MIN/MAX over an empty slice are NULL; int(None) would
-                # raise an opaque TypeError. Name the precondition
-                # instead (ADVICE r7) — same convention as the pinned-
-                # literal precondition in compaction_file_accounting.
-                raise ValueError(
-                    "jdbc_roundtrip_rollup: the o_orderkey % 20 == 0 "
-                    "slice of orders is empty at this SF; ranged JDBC "
-                    "partition bounds need a non-empty written slice"
-                )
             back = jdbc_reader(
                 spark,
                 url,

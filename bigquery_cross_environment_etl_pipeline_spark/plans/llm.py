@@ -286,7 +286,10 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs)
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    # max_hamming MUST mirror whatever the Spark caller passes to
+    # dedup.simhash_near_pairs — simhash_recall_precision derives both
+    # from max(_SH_RADII) so the constants cannot drift apart.
     return f"""
     WITH fp AS ({_simhash_oracle()}),
     ext AS (
@@ -297,7 +300,7 @@ def _simhash_pairs_oracle() -> str:
     FROM ext a JOIN ext b
       ON a.doc_id < b.doc_id
      AND (a.b_lo = b.b_lo OR a.b_hi = b.b_hi)
-     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+     AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -625,13 +628,21 @@ def dedup_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SH_RADII = (1, 2, 3)
-_SH_TRUTH = 0.5  # shingle-Jaccard near-dup bar; 1/2 -> exact prune 2*min >= max
+_SH_TRUTH = 0.5  # shingle-Jaccard near-dup bar for the exact truth arm
+# exact integer ratio of the truth bar for the size-compatibility prune
+# (same derivation as _RP_P/_RP_Q) — the oracle's prune arithmetic is
+# DERIVED from _SH_TRUTH, not hand-written, so retuning the bar cannot
+# desynchronize the two engines' pruned pair sets
+_SH_P, _SH_Q = (
+    _Fraction(str(_SH_TRUTH)).numerator,
+    _Fraction(str(_SH_TRUTH)).denominator,
+)
 
 
 @register(
     "simhash_recall_precision",
     oracle=f"""
-    WITH cand AS ({_simhash_pairs_oracle()}),
+    WITH cand AS ({_simhash_pairs_oracle(max_hamming=max(_SH_RADII))}),
     sh AS (
       SELECT DISTINCT doc_id, {_duck_hash48('s')} AS h
       FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
@@ -644,7 +655,7 @@ _SH_TRUTH = 0.5  # shingle-Jaccard near-dup bar; 1/2 -> exact prune 2*min >= max
              a.n AS na, b.n AS nb, COUNT(*) AS i
       FROM post a JOIN post b
         ON a.h = b.h AND a.doc_id < b.doc_id
-       AND 2 * LEAST(a.n, b.n) >= 1 * GREATEST(a.n, b.n)
+       AND {_SH_Q} * LEAST(a.n, b.n) >= {_SH_P} * GREATEST(a.n, b.n)
       GROUP BY 1, 2, 3, 4
     ),
     truth AS (

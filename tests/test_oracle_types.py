@@ -23,11 +23,14 @@ import os
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+from bigquery_cross_environment_etl_pipeline_spark.sources.registry import TABLES
+
+# same env var + default as tests/test_oracle_parity.py, so the two
+# oracle gates always look at the same data and the same table list —
+# a table added to sources/registry.py is picked up here automatically
+# (DuckDB views bind at query time, so a registered-but-absent parquet
+# fails the querying oracle loudly instead of being silently skipped)
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 BANNED = {"HUGEINT", "UHUGEINT"}
 
@@ -36,9 +39,7 @@ BANNED = {"HUGEINT", "UHUGEINT"}
 def con():
     c = duckdb.connect()
     for t in TABLES:
-        path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
-            c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
 
