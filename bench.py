@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "corpus_sequence_packing",
     "simhash_recall_precision",
     "ann_recall_nprobe_sweep",
+    # round-8 additions, second batch: the LSH banding tuning curve,
+    # the Count-Min frequency sketch with measured overestimate, and
+    # the cluster-aware (leakage-safe) split
+    "dedup_band_sweep",
+    "heavy_hitters_countmin",
+    "leakage_safe_split_assignment",
 ]
 
 

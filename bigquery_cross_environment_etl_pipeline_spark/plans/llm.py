@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, similarity, sketches, text
 from ..operators.multimodal import extract_features, synthesize_assets
 from ..queries_catalog import register
 from ..sources.registry import load_table
@@ -95,28 +95,20 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
-    k, bands, rpb = dedup.N_MINHASH, dedup.N_BANDS, dedup.N_MINHASH // dedup.N_BANDS
+def _minhash_sig_ctes() -> str:
+    """The words -> shingles -> affine-rehash -> grouped-MIN signature
+    CTE chain (names words/sh/based/hashed/sig), shared by every
+    MinHash oracle so the coefficient tables, modulus, and eligibility
+    (no-shingle docs simply have no sig row) can never drift between
+    queries."""
+    k = dedup.N_MINHASH
     seeds = ", ".join(str(j) for j in range(k))
     a_list = ", ".join(str(a) for a, _ in dedup.MINHASH_COEFFS[:k])
     b_list = ", ".join(str(b) for _, b in dedup.MINHASH_COEFFS[:k])
     hcols = ", ".join(
         f"MIN(CASE WHEN j = {j} THEN h END) AS h{j}" for j in range(k)
     )
-    band_conds = []
-    for b in range(bands):
-        cols = [f"h{b * rpb + r}" for r in range(rpb)]
-        band_conds.append(" AND ".join(f"a.{c} = b.{c}" for c in cols))
-    cand_union = "\n      UNION\n".join(
-        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        f"      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({cond})"
-        for cond in band_conds
-    )
-    matches = " + ".join(
-        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k)
-    )
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
     ),
     sh AS (
@@ -135,7 +127,25 @@ def _minhash_oracle() -> str:
       SELECT doc_id, {hcols} FROM (SELECT doc_id, j, MIN(h) AS h
                                    FROM hashed GROUP BY doc_id, j)
       GROUP BY doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    k, bands, rpb = dedup.N_MINHASH, dedup.N_BANDS, dedup.N_MINHASH // dedup.N_BANDS
+    band_conds = []
+    for b in range(bands):
+        cols = [f"h{b * rpb + r}" for r in range(rpb)]
+        band_conds.append(" AND ".join(f"a.{c} = b.{c}" for c in cols))
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({cond})"
+        for cond in band_conds
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
     cand AS (
 {cand_union}
     )
@@ -156,9 +166,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs)
 
 
-def _clusters_oracle() -> str:
-    return f"""
-    WITH RECURSIVE pairs AS (
+def _cluster_ctes() -> str:
+    """MinHash pairs (est >= 0.5) -> transitive closure -> per-node min
+    label (names pairs/strong/sym/reach/comp; caller's WITH must be
+    RECURSIVE) — shared by every clustering oracle so the strong-pair
+    threshold and closure semantics can never drift between queries."""
+    return f"""pairs AS (
       {_minhash_oracle()}
     ),
     strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_similarity >= 0.5),
@@ -169,7 +182,12 @@ def _clusters_oracle() -> str:
       UNION
       SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
     ),
-    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)
+    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cluster_ctes()}
     SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """
@@ -194,18 +212,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _keep_best_oracle() -> str:
     return f"""
-    WITH RECURSIVE pairs AS (
-      {_minhash_oracle()}
-    ),
-    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_similarity >= 0.5),
-    sym AS (SELECT doc_a AS a, doc_b AS b FROM strong
-            UNION SELECT doc_b, doc_a FROM strong),
-    reach(n, m) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-      UNION
-      SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
-    ),
-    comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n),
+    WITH RECURSIVE {_cluster_ctes()},
     labeled AS (
       SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
@@ -779,6 +786,369 @@ def simhash_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_positives").cast("double")
             / F.col("n_candidates").cast("double"),
         ).alias("simhash_precision"),
+    )
+
+
+_BS_CONFIGS = (2, 4, 8)  # n_bands sweeps over 8 minhashes: rows/band 4, 2, 1
+_BS_TRUTH = 0.5  # exact-Jaccard near-dup bar for the banding truth arm
+_BS_P, _BS_Q = (
+    _Fraction(str(_BS_TRUTH)).numerator,
+    _Fraction(str(_BS_TRUTH)).denominator,
+)
+
+
+def _band_sweep_oracle() -> str:
+    k = dedup.N_MINHASH
+    assert all(k % nb == 0 for nb in _BS_CONFIGS)
+    # candidate superset = most permissive config (max bands, 1 row per
+    # band = "any single hash matches"); per-config membership flags
+    # are computed from the two signatures in the same join
+    any_hash = " OR ".join(f"a.h{j} = b.h{j}" for j in range(k))
+    flag_cols = []
+    for nb in _BS_CONFIGS:
+        rpb = k // nb
+        bands = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb)
+            )
+            + ")"
+            for b in range(nb)
+        )
+        flag_cols.append(f"({bands}) AS m{nb}")
+    cfg_list = ", ".join(str(nb) for nb in _BS_CONFIGS)
+    nc_cols = ", ".join(
+        f"""CAST(COALESCE(SUM(CASE WHEN m{nb} THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS nc{nb},
+        CAST(COALESCE(SUM(CASE WHEN m{nb} AND jaccard >= {_BS_TRUTH}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp{nb}"""
+        for nb in _BS_CONFIGS
+    )
+    nc_case = " ".join(f"WHEN c.nb = {nb} THEN a.nc{nb}" for nb in _BS_CONFIGS)
+    tp_case = " ".join(f"WHEN c.nb = {nb} THEN a.tp{nb}" for nb in _BS_CONFIGS)
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {", ".join(flag_cols)}
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({any_hash})
+    ),
+    jsh AS (
+      SELECT DISTINCT doc_id, {_duck_hash48('s')} AS h
+      FROM words, UNNEST({_DUCK_SHINGLES}) AS t(s)
+    ),
+    jcard AS (SELECT doc_id, COUNT(*) AS n FROM jsh GROUP BY doc_id),
+    jpost AS (SELECT s.doc_id, s.h, c.n FROM jsh s JOIN jcard c USING (doc_id)),
+    jinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS i
+      FROM jpost a JOIN jpost b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+       AND {_BS_Q} * LEAST(a.n, b.n) >= {_BS_P} * GREATEST(a.n, b.n)
+      GROUP BY 1, 2, 3, 4
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+      FROM jinter
+    ),
+    m AS (
+      SELECT t.jaccard, {", ".join(f"c.m{nb}" for nb in _BS_CONFIGS)}
+      FROM truth t FULL JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    agg AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN jaccard >= {_BS_TRUTH} THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS n_truth,
+        {nc_cols}
+      FROM m
+    ),
+    cfgs AS (SELECT UNNEST([{cfg_list}]) AS nb)
+    SELECT CAST(c.nb AS BIGINT) AS n_bands,
+           CAST({k} // c.nb AS BIGINT) AS rows_per_band,
+           a.n_truth,
+           CASE {nc_case} END AS n_candidates,
+           CASE {tp_case} END AS n_true_positives,
+           CASE WHEN a.n_truth > 0 THEN
+             CAST(CASE {tp_case} END AS DOUBLE) / CAST(a.n_truth AS DOUBLE)
+           END AS band_recall,
+           CASE WHEN CASE {nc_case} END > 0 THEN
+             CAST(CASE {tp_case} END AS DOUBLE)
+             / CAST(CASE {nc_case} END AS DOUBLE)
+           END AS band_precision
+    FROM cfgs c CROSS JOIN agg a
+    """
+
+
+@register("dedup_band_sweep", oracle=_band_sweep_oracle())
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING tuning curve (round 8): measured
+    recall/precision per (n_bands, rows_per_band) layout of the same
+    8-hash MinHash signature, against the same complete exact-Jaccard
+    truth as dedup_recall_precision — the third axis of the measured-
+    quality story (thresholds: dedup_recall_precision; simhash radii:
+    simhash_recall_precision; probe widths: ann_recall_nprobe_sweep).
+    More bands = fewer rows per band = more permissive: an operator
+    retuning the banding trades shuffle volume (candidate count) for
+    recall, and this query prices that trade with data instead of the
+    s-curve formula.
+
+    Candidate sets are NESTED (a full band match at (2,4) implies both
+    constituent (4,2) bands match, etc.), so ONE join at the most
+    permissive layout (8 bands x 1 row = any matching hash) enumerates
+    every config's candidates; per-config membership is a boolean over
+    the pair's two signatures computed in that same join, and one
+    conditional-aggregate pass + a literal stack fans out the config
+    rows — no re-scan, no re-join per config (the
+    simhash_recall_precision shape).
+
+    Scale contract: the r=1 superset join is the quality CANARY, not
+    the production path (1-hash banding is deliberately promiscuous;
+    at 100 TB run it over a sampled stratum exactly like the other
+    recall queries). The per-config flags add zero shuffles — both
+    signatures are already in the joined row."""
+    k = dedup.N_MINHASH
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs, n_bands=k).select("doc_a", "doc_b")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"_a{j}") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"_b{j}") for j in range(k)],
+    )
+
+    def matched(nb: int):
+        rpb = k // nb
+        flag = F.lit(False)
+        for b in range(nb):
+            band = F.lit(True)
+            for r in range(rpb):
+                j = b * rpb + r
+                band = band & (F.col(f"_a{j}") == F.col(f"_b{j}"))
+            flag = flag | band
+        return flag
+
+    flagged = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *[matched(nb).alias(f"m{nb}") for nb in _BS_CONFIGS],
+        )
+    )
+    truth = dedup.exact_jaccard_pairs_inverted(docs, min_jaccard=_BS_TRUTH)
+    marked = truth.join(flagged, ["doc_a", "doc_b"], "full_outer")
+    is_truth = F.col("jaccard") >= F.lit(_BS_TRUTH)
+    aggs = [
+        F.coalesce(F.sum(F.when(is_truth, 1).otherwise(0)), F.lit(0)).alias(
+            "_n_truth"
+        )
+    ]
+    for nb in _BS_CONFIGS:
+        # truth-only rows carry NULL flags; when() sends NULL to
+        # otherwise(0), which IS their not-a-candidate semantics
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(f"m{nb}"), 1).otherwise(0)), F.lit(0)
+            ).alias(f"_nc{nb}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(f"m{nb}") & is_truth, 1).otherwise(0)),
+                F.lit(0),
+            ).alias(f"_tp{nb}")
+        )
+    stack_args = ", ".join(
+        f"CAST({nb} AS BIGINT), CAST({k // nb} AS BIGINT), _nc{nb}, _tp{nb}"
+        for nb in _BS_CONFIGS
+    )
+    per_cfg = marked.agg(*aggs).select(
+        F.expr(
+            f"stack({len(_BS_CONFIGS)}, {stack_args})"
+            " AS (n_bands, rows_per_band, n_candidates, n_true_positives)"
+        ),
+        "_n_truth",
+    )
+    return per_cfg.select(
+        "n_bands",
+        "rows_per_band",
+        F.col("_n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_true_positives").cast("bigint").alias("n_true_positives"),
+        F.when(
+            F.col("_n_truth") > 0,
+            F.col("n_true_positives").cast("double")
+            / F.col("_n_truth").cast("double"),
+        ).alias("band_recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_true_positives").cast("double")
+            / F.col("n_candidates").cast("double"),
+        ).alias("band_precision"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    bucket = _duck_hash48("'split-' || CAST(cluster_id AS VARCHAR)")
+    naive = _duck_hash48("'split-' || CAST(doc_id AS VARCHAR)")
+    case = (
+        "CASE WHEN {b} % 10000 < 9000 THEN 'train' "
+        "WHEN {b} % 10000 < 9500 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE {_cluster_ctes()},
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    assigned AS (
+      SELECT doc_id, cluster_id,
+             {case.format(b=bucket)} AS split,
+             {case.format(b=naive)} AS naive_split
+      FROM labeled
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rehomed
+    FROM assigned GROUP BY split
+    """
+
+
+@register("leakage_safe_split_assignment", oracle=_leakage_split_oracle())
+def leakage_safe_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE train/val/test split (round 8): every document
+    inherits its MinHash CLUSTER's split assignment (salted hash of the
+    cluster id, same 90/5/5 buckets as deterministic_split_assignment),
+    so two near-duplicate documents can never land on opposite sides
+    of the train/test boundary — the leakage a doc-level split permits
+    (a train doc whose near-copy sits in test inflates eval). The
+    guarantee is structural: split is a function of cluster_id alone.
+
+    Reports per split: docs, clusters, and ``n_rehomed`` — how many
+    docs the cluster guard MOVED relative to the naive doc-level
+    assignment (singletons have cluster_id = doc_id, so their
+    assignment is unchanged by construction; only true near-dup
+    members can rehome).
+
+    Scale: clusters come from the existing banded-LSH + components
+    path; the split decision adds one hash over the cluster id (rides
+    the scan, no shuffle), and the accounting is one groupBy over 3
+    split values with a per-split distinct-cluster count."""
+    from ..operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).filter(
+        F.col("est_similarity") >= 0.5
+    )
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+
+    def bucket(c):
+        return (
+            text.hash48(F.concat(F.lit("split-"), c.cast("string"))) % 10000
+        )
+
+    def split_of(b):
+        return (
+            F.when(b < 9000, "train").when(b < 9500, "val").otherwise("test")
+        )
+
+    assigned = clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_of(bucket(F.col("cluster_id"))).alias("split"),
+        split_of(bucket(F.col("doc_id"))).alias("_naive"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("split") != F.col("_naive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rehomed"),
+    )
+
+
+@register(
+    "heavy_hitters_countmin",
+    oracle=f"""
+    WITH occ AS (
+      SELECT t AS token
+      FROM (SELECT {_DUCK_WORDS} AS w FROM documents), UNNEST(w) AS u(t)
+    ),
+    cells AS (
+      SELECT token, j,
+             {_duck_hash48("'cm' || CAST(j AS VARCHAR) || ':' || token")}
+               % {sketches.CM_WIDTH} AS cell
+      FROM occ, UNNEST([{", ".join(str(j) for j in range(sketches.CM_DEPTH))}])
+           AS d(j)
+    ),
+    sketch AS (SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY j, cell),
+    topk AS (
+      SELECT token, COUNT(*) AS exact_n FROM occ
+      GROUP BY token ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT t.token, t.exact_n, j,
+             {_duck_hash48("'cm' || CAST(j AS VARCHAR) || ':' || t.token")}
+               % {sketches.CM_WIDTH} AS cell
+      FROM topk t,
+           UNNEST([{", ".join(str(j) for j in range(sketches.CM_DEPTH))}])
+           AS d(j)
+    )
+    SELECT p.token,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(s.cnt) AS BIGINT) AS est_n,
+           CAST(MIN(s.cnt) - p.exact_n AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON p.j = s.j AND p.cell = s.cell
+    GROUP BY p.token, p.exact_n
+    """,
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch with MEASURED overestimate (round 8 —
+    the mergeable-summary family's frequency member, beside the
+    distinct bitmaps and histogram quantiles): build the
+    {sketches.CM_DEPTH}x{sketches.CM_WIDTH} counter grid over every
+    token occurrence in one map-side-combinable pass, then estimate
+    the exact top-20 tokens' counts from the grid and emit
+    est - exact per token. Count-Min never under-estimates (each cell
+    = true count + non-negative collision mass), so overestimate >= 0
+    is a structural invariant riding the data, and its magnitude is
+    the measured collision error at this width — the number an
+    operator sizing the sketch for a 100 TB vocabulary scan actually
+    needs (operators/sketches.py).
+
+    Deterministic md5-salted hashes make the grid bit-identical in
+    both engines, so the oracle replays the sketch EXACTLY — an
+    approximate operator with an exact oracle, like _ivf_oracle.
+
+    Scale contract: the sketch shuffle carries at most depth*width
+    rows per partition at ANY corpus size (partial grids merge by
+    cell-wise addition — the Count-Min merge IS the combiner); the
+    probe broadcasts the ~1K-cell grid. The exact top-20 arm is the
+    canary that prices the error and is itself the canonical word
+    count (one row per distinct token per partition after map-side
+    combine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(text.tokens("text")).alias("token"))
+    sketch = sketches.countmin_sketch(occ)
+    topk = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(20)
+    )
+    return sketches.countmin_estimate(sketch, topk).select(
+        "token",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
 
 

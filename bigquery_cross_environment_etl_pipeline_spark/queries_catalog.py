@@ -102,13 +102,25 @@ _FORCE_WINDOW: list[str] = [
     # measured latency/quality trade (extends ann_recall_at_k's
     # single point)
     "ann_recall_nprobe_sweep",
+    # new this round, second batch: the LSH banding tuning curve
+    # (recall/precision per (n_bands, rows_per_band) layout vs the
+    # exact inverted-index truth — the third measured-quality axis),
+    # the Count-Min frequency sketch with measured overestimate, and
+    # the near-dup-cluster-aware train/val/test split (no cluster can
+    # span the train/test boundary)
+    "dedup_band_sweep",
+    "heavy_hitters_countmin",
+    "leakage_safe_split_assignment",
     # NOT forced: jdbc_roundtrip_rollup's r8 changes (write moved
-    # inside try/finally, empty-slice ValueError guard) and the
-    # exact_jaccard size-compat denominator guard alter only failure
-    # paths — bit-identical output on driver data, r7 greens attest.
-    # kept ≤3 on purpose (VERDICT r7 item 2): 8 queries' newest green
-    # evidence is still r2/r3; the oldest-green-first policy needs the
-    # remaining ~47 window slots to finish that refresh backlog.
+    # inside try/finally, empty-slice ValueError guard, bounds checked
+    # before the write) and the exact_jaccard size-compat denominator
+    # guard alter only failure paths — bit-identical output on driver
+    # data, r7 greens attest. Likewise the _minhash_sig_ctes /
+    # _cluster_ctes oracle factoring: generated SQL is semantically
+    # identical (sf0.001+sf0.01 parity re-verified this round).
+    # 7 forced + the 8 r2/r3 refresh stragglers still leaves ~35
+    # oldest-green-first slots in the 50-slot window (VERDICT r7
+    # item 2's backlog clears this round regardless).
 ]
 
 _STABLE_ORDER = [
