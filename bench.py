@@ -150,6 +150,11 @@ BENCH_QUERIES = [
     "dedup_band_sweep",
     "heavy_hitters_countmin",
     "leakage_safe_split_assignment",
+    # round-8 additions, third batch: temperature mixture targets,
+    # exact-k stratified sampling, JL projection distortion
+    "mixture_temperature_targets",
+    "bottomk_sample_per_type",
+    "embedding_projection_distortion",
 ]
 
 

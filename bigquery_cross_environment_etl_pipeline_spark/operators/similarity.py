@@ -116,6 +116,45 @@ def norm_expr(vec: str, dim: int = DIM) -> Column:
     return F.sqrt(dot_expr(vec, vec, dim))
 
 
+JL_OUT = 16  # random-projection output dimensionality (DIM -> JL_OUT)
+
+
+def jl_signs(dim_out: int = JL_OUT, dim_in: int = DIM) -> list[list[float]]:
+    """The ±1 Johnson-Lindenstrauss projection matrix, derived from md5
+    parity (Achlioptas 2003's database-friendly sign matrix) — a
+    deterministic literal table, identical in every engine, every run.
+    No 1/sqrt(dim_out) scaling: cosine is scale-invariant, and leaving
+    the rows unscaled keeps each component a pure ±sum of inputs."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1.0
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def jl_project(vec_col: str | Column, dim_out: int = JL_OUT) -> Column:
+    """Project an array<float> embedding to ``dim_out`` dims with the
+    deterministic sign matrix: component j is the strict left fold of
+    (element * sign) products — bitwise identical to the unrolled
+    ``t1 + t2 + ...`` chain the DuckDB oracle executes (the dot_expr
+    discipline). dim_out folds of DIM terms stay far under the codegen
+    limit; the projection is a pure column expression riding the scan."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    comps = []
+    for row in jl_signs(dim_out):
+        sarr = F.array(*[F.lit(s) for s in row])
+        prods = F.zip_with(c, sarr, lambda x, s: x.cast("double") * s)
+        comps.append(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
+    return F.array(*comps)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -1853,6 +1853,119 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, query_id=0, k=10)
 
 
+def _jl_proj_oracle_list(col: str) -> str:
+    """The 16 projection components as a DuckDB list literal — each an
+    unrolled left-assoc chain of (CAST(elem AS DOUBLE) * ±1.0) terms,
+    bitwise-equal to similarity.jl_project's strict folds."""
+    rows = similarity.jl_signs()
+    chains = []
+    for row in rows:
+        terms = " + ".join(
+            f"(CAST({col}[{i + 1}] AS DOUBLE) * {s!r})"
+            for i, s in enumerate(row)
+        )
+        chains.append(f"({terms})")
+    return "[" + ",\n             ".join(chains) + "]"
+
+
+def _duck_dot_n(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+
+
+@register(
+    "embedding_projection_distortion",
+    oracle=f"""
+    WITH elig AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {_emb_ok('embedding')}
+    ),
+    proj AS (
+      SELECT vec_id,
+             {_jl_proj_oracle_list('embedding')} AS p
+      FROM elig
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb, pa.p AS pa, pb.p AS pb
+      FROM elig a JOIN elig b ON b.vec_id = a.vec_id + 1
+      JOIN proj pa ON pa.vec_id = a.vec_id
+      JOIN proj pb ON pb.vec_id = b.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             ({_duck_dot('ea', 'eb')}) /
+               (sqrt({_duck_dot('ea', 'ea')}) * sqrt({_duck_dot('eb', 'eb')}))
+               AS cos_orig,
+             ({_duck_dot_n('pa', 'pb', similarity.JL_OUT)}) /
+               (sqrt({_duck_dot_n('pa', 'pa', similarity.JL_OUT)})
+                * sqrt({_duck_dot_n('pb', 'pb', similarity.JL_OUT)}))
+               AS cos_proj
+      FROM pairs
+    )
+    SELECT vec_a, vec_b, cos_orig, cos_proj,
+           abs(cos_proj - cos_orig) AS abs_distortion
+    FROM scored
+    """,
+)
+def embedding_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with MEASURED distortion
+    (round 8): embeddings are projected {similarity.DIM} -> 16 dims
+    through a deterministic ±1 sign matrix (Achlioptas-style,
+    md5-parity literals — similarity.jl_project) and the query emits,
+    for every adjacent-id probe pair, the original cosine, the
+    projected cosine, and |Δ| — the measured price of a 4× cheaper
+    pre-filter representation, alongside the PQ/int8 members of the
+    compression family (ann_topk_pq_adc, embedding_quantize_int8).
+    Adjacent-id pairing is a deterministic unbiased pair sample (ids
+    are uncorrelated with geometry), so the distortion distribution is
+    measured on typical pairs, not selected ones.
+
+    Cross-engine exactness: each projected component is a strict left
+    fold of (element × ±1.0) products (bitwise equal to the oracle's
+    unrolled chain — the dot_expr discipline), cosines are
+    fixed-order chains with single IEEE sqrt/divisions, so even the
+    float distortion values hash identically.
+
+    Scale: the projection is a column expression riding the scan (no
+    shuffle, no index); the pair join is id-adjacent (equi-join after
+    one shuffle, or zero with id-bucketed layout). A production
+    pre-filter would persist the 16-dim vectors and verify survivors
+    with full-dim cosine — the candidates-then-verify shape every
+    similarity family here uses."""
+    emb = _load_emb(spark, sf_dir)
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.jl_project("embedding").alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "vec_a")
+    cos_orig = similarity.dot_expr("ea", "eb") / (
+        F.sqrt(similarity.dot_expr("ea", "ea"))
+        * F.sqrt(similarity.dot_expr("eb", "eb"))
+    )
+    cos_proj = similarity.dot_expr("pa", "pb") / (
+        F.sqrt(similarity.dot_expr("pa", "pa"))
+        * F.sqrt(similarity.dot_expr("pb", "pb"))
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        cos_orig.alias("cos_orig"),
+        cos_proj.alias("cos_proj"),
+        F.abs(cos_proj - cos_orig).alias("abs_distortion"),
+    )
+
+
 @register("embedding_cosine_neardup", oracle=_emb_lsh_verified_oracle(0.3))
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine > 0.3) via banded hyperplane-LSH
@@ -2637,6 +2750,147 @@ def deterministic_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_b") < F.col("rate_bp"))
         .drop("_b")
+    )
+
+
+_MIX_ALPHA_BUDGET = 1_000_000  # token budget distributed by the weights
+_MIX_Q20 = 1 << 20  # fixed-point scale for the sqrt weights
+
+
+@register(
+    "mixture_temperature_targets",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_Q20})
+                  AS BIGINT) AS weight_q20
+      FROM per_src
+    ),
+    tot AS (SELECT CAST(SUM(weight_q20) AS BIGINT) AS denom FROM weighted)
+    SELECT source, n_tokens, weight_q20,
+           CAST(({_MIX_ALPHA_BUDGET} * weight_q20) // denom AS BIGINT)
+             AS target_tokens,
+           ({_MIX_ALPHA_BUDGET} * weight_q20) // denom > n_tokens AS upsampled
+    FROM weighted, tot
+    """,
+)
+def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (round 8 — the domain-
+    reweighting step between corpus stats and sampling): each source's
+    share of a fixed token budget is proportional to n_tokens^alpha
+    with alpha = 1/2, the standard temperature flattening that
+    up-weights small domains relative to proportional sampling
+    (multilingual/multi-domain LM training's T=2 heuristic). Emits per
+    source: measured tokens, the Q20 fixed-point weight, its integer
+    token target, and whether meeting the target requires UPSAMPLING
+    (target > available — exactly the sources temperature flattening
+    exists to boost).
+
+    Cross-engine exactness without trusting float summation order:
+    sqrt of an int64-exact double is a SINGLE correctly-rounded IEEE
+    op (bit-identical in Spark and DuckDB), immediately pinned to
+    integer via floor(sqrt(n) * 2^20); every downstream step —
+    the weight-sum denominator, the budget split — is pure int64
+    (order-free SUM, integer DIV), the same Q-format discipline as
+    embedding_label_centroids.
+
+    Scale: per-source token counts partial-aggregate map-side (one row
+    per source per partition); everything after is arithmetic on a
+    source-count-sized relation (~tens of rows at any corpus size —
+    the unpartitioned weight-sum window is bounded by that, never by
+    data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(text.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    weighted = per_src.withColumn(
+        "weight_q20",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(_MIX_Q20)
+        ).cast("bigint"),
+    )
+    # source-count-sized relation: the global window is O(#sources)
+    with_denom = weighted.withColumn(
+        "_denom", F.sum("weight_q20").over(W.partitionBy(F.lit(1)))
+    )
+    target = F.expr(f"({_MIX_ALPHA_BUDGET} * weight_q20) DIV _denom")
+    return with_denom.select(
+        "source",
+        "n_tokens",
+        "weight_q20",
+        target.cast("bigint").alias("target_tokens"),
+        (target > F.col("n_tokens")).alias("upsampled"),
+    )
+
+
+_RESERVOIR_K = 5
+
+
+@register(
+    "bottomk_sample_per_type",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {_duck_hash48("'res-' || CAST(event_id AS VARCHAR)")},
+                        event_id
+             ) AS sample_rank
+      FROM eligible
+    )
+    SELECT event_id, event_type, value,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_RESERVOIR_K}
+    """,
+)
+def bottomk_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE stratified sampling (round 8): the bottom-k-by-
+    salted-hash sample — every stratum contributes exactly
+    min(k, stratum size) rows, the distributed equivalent of per-group
+    reservoir sampling but DETERMINISTIC (rank by a salted hash of the
+    row id, not an RNG), so the sample is stable across engines, runs,
+    and partitionings, and is INCREMENTALLY CONSISTENT: a new row
+    enters the sample only by displacing the current max-hash member,
+    never by reshuffling survivors — the property that lets a
+    monitoring/eval-carving sample be maintained incrementally.
+    Complements the rate-based stratified_sample_by_type (admission by
+    hash < rate gives Binomial-sized strata; bottom-k gives exactly k
+    — what fixed-size eval sets and per-stratum debugging need).
+
+    NULL event_ids are excluded on both engines (their hash is NULL
+    and NULL ordering diverges between engines — the standard NOT NULL
+    ordering contract); a NULL event_type is a legitimate stratum.
+
+    Scale: row_number <= k over each stratum — per-group sort after
+    one shuffle on the stratum key; with k constant the window emits k
+    rows per group and AQE handles stratum skew. For very hot strata
+    the two-phase refinement (per-partition bottom-k first, then
+    global) drops the sort input to partitions*k rows — the
+    min_by/TakeOrdered shape, noted here as the 100 TB variant."""
+    events = load_table(spark, sf_dir, "events")
+    h = text.hash48(
+        F.concat(F.lit("res-"), F.col("event_id").cast("string"))
+    )
+    win = W.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        events.filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(win).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= _RESERVOIR_K)
     )
 
 

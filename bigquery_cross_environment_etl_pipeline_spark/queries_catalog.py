@@ -111,6 +111,13 @@ _FORCE_WINDOW: list[str] = [
     "dedup_band_sweep",
     "heavy_hitters_countmin",
     "leakage_safe_split_assignment",
+    # new this round, third batch: temperature mixture reweighting
+    # (n^alpha domain weights in exact Q20 fixed-point), exact-size
+    # bottom-k-by-hash stratified sampling, and JL random projection
+    # with per-pair measured cosine distortion
+    "mixture_temperature_targets",
+    "bottomk_sample_per_type",
+    "embedding_projection_distortion",
     # NOT forced: jdbc_roundtrip_rollup's r8 changes (write moved
     # inside try/finally, empty-slice ValueError guard, bounds checked
     # before the write) and the exact_jaccard size-compat denominator
@@ -118,7 +125,7 @@ _FORCE_WINDOW: list[str] = [
     # data, r7 greens attest. Likewise the _minhash_sig_ctes /
     # _cluster_ctes oracle factoring: generated SQL is semantically
     # identical (sf0.001+sf0.01 parity re-verified this round).
-    # 7 forced + the 8 r2/r3 refresh stragglers still leaves ~35
+    # 10 forced + the 8 r2/r3 refresh stragglers still leaves ~32
     # oldest-green-first slots in the 50-slot window (VERDICT r7
     # item 2's backlog clears this round regardless).
 ]

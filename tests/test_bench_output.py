@@ -52,8 +52,12 @@ def test_calibration_field_rides_the_line():
     cal = bench.calibrate(samples=1)
     assert cal["spin_sec"] > 0
     assert cal["quiet_sec"] == bench.CALIBRATION_QUIET_SEC
+    # loaded is judged on the WORSE of the single- and multi-core
+    # factors (ADVICE r6: an mt-only load must not read as quiet);
+    # asserting only the single-core factor raced real background load
     assert cal["loaded"] == (
-        cal["load_factor"] > bench.CALIBRATION_LOADED_FACTOR
+        max(cal["load_factor"], cal["load_factor_mt"])
+        > bench.CALIBRATION_LOADED_FACTOR
     )
     line, detail = bench.compose_output(
         *_mk(200), "/root/testdata/sf0.1", cal
