@@ -125,8 +125,6 @@ def jl_signs(dim_out: int = JL_OUT, dim_in: int = DIM) -> list[list[float]]:
     deterministic literal table, identical in every engine, every run.
     No 1/sqrt(dim_out) scaling: cosine is scale-invariant, and leaving
     the rows unscaled keeps each component a pure ±sum of inputs."""
-    import hashlib
-
     return [
         [
             1.0

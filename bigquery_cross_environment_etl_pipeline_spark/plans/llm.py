@@ -1868,10 +1868,6 @@ def _jl_proj_oracle_list(col: str) -> str:
     return "[" + ",\n             ".join(chains) + "]"
 
 
-def _duck_dot_n(a: str, b: str, dim: int) -> str:
-    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
-
-
 @register(
     "embedding_projection_distortion",
     oracle=f"""
@@ -1895,10 +1891,13 @@ def _duck_dot_n(a: str, b: str, dim: int) -> str:
              ({_duck_dot('ea', 'eb')}) /
                (sqrt({_duck_dot('ea', 'ea')}) * sqrt({_duck_dot('eb', 'eb')}))
                AS cos_orig,
-             ({_duck_dot_n('pa', 'pb', similarity.JL_OUT)}) /
-               (sqrt({_duck_dot_n('pa', 'pa', similarity.JL_OUT)})
-                * sqrt({_duck_dot_n('pb', 'pb', similarity.JL_OUT)}))
-               AS cos_proj
+             CASE WHEN ({_duck_dot('pa', 'pa', similarity.JL_OUT)}) > 0
+                   AND ({_duck_dot('pb', 'pb', similarity.JL_OUT)}) > 0
+             THEN
+             ({_duck_dot('pa', 'pb', similarity.JL_OUT)}) /
+               (sqrt({_duck_dot('pa', 'pa', similarity.JL_OUT)})
+                * sqrt({_duck_dot('pb', 'pb', similarity.JL_OUT)}))
+             END AS cos_proj
       FROM pairs
     )
     SELECT vec_a, vec_b, cos_orig, cos_proj,
@@ -1953,9 +1952,19 @@ def embedding_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFra
         F.sqrt(similarity.dot_expr("ea", "ea"))
         * F.sqrt(similarity.dot_expr("eb", "eb"))
     )
-    cos_proj = similarity.dot_expr("pa", "pb") / (
-        F.sqrt(similarity.dot_expr("pa", "pa"))
-        * F.sqrt(similarity.dot_expr("pb", "pb"))
+    # eligibility guards the ORIGINAL vectors, but the 16x64 sign
+    # matrix has a 48-dim kernel: an eligible embedding can project to
+    # the exact zero vector, whose cosine is 0/0. Undefined cosines
+    # must be NULL identically on both engines (the
+    # embedding_eligible contract, re-applied at the projected stage).
+    cos_proj = F.when(
+        (similarity.dot_expr("pa", "pa") > F.lit(0.0))
+        & (similarity.dot_expr("pb", "pb") > F.lit(0.0)),
+        similarity.dot_expr("pa", "pb")
+        / (
+            F.sqrt(similarity.dot_expr("pa", "pa"))
+            * F.sqrt(similarity.dot_expr("pb", "pb"))
+        ),
     )
     return pairs.select(
         "vec_a",
@@ -2762,8 +2771,7 @@ _MIX_Q20 = 1 << 20  # fixed-point scale for the sqrt weights
     oracle=f"""
     WITH per_src AS (
       SELECT source,
-             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
-                  AS BIGINT) AS n_tokens
+             CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     weighted AS (
@@ -2772,12 +2780,16 @@ _MIX_Q20 = 1 << 20  # fixed-point scale for the sqrt weights
                   AS BIGINT) AS weight_q20
       FROM per_src
     ),
-    tot AS (SELECT CAST(SUM(weight_q20) AS BIGINT) AS denom FROM weighted)
-    SELECT source, n_tokens, weight_q20,
-           CAST(({_MIX_ALPHA_BUDGET} * weight_q20) // denom AS BIGINT)
-             AS target_tokens,
-           ({_MIX_ALPHA_BUDGET} * weight_q20) // denom > n_tokens AS upsampled
-    FROM weighted, tot
+    tot AS (SELECT CAST(SUM(weight_q20) AS BIGINT) AS denom FROM weighted),
+    split AS (
+      SELECT source, n_tokens, weight_q20,
+             CAST((CAST({_MIX_ALPHA_BUDGET} AS HUGEINT) * weight_q20) // denom
+                  AS BIGINT) AS target_tokens
+      FROM weighted, tot
+    )
+    SELECT source, n_tokens, weight_q20, target_tokens,
+           target_tokens > n_tokens AS upsampled
+    FROM split
     """,
 )
 def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2819,12 +2831,20 @@ def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_denom = weighted.withColumn(
         "_denom", F.sum("weight_q20").over(W.partitionBy(F.lit(1)))
     )
-    target = F.expr(f"({_MIX_ALPHA_BUDGET} * weight_q20) DIV _denom")
+    # budget * weight through DECIMAL(38,0): Spark bigint * bigint
+    # wraps silently while DuckDB raises, so the product must be
+    # widened on BOTH sides (HUGEINT in the oracle). DECIMAL DIV ==
+    # HUGEINT // (the pagerank idiom); the quotient is <= budget, so
+    # the bigint cast of the RESULT is always safe.
+    target = F.expr(
+        f"CAST((CAST({_MIX_ALPHA_BUDGET} AS DECIMAL(38,0)) * weight_q20)"
+        " DIV _denom AS BIGINT)"
+    )
     return with_denom.select(
         "source",
         "n_tokens",
         "weight_q20",
-        target.cast("bigint").alias("target_tokens"),
+        target.alias("target_tokens"),
         (target > F.col("n_tokens")).alias("upsampled"),
     )
 

@@ -49,28 +49,43 @@ def test_bottomk_growth_only_displaces(spark):
     assert (before - after == set()) == (999 not in after)
 
 
-def test_mixture_temperature_flattens_toward_small_sources(spark):
+def test_mixture_temperature_flattens_toward_small_sources(spark, tmp_path):
     """alpha=1/2 gives a small source MORE than its proportional share
-    and a big source LESS — the point of temperature reweighting; the
-    integer Q20 pipeline must preserve that ordering."""
+    and a big source LESS — the point of temperature reweighting.
+    Driven through the REGISTERED plan (a temp documents.parquet fed
+    to the query), so a regression anywhere in the Spark expression
+    chain — Q-scale constant, DIV vs /, the upsampled comparison —
+    fails here, not only at oracle-parity time."""
+    # corpus larger than the 1M-token budget, 9:1 across sources, so
+    # the big source is NOT upsampled while the flattened small one is
+    chunk = " ".join(["w"] * 100_000)
+    rows = [(i, "big", chunk) for i in range(9)] + [(9, "small", chunk)]
     docs = spark.createDataFrame(
-        [(1, "big", " ".join(["w"] * 900)), (2, "small", " ".join(["w"] * 100))],
-        "doc_id long, source string, text string",
+        rows, "doc_id long, source string, text string"
     )
-    from bigquery_cross_environment_etl_pipeline_spark.operators import text
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
 
-    per = docs.groupBy("source").agg(
-        F.sum(text.token_count("text")).cast("bigint").alias("n")
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        mixture_temperature_targets,
     )
-    rows = {r["source"]: r["n"] for r in per.collect()}
-    assert rows == {"big": 900, "small": 100}
-    w = {s: math.floor(math.sqrt(n) * (1 << 20)) for s, n in rows.items()}
-    denom = sum(w.values())
-    budget = 1_000_000
-    share = {s: budget * w[s] // denom for s in w}
+
+    out = {
+        r["source"]: r
+        for r in mixture_temperature_targets(spark, sf_dir).collect()
+    }
+    assert out["big"]["n_tokens"] == 900_000
+    assert out["small"]["n_tokens"] == 100_000
+    # the plan's weights must equal the reference Q20 arithmetic
+    for s, n in (("big", 900_000), ("small", 100_000)):
+        assert out[s]["weight_q20"] == math.floor(math.sqrt(n) * (1 << 20))
     # proportional would be 900k/100k; sqrt flattening moves both
-    # toward the middle
-    assert share["big"] < 900_000
-    assert share["small"] > 100_000
-    # and the small source needs upsampling to hit its target
-    assert share["small"] > rows["small"]
+    # toward the middle (3:1 instead of 9:1), and only the small
+    # source needs upsampling
+    assert out["big"]["target_tokens"] == 750_000
+    assert out["small"]["target_tokens"] == 249_999
+    assert out["small"]["upsampled"] is True
+    assert out["big"]["upsampled"] is False
+    # the split exhausts the budget up to integer-division remainder
+    total = out["big"]["target_tokens"] + out["small"]["target_tokens"]
+    assert 999_998 <= total <= 1_000_000
