@@ -83,16 +83,36 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    # bounded memory + spill dir + one fresh-connection retry on OOM:
+    # DuckDB's default budget (80% of RAM) ignores the Spark JVM
+    # sharing the box, and a single hard malloc failure mid-sweep
+    # otherwise poisons every later oracle (see tools/edge_fixture.py)
+    import tempfile
 
+    spill = tempfile.mkdtemp(prefix="arrow_replay_spill_")
+
+    def fresh_con():
+        c = duckdb.connect(
+            config={"memory_limit": "24GB", "temp_directory": spill}
+        )
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
     fails: list[str] = []
     errs: list[str] = []
     for i, name in enumerate(names):
         try:
             pdf = qs[name](spark, args.sf).toPandas()
-            opdf = con.sql(osql[name]).fetch_arrow_table().to_pandas()
+            try:
+                opdf = con.sql(osql[name]).fetch_arrow_table().to_pandas()
+            except Exception as ex:  # noqa: BLE001 — OOM gets one retry
+                if "emory" not in str(ex):
+                    raise
+                con.close()
+                con = fresh_con()
+                opdf = con.sql(osql[name]).fetch_arrow_table().to_pandas()
             ok_schema = sorted(pdf.columns) == sorted(opdf.columns)
             a, b = canon(pdf), canon(opdf)
             if ok_schema and a == b:

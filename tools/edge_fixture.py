@@ -183,11 +183,27 @@ def replay(dest: str, only: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     q, o = e.queries(), e.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{dest}/{t}.parquet'"
+
+    # Bound DuckDB's memory and give it a spill directory: its default
+    # budget (80% of detected RAM) ignores the Spark JVM sharing the
+    # box, and over a 200+ query replay the heavy canary oracles
+    # (recursive CTEs, all-pairs truth arms) hit a hard malloc failure
+    # instead of spilling — one such OOM then cascaded into 23
+    # consecutive one-sided 'errors' in the round-8 full replay. A
+    # bounded limit makes DuckDB go out-of-core instead; a fresh
+    # connection per retry clears any poisoned allocator state.
+    def fresh_con():
+        c = duckdb.connect(
+            config={
+                "memory_limit": "24GB",
+                "temp_directory": os.path.join(dest, ".duck_spill"),
+            }
         )
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dest}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
     names = only or sorted(o)
     fails, loud_both = 0, 0
     for name in names:
@@ -203,18 +219,26 @@ def replay(dest: str, only: list[str] | None = None) -> int:
             )
         except Exception as ex:
             s_err = str(ex)[:200]
-        try:
-            res = con.sql(o[name])
-            dc = list(res.columns)
-            if s is not None:
-                idx = [dc.index(c) for c in cols]
-            else:
-                idx = list(range(len(dc)))
-            d = sorted(
-                tuple(repr(r[i]) for i in idx) for r in res.fetchall()
-            )
-        except Exception as ex:
-            d_err = str(ex)[:200]
+        for attempt in (0, 1):
+            d_err = None
+            try:
+                res = con.sql(o[name])
+                dc = list(res.columns)
+                if s is not None:
+                    idx = [dc.index(c) for c in cols]
+                else:
+                    idx = list(range(len(dc)))
+                d = sorted(
+                    tuple(repr(r[i]) for i in idx) for r in res.fetchall()
+                )
+                break
+            except Exception as ex:
+                d_err = str(ex)[:200]
+                if attempt == 0 and "emory" in d_err:
+                    con.close()
+                    con = fresh_con()
+                    continue
+                break
         if s_err and d_err:
             # both engines refuse the edge rows LOUDLY — an acceptable
             # (documented) contract: no silent wrong answer is possible

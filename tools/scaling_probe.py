@@ -101,6 +101,18 @@ PROBE_QUERIES = [
     # (write + ranged-read cost must scale linearly with the slice)
     "dedup_recall_precision",
     "jdbc_roundtrip_rollup",
+    # round-8 additions: the two new quality canaries (banding sweep's
+    # r=1 superset join and the simhash truth arm — both priced like
+    # dedup_recall_precision), the Count-Min grid (shuffle must stay
+    # flat at depth*width), sequence packing (two-phase prefix sum),
+    # the cluster-aware split (components on top of banding), and the
+    # JL projection (scan-bound: ratio should track input size)
+    "dedup_band_sweep",
+    "simhash_recall_precision",
+    "heavy_hitters_countmin",
+    "corpus_sequence_packing",
+    "leakage_safe_split_assignment",
+    "embedding_projection_distortion",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
