@@ -24,8 +24,9 @@ Run it per-round alongside the edge replay:
     python tools/arrow_replay.py                 # full catalog, sf0.001
     python tools/arrow_replay.py --sf /root/testdata/sf0.01 q1 q2
 
-Round-8 baseline: 204/204 green at sf0.001 and the four new/changed
-queries green at sf0.01.
+Round-8 baseline: full catalog green at sf0.001 (204/204 before the
+round's additions, 210/210 after) and every new/changed query green
+at sf0.01.
 """
 
 from __future__ import annotations
@@ -36,12 +37,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-import duckdb  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ siblings
 
 from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (  # noqa: E402
     TABLES,
 )
+
+from _duck import BoundedOracle  # noqa: E402 — tools/ sibling module
 
 
 def canon(pdf):
@@ -83,54 +85,41 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # bounded memory + spill dir + one fresh-connection retry on OOM:
-    # DuckDB's default budget (80% of RAM) ignores the Spark JVM
-    # sharing the box, and a single hard malloc failure mid-sweep
-    # otherwise poisons every later oracle (see tools/edge_fixture.py)
-    import tempfile
-
-    spill = tempfile.mkdtemp(prefix="arrow_replay_spill_")
-
-    def fresh_con():
-        c = duckdb.connect(
-            config={"memory_limit": "24GB", "temp_directory": spill}
-        )
-        for t in TABLES:
-            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
-        return c
-
-    con = fresh_con()
     fails: list[str] = []
     errs: list[str] = []
-    for i, name in enumerate(names):
-        try:
-            pdf = qs[name](spark, args.sf).toPandas()
+    # bounded-memory DuckDB with spill + OOM retry — the shared policy
+    # (tools/_duck.py) both replay tools use
+    with BoundedOracle(args.sf, TABLES) as ora:
+        for i, name in enumerate(names):
             try:
-                opdf = con.sql(osql[name]).fetch_arrow_table().to_pandas()
-            except Exception as ex:  # noqa: BLE001 — OOM gets one retry
-                if "emory" not in str(ex):
-                    raise
-                con.close()
-                con = fresh_con()
-                opdf = con.sql(osql[name]).fetch_arrow_table().to_pandas()
-            ok_schema = sorted(pdf.columns) == sorted(opdf.columns)
-            a, b = canon(pdf), canon(opdf)
-            if ok_schema and a == b:
-                print(f"ok {i + 1}/{len(names)} {name}", flush=True)
-            else:
-                fails.append(name)
+                pdf = qs[name](spark, args.sf).toPandas()
+                opdf = ora.run(
+                    lambda c, sql=osql[name]: c.sql(sql)
+                    .fetch_arrow_table()
+                    .to_pandas()
+                )
+                ok_schema = sorted(pdf.columns) == sorted(opdf.columns)
+                a, b = canon(pdf), canon(opdf)
+                if ok_schema and a == b:
+                    print(f"ok {i + 1}/{len(names)} {name}", flush=True)
+                else:
+                    fails.append(name)
+                    print(
+                        f"FAIL {name}: rows {len(a)}/{len(b)}"
+                        f" schema={ok_schema}",
+                        flush=True,
+                    )
+                    for x, y in zip(a, b):
+                        if x != y:
+                            print("  spark :", str(x)[:400])
+                            print("  oracle:", str(y)[:400])
+                            break
+            except Exception as ex:  # noqa: BLE001 — report and continue
+                errs.append(name)
                 print(
-                    f"FAIL {name}: rows {len(a)}/{len(b)} schema={ok_schema}",
+                    f"ERR {name}: {type(ex).__name__}: {str(ex)[:300]}",
                     flush=True,
                 )
-                for x, y in zip(a, b):
-                    if x != y:
-                        print("  spark :", str(x)[:400])
-                        print("  oracle:", str(y)[:400])
-                        break
-        except Exception as ex:  # noqa: BLE001 — report and continue
-            errs.append(name)
-            print(f"ERR {name}: {type(ex).__name__}: {str(ex)[:300]}", flush=True)
 
     print("FAILS:", fails)
     print("ERRS:", errs)

@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ siblings
 
 SRC = "/root/testdata/sf0.001"
 DEST = os.path.join(REPO, ".edge_sf")
@@ -171,10 +172,10 @@ def build(dest: str = DEST) -> str:
 
 
 def replay(dest: str, only: list[str] | None = None) -> int:
-    import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
+    from _duck import BoundedOracle
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -184,26 +185,11 @@ def replay(dest: str, only: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     q, o = e.queries(), e.oracle_sql()
 
-    # Bound DuckDB's memory and give it a spill directory: its default
-    # budget (80% of detected RAM) ignores the Spark JVM sharing the
-    # box, and over a 200+ query replay the heavy canary oracles
-    # (recursive CTEs, all-pairs truth arms) hit a hard malloc failure
-    # instead of spilling — one such OOM then cascaded into 23
-    # consecutive one-sided 'errors' in the round-8 full replay. A
-    # bounded limit makes DuckDB go out-of-core instead; a fresh
-    # connection per retry clears any poisoned allocator state.
-    def fresh_con():
-        c = duckdb.connect(
-            config={
-                "memory_limit": "24GB",
-                "temp_directory": os.path.join(dest, ".duck_spill"),
-            }
-        )
-        for t in TABLES:
-            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dest}/{t}.parquet'")
-        return c
-
-    con = fresh_con()
+    # bounded-memory DuckDB with spill + OOM retry — the shared policy
+    # (tools/_duck.py) both replay tools use; a round-8 full replay
+    # without it saw ONE canary-oracle malloc failure cascade into 23
+    # consecutive one-sided 'errors'
+    ora = BoundedOracle(dest, TABLES)
     names = only or sorted(o)
     fails, loud_both = 0, 0
     for name in names:
@@ -219,26 +205,22 @@ def replay(dest: str, only: list[str] | None = None) -> int:
             )
         except Exception as ex:
             s_err = str(ex)[:200]
-        for attempt in (0, 1):
-            d_err = None
-            try:
-                res = con.sql(o[name])
-                dc = list(res.columns)
-                if s is not None:
-                    idx = [dc.index(c) for c in cols]
-                else:
-                    idx = list(range(len(dc)))
-                d = sorted(
-                    tuple(repr(r[i]) for i in idx) for r in res.fetchall()
-                )
-                break
-            except Exception as ex:
-                d_err = str(ex)[:200]
-                if attempt == 0 and "emory" in d_err:
-                    con.close()
-                    con = fresh_con()
-                    continue
-                break
+
+        def duck_rows(c, sql=o[name], have_spark=s is not None):
+            res = c.sql(sql)
+            dc = list(res.columns)
+            if have_spark:
+                idx = [dc.index(x) for x in cols]
+            else:
+                idx = list(range(len(dc)))
+            return sorted(
+                tuple(repr(r[i]) for i in idx) for r in res.fetchall()
+            )
+
+        try:
+            d = ora.run(duck_rows)
+        except Exception as ex:
+            d_err = str(ex)[:200]
         if s_err and d_err:
             # both engines refuse the edge rows LOUDLY — an acceptable
             # (documented) contract: no silent wrong answer is possible
@@ -261,6 +243,7 @@ def replay(dest: str, only: list[str] | None = None) -> int:
                     print("  only-spark:", x)
                 for x in list(dd - ss)[:2]:
                     print("  only-duck :", x)
+    ora.close()
     print(
         f"edge replay: {len(names)} queries, {fails} silent divergences,"
         f" {loud_both} loud-on-both (acceptable)"
