@@ -155,6 +155,11 @@ BENCH_QUERIES = [
     "mixture_temperature_targets",
     "bottomk_sample_per_type",
     "embedding_projection_distortion",
+    # round-8 additions, fourth batch: ORC sink/source round-trip
+    # (streaming_full_outer_join_nulls stays unbenched like the other
+    # multi-batch streaming replays — their wall time is dominated by
+    # micro-batch scheduling, not data-path work)
+    "orc_roundtrip_rollup",
 ]
 
 

@@ -2294,6 +2294,107 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_full_outer_join_nulls",
+    oracle="""
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL
+            AND ts > TIMESTAMP '1970-01-01'
+            AND user_id IS NOT NULL) l
+    FULL JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL
+                 AND ts > TIMESTAMP '1970-01-01'
+                 AND user_id IS NOT NULL) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_full_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join (round 8 — completes the
+    inner/left/full join-mode matrix): clicks pair with same-user
+    purchases in the following hour; an unmatched CLICK emits with
+    NULL purchase columns once the watermark passes its match horizon
+    (ts + 1h), and an unmatched PURCHASE emits with NULL click columns
+    once the watermark passes ITS horizon — which is just its own ts,
+    since a partner click must precede it. Both null-emission state
+    machines run in one query, which is exactly what the left-outer
+    variant cannot exercise.
+
+    Same determinism layout as streaming_left_outer_join_nulls (batch
+    0 = all real rows, two trailing dynamic advancer-sentinel batches
+    on both sides; eviction emits a batch AFTER the watermark
+    advance); the purchase horizon (ts) is strictly earlier than the
+    click horizon (ts + 1h), so advancers sized for the clicks flush
+    both sides. Sentinels match each other across sides by design
+    (same key/ts) and are excluded by the user_id >= 0 filter; NULL
+    join keys and epoch timestamps are excluded on both engines by
+    the same contract as the left-outer query. With every unmatched
+    row flushed the stream output equals the batch FULL JOIN exactly —
+    the oracle."""
+    import datetime as _dt
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import (
+        read_stream,
+        stream_stream_interval_join,
+        write_microbatches,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        & F.col("user_id").isNotNull()
+    )
+    sides = {
+        "l": events.filter(F.col("event_type") == "click"),
+        "r": events.filter(F.col("event_type") == "purchase"),
+    }
+    max_str = events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+    ).first()[0]
+    base = (
+        _dt.datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S")
+        if max_str
+        else _dt.datetime(2000, 1, 1)
+    )
+    adv1 = base + _dt.timedelta(hours=3, minutes=1)
+    adv2 = adv1 + _dt.timedelta(days=1)
+    name = f"fojoin_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="stream_fojoin_") as tmp:
+        for tag, df in sides.items():
+            sentinel = lambda ts: spark.createDataFrame(
+                [(-1, ts, -1)], "user_id long, ts string, event_id long"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            write_microbatches(
+                [
+                    df.select("user_id", "ts", "event_id"),
+                    sentinel(adv1.strftime("%Y-%m-%d %H:%M:%S")),
+                    sentinel(adv2.strftime("%Y-%m-%d %H:%M:%S")),
+                ],
+                f"{tmp}/{tag}",
+            )
+        schema = spark.read.parquet(f"{tmp}/l").schema
+        joined = stream_stream_interval_join(
+            read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),
+            read_stream(spark, f"{tmp}/r", schema, max_files_per_trigger=1),
+            key="user_id",
+            interval="1 hour",
+            how="full_outer",
+        ).select(
+            F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        _drain_memory_sink(joined, name)
+    return spark.sql(
+        f"SELECT user_id, click_id, purchase_id FROM {name} WHERE user_id >= 0"
+    )
+
+
+@register(
     "streaming_topk_trending",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
@@ -2781,6 +2882,98 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "o_orderstatus string, n_orders bigint, total_price double,"
         " n_read_partitions bigint, filter_pushed boolean",
+    )
+
+
+# --- ORC sink/source round-trip ----------------------------------------------
+@register(
+    "orc_roundtrip_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(4 AS BIGINT) AS n_orc_files,
+           TRUE AS filter_pushed
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    GROUP BY o_orderstatus
+    """,
+)
+def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format coverage beyond parquet (round 8): a
+    deterministic orders slice round-trips through Spark's native ORC
+    sink and source — written as exactly 4 files (repartition(4), the
+    write-parallelism knob a 1000-executor job turns), read back with
+    a range predicate that must compile into the ORC reader's
+    PushedFilters (row-group skipping at the stripe level, ORC's
+    analog of parquet footer pruning), and rolled up per status at
+    DECIMAL(18,4) exactness. The oracle computes the same rollup from
+    the parquet source, so the hash proves BYTE FIDELITY through
+    write -> ORC -> pushed-down read; two format facts ride the result
+    as pinned columns (file count, pushdown). Same shape as
+    jdbc_roundtrip_rollup — the connector contract applied to a file
+    format instead of a protocol.
+
+    Bounded driver work: one ≤#statuses-row collect before the
+    TemporaryDirectory exits; the pushdown probe inspects the plan
+    string, not data."""
+    import os as _os
+    import re
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    bounds = orders.agg(F.min("o_orderkey").alias("lo")).first()
+    if bounds["lo"] is None:
+        raise ValueError(
+            "orc_roundtrip_rollup: the o_orderkey % 10 == 3 slice of "
+            "orders is empty at this SF; the pushed range predicate "
+            "needs a non-empty written slice"
+        )
+    lo = int(bounds["lo"])
+    with tempfile.TemporaryDirectory(prefix="orc_rt_") as tmp:
+        path = f"{tmp}/orders_orc"
+        orders.repartition(4).write.orc(path)
+        back = spark.read.orc(path)
+        n_files = sum(
+            1 for f in _os.listdir(path) if f.endswith(".orc")
+        )
+        # the range predicate covers the whole slice (>= its min), so
+        # the rollup result is unchanged WHILE proving the pushdown
+        # path: the filter must appear in the ORC scan's PushedFilters
+        filtered = back.filter(F.col("o_orderkey") >= F.lit(lo))
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        pushed = bool(
+            re.search(
+                r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderkey",
+                plan,
+                re.IGNORECASE,
+            )
+        )
+        rollup = (
+            filtered.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    rows = [
+        (r["o_orderstatus"], r["n_orders"], r["total_price"], n_files, pushed)
+        for r in rollup
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, total_price double,"
+        " n_orc_files bigint, filter_pushed boolean",
     )
 
 

@@ -118,6 +118,13 @@ _FORCE_WINDOW: list[str] = [
     "mixture_temperature_targets",
     "bottomk_sample_per_type",
     "embedding_projection_distortion",
+    # new this round, fourth batch: the FULL OUTER stream-stream
+    # interval join (both null-emission state machines in one query —
+    # completes the inner/left/full matrix) and the ORC sink/source
+    # round-trip (byte fidelity + stripe-level predicate pushdown,
+    # the jdbc_roundtrip_rollup contract applied to a file format)
+    "streaming_full_outer_join_nulls",
+    "orc_roundtrip_rollup",
     # NOT forced: jdbc_roundtrip_rollup's r8 changes (write moved
     # inside try/finally, empty-slice ValueError guard, bounds checked
     # before the write) and the exact_jaccard size-compat denominator
@@ -125,7 +132,7 @@ _FORCE_WINDOW: list[str] = [
     # data, r7 greens attest. Likewise the _minhash_sig_ctes /
     # _cluster_ctes oracle factoring: generated SQL is semantically
     # identical (sf0.001+sf0.01 parity re-verified this round).
-    # 10 forced + the 8 r2/r3 refresh stragglers still leaves ~32
+    # 12 forced + the 8 r2/r3 refresh stragglers still leaves ~30
     # oldest-green-first slots in the 50-slot window (VERDICT r7
     # item 2's backlog clears this round regardless).
 ]
