@@ -2180,6 +2180,98 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _outer_join_nulls_replay(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """The SHARED deterministic replay harness behind both outer-mode
+    stream-stream interval joins (left_outer / full_outer) — one copy
+    of the sentinel/advancer machinery so the watermark math, the
+    NULL-key/epoch exclusion contract, and the TZ-safe in-engine
+    timestamp rendering can never drift between the two queries.
+
+    Layout: batch 0 carries all real rows on both sides; batches 1-2
+    are far-future sentinel rows on BOTH sides (excluded from the
+    result by user_id >= 0) whose only job is to advance both
+    watermarks past every real row's match horizon — null emission
+    happens a batch AFTER the advance (eviction at batch end), hence
+    two trailing advancer batches. The advancers are DYNAMIC
+    (max(real ts) + margin): a fixed far-future constant silently
+    stops advancing the watermark the day one real row passes it. The
+    max is rendered to a string IN-ENGINE (session-TZ = UTC):
+    collecting the raw timestamp would round-trip through a naive
+    Python datetime in the HOST's OS timezone and shift the sentinels
+    on a TZ-shifted driver."""
+    import datetime as _dt
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import (
+        read_stream,
+        stream_stream_interval_join,
+        write_microbatches,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        & F.col("user_id").isNotNull()
+    )
+    sides = {
+        "l": events.filter(F.col("event_type") == "click"),
+        "r": events.filter(F.col("event_type") == "purchase"),
+    }
+    # adv1 alone must push the watermark (= max event ts - 2h lateness)
+    # past every click's match horizon (ts + 1h): max + 3h + margin;
+    # adv2's batch then runs the eviction pass that emits the nulls.
+    # (The purchase-side horizon under full_outer is each purchase's
+    # own ts — strictly earlier — so click-sized advancers flush both.)
+    max_str = events.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+    ).first()[0]
+    base = (
+        _dt.datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S")
+        if max_str
+        else _dt.datetime(2000, 1, 1)
+    )
+    adv1 = base + _dt.timedelta(hours=3, minutes=1)
+    adv2 = adv1 + _dt.timedelta(days=1)
+    user = (
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id"))
+        if how == "full_outer"
+        else F.col("l.user_id")
+    )
+    name = f"{how[0]}ojoin_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix=f"stream_{how[0]}ojoin_") as tmp:
+        for tag, df in sides.items():
+            sentinel = lambda ts: spark.createDataFrame(
+                [(-1, ts, -1)], "user_id long, ts string, event_id long"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            write_microbatches(
+                [
+                    df.select("user_id", "ts", "event_id"),
+                    sentinel(adv1.strftime("%Y-%m-%d %H:%M:%S")),
+                    sentinel(adv2.strftime("%Y-%m-%d %H:%M:%S")),
+                ],
+                f"{tmp}/{tag}",
+            )
+        schema = spark.read.parquet(f"{tmp}/l").schema
+        joined = stream_stream_interval_join(
+            read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),
+            read_stream(spark, f"{tmp}/r", schema, max_files_per_trigger=1),
+            key="user_id",
+            interval="1 hour",
+            how=how,
+        ).select(
+            user.alias("user_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        _drain_memory_sink(joined, name)
+    return spark.sql(
+        f"SELECT user_id, click_id, purchase_id FROM {name} WHERE user_id >= 0"
+    )
+
+
 @register(
     "streaming_left_outer_join_nulls",
     oracle="""
@@ -2225,72 +2317,7 @@ def streaming_left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     silently stops advancing the watermark the day one real row passes
     it (edge-replay finding: a 2262 click froze the 2035 sentinels and
     its null row never flushed)."""
-    import datetime as _dt
-    import tempfile
-    import uuid
-
-    from ..streaming.incremental import (
-        read_stream,
-        stream_stream_interval_join,
-        write_microbatches,
-    )
-
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
-        & F.col("user_id").isNotNull()
-    )
-    sides = {
-        "l": events.filter(F.col("event_type") == "click"),
-        "r": events.filter(F.col("event_type") == "purchase"),
-    }
-    # adv1 alone must push the watermark (= max event ts - 2h lateness)
-    # past every click's match horizon (ts + 1h): max + 3h + margin;
-    # adv2's batch then runs the eviction pass that emits the nulls.
-    # The max is rendered to a string IN-ENGINE (session-TZ = UTC):
-    # collecting the raw timestamp would round-trip through a naive
-    # Python datetime in the HOST's OS timezone and shift the
-    # sentinels by the UTC offset on a TZ-shifted driver.
-    max_str = events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
-    ).first()[0]
-    base = (
-        _dt.datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S")
-        if max_str
-        else _dt.datetime(2000, 1, 1)
-    )
-    adv1 = base + _dt.timedelta(hours=3, minutes=1)
-    adv2 = adv1 + _dt.timedelta(days=1)
-    name = f"lojoin_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="stream_lojoin_") as tmp:
-        for tag, df in sides.items():
-            sentinel = lambda ts: spark.createDataFrame(
-                [(-1, ts, -1)], "user_id long, ts string, event_id long"
-            ).withColumn("ts", F.col("ts").cast("timestamp"))
-            write_microbatches(
-                [
-                    df.select("user_id", "ts", "event_id"),
-                    sentinel(adv1.strftime("%Y-%m-%d %H:%M:%S")),
-                    sentinel(adv2.strftime("%Y-%m-%d %H:%M:%S")),
-                ],
-                f"{tmp}/{tag}",
-            )
-        schema = spark.read.parquet(f"{tmp}/l").schema
-        joined = stream_stream_interval_join(
-            read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),
-            read_stream(spark, f"{tmp}/r", schema, max_files_per_trigger=1),
-            key="user_id",
-            interval="1 hour",
-            how="left_outer",
-        ).select(
-            F.col("l.user_id").alias("user_id"),
-            F.col("l.event_id").alias("click_id"),
-            F.col("r.event_id").alias("purchase_id"),
-        )
-        _drain_memory_sink(joined, name)
-    return spark.sql(
-        f"SELECT user_id, click_id, purchase_id FROM {name} WHERE user_id >= 0"
-    )
+    return _outer_join_nulls_replay(spark, sf_dir, how="left_outer")
 
 
 @register(
@@ -2333,65 +2360,7 @@ def streaming_full_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFra
     the same contract as the left-outer query. With every unmatched
     row flushed the stream output equals the batch FULL JOIN exactly —
     the oracle."""
-    import datetime as _dt
-    import tempfile
-    import uuid
-
-    from ..streaming.incremental import (
-        read_stream,
-        stream_stream_interval_join,
-        write_microbatches,
-    )
-
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
-        & F.col("user_id").isNotNull()
-    )
-    sides = {
-        "l": events.filter(F.col("event_type") == "click"),
-        "r": events.filter(F.col("event_type") == "purchase"),
-    }
-    max_str = events.agg(
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
-    ).first()[0]
-    base = (
-        _dt.datetime.strptime(max_str, "%Y-%m-%d %H:%M:%S")
-        if max_str
-        else _dt.datetime(2000, 1, 1)
-    )
-    adv1 = base + _dt.timedelta(hours=3, minutes=1)
-    adv2 = adv1 + _dt.timedelta(days=1)
-    name = f"fojoin_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="stream_fojoin_") as tmp:
-        for tag, df in sides.items():
-            sentinel = lambda ts: spark.createDataFrame(
-                [(-1, ts, -1)], "user_id long, ts string, event_id long"
-            ).withColumn("ts", F.col("ts").cast("timestamp"))
-            write_microbatches(
-                [
-                    df.select("user_id", "ts", "event_id"),
-                    sentinel(adv1.strftime("%Y-%m-%d %H:%M:%S")),
-                    sentinel(adv2.strftime("%Y-%m-%d %H:%M:%S")),
-                ],
-                f"{tmp}/{tag}",
-            )
-        schema = spark.read.parquet(f"{tmp}/l").schema
-        joined = stream_stream_interval_join(
-            read_stream(spark, f"{tmp}/l", schema, max_files_per_trigger=1),
-            read_stream(spark, f"{tmp}/r", schema, max_files_per_trigger=1),
-            key="user_id",
-            interval="1 hour",
-            how="full_outer",
-        ).select(
-            F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
-            F.col("l.event_id").alias("click_id"),
-            F.col("r.event_id").alias("purchase_id"),
-        )
-        _drain_memory_sink(joined, name)
-    return spark.sql(
-        f"SELECT user_id, click_id, purchase_id FROM {name} WHERE user_id >= 0"
-    )
+    return _outer_join_nulls_replay(spark, sf_dir, how="full_outer")
 
 
 @register(
@@ -2758,6 +2727,38 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- connector round-trips (shared contract pieces) ---------------------------
+def _filters_pushed(df: DataFrame, pattern: str) -> bool:
+    """True iff the compiled plan's PushedFilters contains ``pattern``
+    (a regex fragment naming the operator+column, e.g.
+    ``GreaterThan\\(o_totalprice``) — the pinned connector fact both
+    round-trip queries carry: the predicate is evaluated BY the
+    source, not after the rows ship."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return bool(
+        re.search(r"PushedFilters: \[[^\]]*" + pattern, plan, re.IGNORECASE)
+    )
+
+
+def _status_rollup_rows(df: DataFrame) -> list:
+    """The shared per-status DECIMAL-exact rollup both connector
+    round-trips hash (count + ROUND(SUM(DECIMAL(18,4)), 2) as double),
+    collected (≤ #statuses rows) — one definition so the exactness
+    contract cannot drift between the JDBC and ORC queries."""
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .collect()
+    )
+
+
 # --- real JDBC connector round-trip (embedded Derby) --------------------------
 @register(
     "jdbc_roundtrip_rollup",
@@ -2801,7 +2802,6 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory is deleted (Derby signals a successful shutdown with
     SQLException 08006) — without it every invocation leaks a booted
     engine instance with open file handles for the JVM's lifetime."""
-    import re
     import tempfile
 
     from ..sources.formats import derby_shutdown, jdbc_reader
@@ -2847,31 +2847,11 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 driver=_DERBY,
             ).load()
             n_parts = back.rdd.getNumPartitions()
-            probe_plan = (
-                back.filter(F.col("o_totalprice") > F.lit(0.0))
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
+            pushed = _filters_pushed(
+                back.filter(F.col("o_totalprice") > F.lit(0.0)),
+                r"GreaterThan\(o_totalprice",
             )
-            pushed = bool(
-                re.search(
-                    r"PushedFilters: \[[^\]]*GreaterThan\(o_totalprice",
-                    probe_plan,
-                    re.IGNORECASE,
-                )
-            )
-            rollup = (
-                back.groupBy("o_orderstatus")
-                .agg(
-                    F.count(F.lit(1)).alias("n_orders"),
-                    F.round(
-                        F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
-                    )
-                    .cast("double")
-                    .alias("total_price"),
-                )
-                .collect()
-            )
+            rollup = _status_rollup_rows(back)
         finally:
             derby_shutdown(spark, db)
     rows = [
@@ -2919,7 +2899,6 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TemporaryDirectory exits; the pushdown probe inspects the plan
     string, not data."""
     import os as _os
-    import re
     import tempfile
 
     orders = (
@@ -2946,26 +2925,10 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rollup result is unchanged WHILE proving the pushdown
         # path: the filter must appear in the ORC scan's PushedFilters
         filtered = back.filter(F.col("o_orderkey") >= F.lit(lo))
-        plan = filtered._jdf.queryExecution().executedPlan().toString()
-        pushed = bool(
-            re.search(
-                r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderkey",
-                plan,
-                re.IGNORECASE,
-            )
+        pushed = _filters_pushed(
+            filtered, r"GreaterThanOrEqual\(o_orderkey"
         )
-        rollup = (
-            filtered.groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
-                )
-                .cast("double")
-                .alias("total_price"),
-            )
-            .collect()
-        )
+        rollup = _status_rollup_rows(filtered)
     rows = [
         (r["o_orderstatus"], r["n_orders"], r["total_price"], n_files, pushed)
         for r in rollup

@@ -338,7 +338,26 @@ def stream_stream_interval_join(
     behind the watermark) — emission therefore happens a batch AFTER
     the watermark advance, so a bounded replay needs trailing
     watermark-advancer batches on BOTH sides (the same
-    eviction-at-batch-end mechanics as late_data_watermark_replay)."""
+    eviction-at-batch-end mechanics as late_data_watermark_replay).
+
+    ``how="full_outer"`` runs BOTH null-emission machines: the left
+    contract above, plus an unmatched RIGHT row emitting with NULL
+    left columns once the watermark passes ITS horizon — which is its
+    own right_ts, strictly earlier than any left horizon, since a
+    partner left row must carry left_ts <= right_ts under this
+    condition; advancers sized for the left side therefore flush both.
+
+    ``how`` is validated: Spark accepts other modes for stream-stream
+    joins (e.g. left_semi) whose emission state machines are
+    DIFFERENT — a typo must fail loudly, not silently change
+    semantics."""
+    allowed = {"inner", "left_outer", "full_outer"}
+    if how not in allowed:
+        raise ValueError(
+            f"stream_stream_interval_join: how={how!r} not in {sorted(allowed)};"
+            " other modes have different emission semantics — add them"
+            " deliberately, with their contract documented"
+        )
     l = left.withWatermark(left_ts, lateness).alias("l")
     r = right.withWatermark(right_ts, lateness).alias("r")
     lc, rc = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")

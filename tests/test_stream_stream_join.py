@@ -48,7 +48,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming drain timed out"
     got = {
         (r["purchase_id"], r["click_id"])
         for r in spark.sql("SELECT * FROM ss_join").collect()
@@ -131,7 +131,7 @@ def test_full_outer_emits_nulls_on_both_sides(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming drain timed out"
     got = {
         (r["user_id"], r["click_id"], r["purchase_id"])
         for r in spark.sql(
