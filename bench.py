@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     # multi-batch streaming replays — their wall time is dominated by
     # micro-batch scheduling, not data-path work)
     "orc_roundtrip_rollup",
+    # round-9 addition: real PNG decode (stdlib zlib + numpy
+    # unfiltering, all five scanline filters, gray/RGB/RGBA)
+    "multimodal_png_decode",
 ]
 
 
@@ -183,6 +186,59 @@ CALIBRATION_QUIET_SEC = 0.75
 CALIBRATION_MT_QUIET_SEC = 0.78
 CALIBRATION_MT_WORKERS = max(1, min(8, (os.cpu_count() or 8) // 4))
 CALIBRATION_LOADED_FACTOR = 1.2
+
+
+#: load-outlier re-timing (VERDICT r8 item 2): the r8 external record
+#: carries a 49.92s pricing_summary_q1 — 60x its quiet time — purely
+#: from sustained co-tenant load that min-of-2 cannot absorb. Defense:
+#: compare every query's best pass against the COMMITTED quiet-host
+#: reference (BENCH_QUIET.json, written by `bench.py --write-quiet` on
+#: an idle box and committed) and re-time, with bounded extra passes,
+#: any query whose best is > RETIME_RATIO x its quiet time (load may
+#: subside mid-run) or whose two passes split by > RETIME_RATIO
+#: (transient spike — one confirming pass). Queries still inflated
+#: after the retry budget are ANNOTATED per-query in the artifact
+#: (`loaded_queries`), so a future reader of BENCH_rN sees "this
+#: number is load, not code" instead of a bare 60x artifact.
+RETIME_RATIO = 3.0
+RETIME_MAX_EXTRA = 3
+QUIET_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
+)
+
+
+def load_quiet_reference(path: str = QUIET_REF_PATH) -> dict[str, float]:
+    """Per-query quiet-pass seconds from the committed reference;
+    empty when absent (first run on a new host) — re-timing then
+    falls back to the pass-split trigger alone. Only references
+    matching the CURRENT sf directory apply: comparing an sf0.01 run
+    against committed sf0.1 times would flag everything or nothing."""
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        if d.get("sf_dir") != SF_DIR:
+            return {}
+        return {
+            k: float(v)
+            for k, v in d.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def needs_retime(passes: list[float], quiet_ref: float | None) -> bool:
+    """True while a query's timing is not yet credible: best pass
+    still > RETIME_RATIO x the committed quiet time (sustained load —
+    keep retrying within budget), or the initial two passes split by
+    > RETIME_RATIO with no confirming third pass yet (transient
+    spike). Sub-100ms quiet references are below the scheduler-noise
+    floor — a 3x there is milliseconds, not a load artifact — so the
+    ratio trigger only arms above it."""
+    best = min(passes)
+    if quiet_ref is not None and quiet_ref >= 0.1 and best > RETIME_RATIO * quiet_ref:
+        return True
+    return len(passes) == 2 and max(passes) > RETIME_RATIO * best
 
 
 def _spin_once(n: int = 10_000_000) -> float:
@@ -283,20 +339,36 @@ def main() -> None:
     # fault-isolated: one broken query must never zero the whole round's
     # bench signal — record its error and keep timing the rest.
     cal_before = calibrate()
+    quiet_ref = load_quiet_reference()
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
+    retimed: dict[str, int] = {}
+    loaded_queries: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries.get(name)
         if fn is None:
             errors[name] = "not registered"
             continue
-        best = float("inf")
+
+        def run_once(fn=fn) -> float:
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+            passes = [run_once(), run_once()]
+            ref = quiet_ref.get(name)
+            while len(passes) - 2 < RETIME_MAX_EXTRA and needs_retime(passes, ref):
+                passes.append(run_once())
+            best = min(passes)
             timings[name] = round(best, 4)
+            if len(passes) > 2:
+                retimed[name] = len(passes)
+            if ref is not None and ref >= 0.1 and best > RETIME_RATIO * ref:
+                # still inflated after the retry budget: sustained
+                # co-tenant load — annotate so the artifact reads as
+                # "load", never as a silent 60x regression
+                loaded_queries[name] = round(best / ref, 2)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -309,7 +381,9 @@ def main() -> None:
         cal_after,
         key=lambda c: max(c["load_factor"], c["load_factor_mt"]),
     )
-    line, detail = compose_output(timings, errors, SF_DIR, cal)
+    line, detail = compose_output(
+        timings, errors, SF_DIR, cal, retimed=retimed, loaded_queries=loaded_queries
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -318,6 +392,24 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    if "--write-quiet" in sys.argv:
+        # refresh the committed quiet reference — ONLY meaningful from
+        # an idle host; refuse when the pass itself measured loaded,
+        # so a loaded run can never become the baseline future runs
+        # are judged against
+        if cal["loaded"]:
+            print(
+                "refusing --write-quiet: this pass measured loaded "
+                f"(load_factor {cal['load_factor']}/{cal['load_factor_mt']})",
+                file=sys.stderr,
+            )
+        else:
+            with open(QUIET_REF_PATH, "w") as fh:
+                json.dump(
+                    {"sf_dir": SF_DIR, "calibration": cal, "queries": timings},
+                    fh,
+                    indent=1,
+                )
     print(json.dumps(detail), file=sys.stderr)
     print(line)
     spark.stop()
@@ -331,13 +423,22 @@ LINE_BUDGET = 1500
 
 
 def compose_output(
-    timings: dict, errors: dict, sf_dir: str, calibration: dict | None = None
+    timings: dict,
+    errors: dict,
+    sf_dir: str,
+    calibration: dict | None = None,
+    retimed: dict | None = None,
+    loaded_queries: dict | None = None,
 ) -> tuple[str, dict]:
     """(compact stdout line, full detail dict). The line carries
     totals + the 10 slowest queries (2 dp); the full per-query map
     goes to the detail sidecar/stderr. If the line would exceed
     LINE_BUDGET the query map is dropped entirely rather than ever
-    overflowing the driver's capture window."""
+    overflowing the driver's capture window. ``retimed`` (query ->
+    total pass count) and ``loaded_queries`` (query -> best/quiet
+    ratio for queries STILL inflated after the retry budget) ride the
+    detail sidecar, and loaded_queries also rides the line (small by
+    construction — non-empty only under sustained co-tenant load)."""
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 4)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -352,6 +453,10 @@ def compose_output(
         detail["errors"] = errors
     if calibration is not None:
         detail["calibration"] = calibration
+    if retimed:
+        detail["retimed_passes"] = retimed
+    if loaded_queries:
+        detail["loaded_queries"] = loaded_queries
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items() if isinstance(v, (int, float))),
@@ -370,9 +475,15 @@ def compose_output(
     }
     if calibration is not None:
         payload["calibration"] = calibration
+    if loaded_queries:
+        payload["loaded_queries"] = dict(
+            sorted(loaded_queries.items(), key=lambda kv: -kv[1])[:5]
+        )
+        payload["n_loaded"] = len(loaded_queries)
     line = json.dumps(payload)
-    if len(line) > LINE_BUDGET:  # drop the map rather than overflow
+    if len(line) > LINE_BUDGET:  # drop the maps rather than overflow
         payload["queries"] = {}
+        payload.pop("loaded_queries", None)
         line = json.dumps(payload)
     return line, detail
 

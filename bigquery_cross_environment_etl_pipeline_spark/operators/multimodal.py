@@ -6,9 +6,12 @@ schema, partitioning, Arrow batch shape, UDF signatures — is real and
 tested. Since round 7 the pixel decode itself is REAL for uncompressed
 formats (``decode_image`` parses binary PPM/PGM and 24-bit BMP with
 pure numpy, verified against an arithmetic oracle by the
-``multimodal_image_decode`` query); only compressed codecs (JPEG/PNG/
-audio/video) remain the declared capability gate — their libraries are
-not in this container. ``extract_features`` keeps the deterministic
+``multimodal_image_decode`` query); since round 9 it is also real for
+PNG (non-interlaced 8-bit gray/RGB/RGBA — stdlib ``zlib`` inflate +
+numpy unfiltering of all four scanline filters, verified by the
+``multimodal_png_decode`` query). Only codecs whose *entropy coding*
+genuinely needs a library (JPEG/GIF/WebP/audio/video) remain the
+declared capability gate. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -154,21 +157,222 @@ def _ppm_header(payload: bytes, ch: int) -> tuple[int, int, int, int]:
 _BMP_INFO_SIZES = {40, 52, 56, 108, 124}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: IHDR color type -> channel count, for the subset a filter+inflate
+#: decoder can honestly cover (palette needs a PLTE indirection this
+#: module deliberately refuses rather than half-implements)
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; raises ValueError on a
+    structurally truncated stream. CRCs are NOT verified — the zlib
+    inflate and exact-raster-length checks downstream catch real
+    corruption, and skipping the CRC pass keeps the hot decode loop
+    one linear scan."""
+    import struct
+
+    L, i = len(payload), 8
+    while i < L:
+        if i + 8 > L:
+            raise ValueError("PNG chunk header truncated")
+        (n,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        if i + 8 + n + 4 > L:
+            raise ValueError(f"PNG chunk {typ!r} truncated")
+        yield typ, payload[i + 8 : i + 8 + n]
+        i += 12 + n
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
+    """Reverse the four PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth) over the inflated byte stream — returns an (h,
+    w*ch) uint8 array. Sub is vectorized as a per-lane cumsum (mod
+    256 distributes over the running sum); Up is a whole-row add;
+    Average/Paeth carry a true left-to-right data dependence, so they
+    walk pixels — each step still vectorized across the ch channel
+    bytes. A filter byte outside 0..4 raises (never silently treated
+    as None: that is exactly the misread class _ppm_header designs
+    out)."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG inflated stream is {len(raw)} bytes, expected "
+            f"{h * (1 + stride)} (IDAT truncated or dims lie)"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    zeros = np.zeros(ch, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+        elif ft == 2:
+            rec = row + prev
+        elif ft in (3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                a = rec[(x - 1) * ch : x * ch] % 256 if x else zeros
+                b = prev[sl]
+                if ft == 3:
+                    rec[sl] = row[sl] + (a + b) // 2
+                else:
+                    c = prev[(x - 1) * ch : x * ch] if x else zeros
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    rec[sl] = row[sl] + pred
+        else:
+            raise ValueError(f"bad PNG filter byte {ft} on scanline {y}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> "object":
+    """Pure numpy + stdlib-zlib PNG decode for non-interlaced 8-bit
+    grayscale / gray+alpha / RGB / RGBA (color types 0/4/2/6) — the
+    formats a pipeline's own artifacts and the vast majority of web
+    PNGs use. IHDR is parsed, IDAT chunks are concatenated and
+    inflated (PNG's DEFLATE layer IS stdlib zlib — no image library
+    involved), and the four scanline filters are reversed in numpy.
+    Palette (color 3), 16-bit, and Adam7 interlace raise
+    NotImplementedError; structural corruption (truncated IDAT, bad
+    filter byte, short chunks) raises ValueError loudly.
+
+    Returns HxW uint8 for grayscale, HxWxC for 2/3/4-channel images —
+    always a fresh writable array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    idat = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG IHDR missing or malformed")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color not in _PNG_COLOR_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} not supported "
+            "(8-bit gray/gray+alpha/RGB/RGBA only; palette needs PLTE)"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG dimensions must be positive")
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
+    ch = _PNG_COLOR_CHANNELS[color]
+    arr = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    return arr[:, :, 0].copy() if ch == 1 else arr.copy()
+
+
+def encode_png(arr: "object", filter_policy: str = "cycle") -> bytes:
+    """Encode a uint8 numpy array (HxW gray or HxWxC for C in 2/3/4)
+    as a non-interlaced 8-bit PNG. ``filter_policy='cycle'`` assigns
+    scanline y filter type ``y % 5`` — deliberately exercising ALL
+    FIVE filters so a decode round-trip proves every unfilter branch,
+    not just the trivial one; ``'none'`` emits filter 0 everywhere
+    (the fast path a bulk artifact writer would take). Filtering
+    operates on raw scanlines exactly as the spec defines (recon ==
+    raw for a lossless codec), with numpy doing each row in one shot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int64)
+    zeros_row = np.zeros(w * ch, dtype=np.int64)
+    lines = []
+    for y in range(h):
+        raw = flat[y]
+        prev = flat[y - 1] if y else zeros_row
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        ft = (y % 5) if filter_policy == "cycle" else 0
+        if ft == 0:
+            f = raw
+        elif ft == 1:
+            f = raw - left
+        elif ft == 2:
+            f = raw - prev
+        elif ft == 3:
+            f = raw - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            f = raw - pred
+        lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> object:
-    """Decode an image payload to a uint8 numpy array — HxWx3 for
-    color, HxW for grayscale; always a fresh WRITABLE array (never a
-    read-only view over the payload buffer). REAL (pure-numpy) for the
-    uncompressed formats a pipeline's own artifacts use: binary PPM
-    (P6, RGB), binary PGM (P5, grayscale), and uncompressed 24-bit
-    bottom-up BMP with a BITMAPINFOHEADER-family DIB header. Compressed
-    codecs (JPEG/PNG/WebP/...) need a codec library this container
-    doesn't ship, so they remain the declared capability gate — wire
+    """Decode an image payload to a uint8 numpy array — HxWxC for
+    multi-channel (C in 2/3/4), HxW for grayscale; always a fresh
+    WRITABLE array (never a read-only view over the payload buffer).
+    REAL (pure-numpy) for binary PPM (P6, RGB), binary PGM (P5,
+    grayscale), uncompressed 24-bit bottom-up BMP with a
+    BITMAPINFOHEADER-family DIB header, and — since round 9 —
+    non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) via stdlib
+    zlib + numpy unfiltering (``decode_png``). Codecs whose entropy
+    coding genuinely needs a library (JPEG/GIF/WebP/...) remain the
+    declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
     designed out (see ``_ppm_header``).
 
-    Round 7: previously the WHOLE function was the gate; now only the
-    compressed branch is."""
+    Round 7: previously the WHOLE function was the gate; round 9
+    narrowed it to entropy-coded formats only."""
     import numpy as np
 
     magic = bytes(payload[:2])
@@ -208,9 +412,12 @@ def decode_image(payload: bytes) -> object:
         ).reshape(h, stride)
         bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up -> top-down
         return bgr[:, :, ::-1].copy()  # BGR -> RGB
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(bytes(payload))
     raise NotImplementedError(
-        "compressed image codecs require an image library not present in "
-        "this container; wire PIL.Image.open(io.BytesIO(payload)) here"
+        "entropy-coded image formats (JPEG/GIF/WebP) require an image "
+        "library not present in this container; wire "
+        "PIL.Image.open(io.BytesIO(payload)) here"
     )
 
 

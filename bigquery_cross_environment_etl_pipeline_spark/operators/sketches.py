@@ -91,7 +91,17 @@ def countmin_estimate(
     carried through): MIN over the item's depth cells.
 
     The sketch side is at most depth*width rows — broadcast it, so the
-    probe is a map-side join however large the item list is."""
+    probe is a map-side join however large the item list is.
+
+    The join is LEFT with an absent cell counting as 0 (ADVICE r8): a
+    grid cell no occurrence ever hashed into simply has no (depth,
+    cell) row, and an inner join would DROP that cell from the MIN —
+    an out-of-vocabulary probe would read an inflated positive
+    estimate from its surviving collision cells (or vanish entirely
+    when all its cells are empty) instead of the correct Count-Min
+    answer 0 (estimate = true count 0 + empty-cell collision mass 0).
+    In-corpus probes are unaffected: every cell they hashed into holds
+    at least their own occurrences."""
     carry = [c for c in items.columns if c != item_col]
     probes = items.select(
         item_col,
@@ -109,7 +119,7 @@ def countmin_estimate(
         ).alias("_c"),
     ).select(item_col, *carry, "_c.depth", "_c.cell")
     return (
-        probes.join(F.broadcast(sketch), ["depth", "cell"])
+        probes.join(F.broadcast(sketch), ["depth", "cell"], "left")
         .groupBy(item_col, *carry)
-        .agg(F.min("cnt").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )

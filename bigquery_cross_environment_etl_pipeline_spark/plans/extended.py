@@ -2906,12 +2906,19 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 3)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    bounds = orders.agg(F.min("o_orderkey").alias("lo")).first()
-    if bounds["lo"] is None:
+    # one aggregate covers both preconditions (ADVICE r8): the oracle
+    # pins n_orc_files = 4, but repartition(4) over a 1-3 row slice
+    # leaves empty partitions that write NO file — require >= 4 rows,
+    # not merely non-empty, with the same named-ValueError convention
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.count(F.lit(1)).alias("n")
+    ).first()
+    if bounds["lo"] is None or int(bounds["n"]) < 4:
         raise ValueError(
             "orc_roundtrip_rollup: the o_orderkey % 10 == 3 slice of "
-            "orders is empty at this SF; the pushed range predicate "
-            "needs a non-empty written slice"
+            f"orders has {int(bounds['n'])} row(s) at this SF; the "
+            "pinned n_orc_files = 4 needs at least 4 rows so every "
+            "repartition(4) partition writes a file"
         )
     lo = int(bounds["lo"])
     with tempfile.TemporaryDirectory(prefix="orc_rt_") as tmp:

@@ -71,70 +71,25 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # round 8: the two-round driver red, root-caused this round. NOT
-    # the tokenizer (text_token_counts — the identical tokenizer over
-    # the identical table — was hash-GREEN in the same r7 driver run,
-    # CORRECTNESS_r07.json): the oracle's start_offset was the ONLY
-    # uncast HUGEINT output in the catalog. DuckDB SUM(BIGINT) returns
-    # int128; an Arrow-path consumer (the driver) surfaces it as
-    # decimal128 -> Python Decimal, hashing unequal to Spark's int64
-    # even with every value identical, while a fetchall() consumer
-    # (the local harness) gets plain ints — exactly the green-local /
-    # red-driver split observed in r6 AND r7. Fixed by CAST AS BIGINT
-    # in the oracle; tests/test_oracle_types.py now runs every oracle
-    # in DuckDB and bans HUGEINT outputs so the class cannot recur.
-    # Also hardened per VERDICT r7 item 1b: pack arithmetic is integer
-    # DIV/pmod (exact at any magnitude), not floor(double-division).
-    "corpus_sequence_packing",
-    # new this round (VERDICT r7 item 1a): the packing query's
-    # tokenization arm split into its own externally-hashed query —
-    # with packing, two independent driver hash bits that localize any
-    # future divergence (this red => tokenizer; this green + packing
-    # red => prefix-sum/packing arithmetic).
-    "corpus_token_checksum",
-    # new this round (VERDICT r7 item 5): measured simhash dedup
-    # quality — the production blocking+hamming candidate generator
-    # scored per radius against the same exact inverted-index Jaccard
-    # truth the MinHash banding is measured against
-    "simhash_recall_precision",
-    # new this round: the IVF tuning curve — recall@10 per query at
-    # every probe width (1/2/4 of 8 cells) vs the exact arm, the
-    # measured latency/quality trade (extends ann_recall_at_k's
-    # single point)
-    "ann_recall_nprobe_sweep",
-    # new this round, second batch: the LSH banding tuning curve
-    # (recall/precision per (n_bands, rows_per_band) layout vs the
-    # exact inverted-index truth — the third measured-quality axis),
-    # the Count-Min frequency sketch with measured overestimate, and
-    # the near-dup-cluster-aware train/val/test split (no cluster can
-    # span the train/test boundary)
-    "dedup_band_sweep",
+    # round 9 (pruned to <=3 per VERDICT r8 item 3 — the 12 r8-new
+    # queries all have green rows; their slots go back to the
+    # oldest-green-first rotation so the r4 evidence tail refreshes):
+    #
+    # new this round (VERDICT r8 item 1): real PNG decode — stdlib
+    # zlib inflate + numpy unfiltering of all four non-trivial
+    # scanline filters, gray/RGB/RGBA in one query, arithmetic oracle
+    "multimodal_png_decode",
+    # plan changed this round (ADVICE r8): countmin_estimate now
+    # LEFT-joins the sketch with absent cells coalesced to 0 so
+    # out-of-vocabulary probes estimate 0 instead of inflating;
+    # output is bit-identical for in-corpus probes (this query probes
+    # only in-corpus tokens) but the join shape changed, so the r8
+    # green no longer attests the current plan
     "heavy_hitters_countmin",
-    "leakage_safe_split_assignment",
-    # new this round, third batch: temperature mixture reweighting
-    # (n^alpha domain weights in exact Q20 fixed-point), exact-size
-    # bottom-k-by-hash stratified sampling, and JL random projection
-    # with per-pair measured cosine distortion
-    "mixture_temperature_targets",
-    "bottomk_sample_per_type",
-    "embedding_projection_distortion",
-    # new this round, fourth batch: the FULL OUTER stream-stream
-    # interval join (both null-emission state machines in one query —
-    # completes the inner/left/full matrix) and the ORC sink/source
-    # round-trip (byte fidelity + stripe-level predicate pushdown,
-    # the jdbc_roundtrip_rollup contract applied to a file format)
-    "streaming_full_outer_join_nulls",
-    "orc_roundtrip_rollup",
-    # NOT forced: jdbc_roundtrip_rollup's r8 changes (write moved
-    # inside try/finally, empty-slice ValueError guard, bounds checked
-    # before the write) and the exact_jaccard size-compat denominator
-    # guard alter only failure paths — bit-identical output on driver
-    # data, r7 greens attest. Likewise the _minhash_sig_ctes /
-    # _cluster_ctes oracle factoring: generated SQL is semantically
-    # identical (sf0.001+sf0.01 parity re-verified this round).
-    # 12 forced + the 8 r2/r3 refresh stragglers still leaves ~30
-    # oldest-green-first slots in the 50-slot window (VERDICT r7
-    # item 2's backlog clears this round regardless).
+    # NOT forced: orc_roundtrip_rollup's r9 change strengthens only
+    # the small-SF precondition (>=4 rows so repartition(4) writes 4
+    # files) — a failure path; driver-data output is bit-identical
+    # and the r8 green attests it, the jdbc_roundtrip precedent.
 ]
 
 _STABLE_ORDER = [

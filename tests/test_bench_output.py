@@ -92,3 +92,60 @@ def test_bench_list_is_registered():
     q = queries_catalog.spark_queries()
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert not missing, missing
+
+
+def test_needs_retime_triggers():
+    """Load-outlier re-timing (VERDICT r8 item 2): a best pass > 3x
+    the committed quiet reference keeps re-timing; a >3x two-pass
+    split earns exactly one confirming pass; sub-100ms references are
+    below the noise floor and never arm the ratio trigger."""
+    # sustained load vs quiet ref: keeps triggering until best drops
+    assert bench.needs_retime([49.9, 50.1], quiet_ref=0.45)
+    assert bench.needs_retime([49.9, 50.1, 48.7], quiet_ref=0.45)
+    assert not bench.needs_retime([49.9, 50.1, 1.2], quiet_ref=0.45)
+    # transient spike: one confirming pass, then stop
+    assert bench.needs_retime([10.0, 1.0], quiet_ref=None)
+    assert not bench.needs_retime([10.0, 1.0, 1.1], quiet_ref=None)
+    # agreeing passes, no ref: credible as-is
+    assert not bench.needs_retime([1.0, 1.1], quiet_ref=None)
+    # noise floor: 3x of an 0.05s query is milliseconds, not load
+    assert not bench.needs_retime([0.3, 0.31], quiet_ref=0.05)
+
+
+def test_quiet_reference_is_sf_scoped(tmp_path):
+    """A committed sf0.1 reference must not judge an sf0.01 run."""
+    import json as _json
+
+    p = tmp_path / "BENCH_QUIET.json"
+    p.write_text(
+        _json.dumps({"sf_dir": "/root/testdata/sf0.0417", "queries": {"q": 1.5}})
+    )
+    assert bench.load_quiet_reference(str(p)) == {}
+    p.write_text(
+        _json.dumps({"sf_dir": bench.SF_DIR, "queries": {"q": 1.5, "bad": "x"}})
+    )
+    assert bench.load_quiet_reference(str(p)) == {"q": 1.5}
+    assert bench.load_quiet_reference(str(tmp_path / "missing.json")) == {}
+
+
+def test_loaded_queries_annotation_rides_line_and_detail():
+    """Queries still inflated after the retry budget must be visible
+    in BOTH the stdout line (top-5) and the sidecar (all), and the
+    line must still fit the budget even with many annotations."""
+    timings, errors = _mk(120)
+    loaded = {f"some_quite_long_query_name_number_{i:04d}": 60.0 - i for i in range(30)}
+    retimed = {k: 5 for k in loaded}
+    line, detail = bench.compose_output(
+        timings, errors, "/root/testdata/sf0.1",
+        retimed=retimed, loaded_queries=loaded,
+    )
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    assert d["n_loaded"] == 30
+    assert len(d.get("loaded_queries", {})) <= 5
+    assert detail["loaded_queries"] == loaded
+    assert detail["retimed_passes"] == retimed
+    # quiet pass: no annotation keys at all
+    line2, detail2 = bench.compose_output(timings, errors, "/root/testdata/sf0.1")
+    assert "loaded_queries" not in detail2 and "retimed_passes" not in detail2
+    assert "n_loaded" not in json.loads(line2)

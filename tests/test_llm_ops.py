@@ -235,11 +235,100 @@ def test_multimodal_arrow_path_matches_pandas_path(spark):
     assert via_pandas == via_arrow
 
 
-def test_multimodal_decode_compressed_codecs_still_gated():
-    """Compressed codecs stay the declared capability gate (round 7
-    narrowed the gate from ALL formats to compressed-only)."""
+def test_multimodal_decode_entropy_codecs_still_gated():
+    """Entropy-coded codecs stay the declared capability gate (round 7
+    narrowed the gate from ALL formats to compressed-only; round 9
+    narrowed it again — PNG is now real, JPEG/GIF are not)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
+    # a PNG signature now routes to the REAL decoder, whose hostile
+    # path is loud (here: nothing after the signature)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def _formula_pixels(d: int, w: int, h: int, ch: int):
+    """The shared deterministic pixel formula (same as the PPM/PNG
+    oracle queries): pixel(x,y,c) = (d + 3x + 7y + 11c) mod 256."""
+    import numpy as np
+
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(ch).reshape(1, 1, ch)
+    return ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode_png('cycle') assigns scanline y filter y%5, so any
+    height >= 5 exercises None/Sub/Up/Average/Paeth; the decode must
+    reproduce the exact pixels for gray (1ch), gray+alpha (2ch), RGB
+    and RGBA."""
+    import numpy as np
+
+    for d, ch in ((3, 1), (4, 2), (5, 3), (6, 4)):
+        px = _formula_pixels(d, 9, 7, ch)
+        if ch == 1:
+            px = px[:, :, 0]
+        for policy in ("cycle", "none"):
+            arr = multimodal.decode_image(multimodal.encode_png(px, policy))
+            assert arr.shape == px.shape, (ch, policy)
+            assert np.array_equal(arr, px), (ch, policy)
+
+
+def test_png_hostile_payloads_raise_loudly():
+    """The planted hostile-input battery (VERDICT r8 item 1): a
+    truncated IDAT, a bad filter byte, a short inflated stream, and
+    the declared gates (interlace / 16-bit / palette) must each raise
+    the documented exception class — never a silent misread."""
+    import struct
+    import zlib
+
+    good = multimodal.encode_png(_formula_pixels(1, 4, 3, 3))
+    with pytest.raises(ValueError):  # chunk framing truncated
+        multimodal.decode_png(good[:-10])
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def png(w=4, h=3, depth=8, color=2, interlace=0, raw=None):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        if raw is None:
+            raw = b"".join(b"\x00" + bytes(w * ch) for _ in range(h))
+        return (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="filter byte"):
+        multimodal.decode_png(
+            png(raw=b"".join(b"\x09" + bytes(12) for _ in range(3)))
+        )
+    with pytest.raises(ValueError, match="truncated or dims lie"):
+        multimodal.decode_png(png(raw=b"\x00" * 34))  # expects 39 bytes
+    with pytest.raises(ValueError, match="inflate failed"):
+        multimodal.decode_png(
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"\x00not-zlib")
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError):  # Adam7
+        multimodal.decode_png(png(interlace=1))
+    with pytest.raises(NotImplementedError):  # 16-bit
+        multimodal.decode_png(png(depth=16))
+    with pytest.raises(NotImplementedError):  # palette
+        multimodal.decode_png(png(color=3))
 
 
 def _ppm_bytes(d: int, w: int, h: int, header: bytes | None = None):
@@ -342,7 +431,7 @@ def test_decode_stage_isolates_bad_payloads(spark):
         [
             (1, bytearray(p_ok)),
             (2, bytearray(b"P6\n9 9\n255\nshort")),  # truncated raster
-            (3, bytearray(b"\x89PNG garbage")),  # gated codec
+            (3, bytearray(b"\xff\xd8\xff\xe0 jpeg")),  # gated codec
         ],
         "asset_id long, payload binary",
     )

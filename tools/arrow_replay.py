@@ -27,6 +27,12 @@ Run it per-round alongside the edge replay:
 Round-8 baseline: full catalog green at sf0.001 (204/204 before the
 round's additions, 210/210 after) and every new/changed query green
 at sf0.01.
+
+Round 9 institutionalized the per-query gate: tests/test_arrow_gate.py
+replays every _FORCE_WINDOW entry (the round's new/changed queries)
+through this module's ``canon`` comparator on EVERY pytest run, so a
+query's first external exposure cannot precede its first Arrow-domain
+check even if this full sweep is forgotten.
 """
 
 from __future__ import annotations

@@ -110,6 +110,13 @@ EDGE_ROWS = {
         # group sums to NULL on BOTH engines
         {"o_orderkey": 900020, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": "2024-03-05 00:00:00", "o_orderpriority": "3-MEDIUM"},
         {"o_orderkey": 900040, "o_custkey": 1, "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": "2024-03-06 00:00:00", "o_orderpriority": "3-MEDIUM"},
+        # round 9 (VERDICT r8 item 5): a row INSIDE the
+        # orc_roundtrip_rollup slice (o_orderkey % 10 == 3) with NULL
+        # status and NULL price, mirroring the JDBC plant above —
+        # NULLs must survive write -> ORC -> pushed-down read: the
+        # NULL status forms its own rollup group and its NULL price
+        # sums to NULL on BOTH engines
+        {"o_orderkey": 900013, "o_custkey": 1, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": "2024-03-07 00:00:00", "o_orderpriority": "3-MEDIUM"},
     ],
     "customer": [
         {"c_custkey": 900001, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
@@ -189,7 +196,14 @@ def replay(dest: str, only: list[str] | None = None) -> int:
     # (tools/_duck.py) both replay tools use; a round-8 full replay
     # without it saw ONE canary-oracle malloc failure cascade into 23
     # consecutive one-sided 'errors'
-    ora = BoundedOracle(dest, TABLES)
+    # context manager (ADVICE r8): an exception escaping the query
+    # loop — KeyboardInterrupt, a Spark setup failure — must still
+    # remove the duck_spill_* temp directory, as arrow_replay.py does
+    with BoundedOracle(dest, TABLES) as ora:
+        return _replay_loop(spark, ora, q, o, only)
+
+
+def _replay_loop(spark, ora, q, o, only) -> int:
     names = only or sorted(o)
     fails, loud_both = 0, 0
     for name in names:
@@ -243,7 +257,6 @@ def replay(dest: str, only: list[str] | None = None) -> int:
                     print("  only-spark:", x)
                 for x in list(dd - ss)[:2]:
                     print("  only-duck :", x)
-    ora.close()
     print(
         f"edge replay: {len(names)} queries, {fails} silent divergences,"
         f" {loud_both} loud-on-both (acceptable)"
