@@ -160,9 +160,12 @@ BENCH_QUERIES = [
     # multi-batch streaming replays — their wall time is dominated by
     # micro-batch scheduling, not data-path work)
     "orc_roundtrip_rollup",
-    # round-9 addition: real PNG decode (stdlib zlib + numpy
-    # unfiltering, all five scanline filters, gray/RGB/RGBA)
+    # round-9 additions: real PNG decode (stdlib zlib + numpy
+    # unfiltering, all five scanline filters, every 8-bit color type,
+    # both progressive modes) and benchmark decontamination (n-gram
+    # overlap vs a held-out slice, broadcast-semi-join shape)
     "multimodal_png_decode",
+    "benchmark_decontamination",
 ]
 
 

@@ -293,3 +293,69 @@ def curate_corpus(
         .select(id_col, "n_tokens", "stopword_ratio", "lang", "cum_tokens")
         .orderBy(id_col)
     )
+
+
+def decontaminate_against_benchmark(
+    docs: DataFrame,
+    is_benchmark,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination — the canonical pre-training hygiene
+    op: a TRAINING document is CONTAMINATED if it shares at least one
+    word n-gram with any document in the held-out BENCHMARK set
+    (``is_benchmark`` boolean column expression), the n-gram-overlap
+    criterion eval suites publish (and the reason eval numbers are
+    trustworthy at all). Returns per-``group_col`` accounting:
+    (group, n_train_docs, n_contaminated, n_clean).
+
+    Shape at 100 TB: the benchmark side is O(eval-suite) — megabytes
+    against a corpus of terabytes — so its distinct shingle hashes
+    BROADCAST and the corpus-side probe is a map-side LEFT SEMI join:
+    the corpus text never shuffles at all. The only exchanges are the
+    benchmark-side distinct (tiny), the distinct over contaminated
+    doc ids (bounded by the hit set, not the corpus), and the final
+    map-side-combinable per-group count. Documents with fewer than
+    ``n`` tokens (empty/NULL/whitespace text) have no shingles and
+    are clean by construction — same contentless-doc contract as
+    MinHash eligibility (dedup.py).
+    """
+    from .dedup import SHINGLE_N, shingles
+    from .text import hash48
+
+    n = SHINGLE_N if n is None else n
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(text_col),
+        is_benchmark.alias("_is_bench"),
+    )
+    bench_hashes = (
+        base.filter(F.col("_is_bench"))
+        .select(F.explode(shingles(text_col, n)).alias("s"))
+        .select(hash48(F.col("s")).alias("h"))
+        .distinct()
+    )
+    train = base.filter(~F.col("_is_bench"))
+    contaminated = (
+        train.select(id_col, F.explode(shingles(text_col, n)).alias("s"))
+        .select(id_col, hash48(F.col("s")).alias("h"))
+        .join(F.broadcast(bench_hashes), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.select(id_col, group_col)
+        .join(contaminated, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("_hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clean"),
+        )
+    )

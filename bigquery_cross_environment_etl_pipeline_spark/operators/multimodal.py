@@ -7,11 +7,12 @@ tested. Since round 7 the pixel decode itself is REAL for uncompressed
 formats (``decode_image`` parses binary PPM/PGM and 24-bit BMP with
 pure numpy, verified against an arithmetic oracle by the
 ``multimodal_image_decode`` query); since round 9 it is also real for
-PNG (non-interlaced 8-bit gray/RGB/RGBA — stdlib ``zlib`` inflate +
-numpy unfiltering of all four scanline filters, verified by the
-``multimodal_png_decode`` query). Only codecs whose *entropy coding*
-genuinely needs a library (JPEG/GIF/WebP/audio/video) remain the
-declared capability gate. ``extract_features`` keeps the deterministic
+PNG — every 8-bit color type (gray/RGB/palette/gray+alpha/RGBA) in
+both progressive modes (non-interlaced and Adam7) via stdlib ``zlib``
+inflate + numpy unfiltering of all four scanline filters, verified by
+the ``multimodal_png_decode`` query. Only codecs whose *entropy
+coding* genuinely needs a library (JPEG/GIF/WebP/audio/video) remain
+the declared capability gate. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -159,10 +160,22 @@ _BMP_INFO_SIZES = {40, 52, 56, 108, 124}
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: IHDR color type -> channel count, for the subset a filter+inflate
-#: decoder can honestly cover (palette needs a PLTE indirection this
-#: module deliberately refuses rather than half-implements)
-_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: IHDR color type -> bytes per pixel at bit depth 8 (palette pixels
+#: are 1-byte indices into PLTE, resolved after unfiltering)
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step).
+#: Each pass is an independently-filtered sub-image; empty passes
+#: (zero rows or columns at this size) contribute NO bytes at all.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _png_chunks(payload: bytes):
@@ -242,19 +255,49 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
     return out
 
 
-def decode_png(payload: bytes) -> "object":
-    """Pure numpy + stdlib-zlib PNG decode for non-interlaced 8-bit
-    grayscale / gray+alpha / RGB / RGBA (color types 0/4/2/6) — the
-    formats a pipeline's own artifacts and the vast majority of web
-    PNGs use. IHDR is parsed, IDAT chunks are concatenated and
-    inflated (PNG's DEFLATE layer IS stdlib zlib — no image library
-    involved), and the four scanline filters are reversed in numpy.
-    Palette (color 3), 16-bit, and Adam7 interlace raise
-    NotImplementedError; structural corruption (truncated IDAT, bad
-    filter byte, short chunks) raises ValueError loudly.
+def _adam7_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
+    """De-interlace an Adam7 stream: unfilter each pass's sub-image
+    independently (filters reference only bytes within their own
+    pass) and scatter it into the full image on the pass's stride
+    grid. Trailing/partial-pass truncation raises loudly."""
+    import numpy as np
 
-    Returns HxW uint8 for grayscale, HxWxC for 2/3/4-channel images —
-    always a fresh writable array."""
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (1 + pw * ch)
+        sub = _png_unfilter(raw[pos : pos + n], ph, pw, ch).reshape(ph, pw, ch)
+        out[y0::dy, x0::dx] = sub
+        pos += n
+    if pos != len(raw):
+        raise ValueError(
+            f"Adam7 stream is {len(raw)} bytes, passes consume {pos} "
+            "(IDAT truncated or padded)"
+        )
+    return out
+
+
+def decode_png(payload: bytes) -> "object":
+    """Pure numpy + stdlib-zlib PNG decode for 8-bit PNGs of EVERY
+    color type — grayscale / RGB / palette / gray+alpha / RGBA (0/2/
+    3/4/6) — in both progressive modes (non-interlaced and Adam7).
+    IHDR is parsed, IDAT chunks are concatenated and inflated (PNG's
+    DEFLATE layer IS stdlib zlib — no image library involved), the
+    four scanline filters are reversed in numpy, Adam7 passes are
+    de-interlaced onto their stride grids, and palette indices are
+    resolved through PLTE. Sub-byte and 16-bit depths raise
+    NotImplementedError (the decode contract is uint8 arrays), as
+    does palette transparency (tRNS — silently dropping alpha would
+    be a misread); structural corruption (truncated IDAT, bad filter
+    byte, short chunks, out-of-range palette index) raises ValueError
+    loudly.
+
+    Returns HxW uint8 for grayscale, HxWxC for multi-channel images
+    (palette resolves to HxWx3) — always a fresh writable array."""
     import struct
     import zlib
 
@@ -262,11 +305,15 @@ def decode_png(payload: bytes) -> "object":
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    ihdr = None
+    ihdr = plte = trns = None
     idat = []
     for typ, data in _png_chunks(payload):
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat.append(data)
     if ihdr is None or len(ihdr) != 13:
@@ -274,13 +321,21 @@ def decode_png(payload: bytes) -> "object":
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if depth != 8 or color not in _PNG_COLOR_CHANNELS:
         raise NotImplementedError(
             f"PNG bit depth {depth} / color type {color} not supported "
-            "(8-bit gray/gray+alpha/RGB/RGBA only; palette needs PLTE)"
+            "(8-bit samples only — the decode contract is uint8)"
         )
+    if color == 3:
+        if plte is None or not plte or len(plte) % 3:
+            raise ValueError("palette PNG with missing/malformed PLTE")
+        if trns is not None:
+            raise NotImplementedError(
+                "palette transparency (tRNS) not supported — dropping "
+                "alpha silently would be a misread"
+            )
     if w <= 0 or h <= 0:
         raise ValueError("PNG dimensions must be positive")
     if not idat:
@@ -290,30 +345,33 @@ def decode_png(payload: bytes) -> "object":
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
     ch = _PNG_COLOR_CHANNELS[color]
-    arr = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace:
+        arr = _adam7_unfilter(raw, h, w, ch)
+    else:
+        arr = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {pal.shape[0]} entries)"
+            )
+        return pal[idx].copy()
     return arr[:, :, 0].copy() if ch == 1 else arr.copy()
 
 
-def encode_png(arr: "object", filter_policy: str = "cycle") -> bytes:
-    """Encode a uint8 numpy array (HxW gray or HxWxC for C in 2/3/4)
-    as a non-interlaced 8-bit PNG. ``filter_policy='cycle'`` assigns
-    scanline y filter type ``y % 5`` — deliberately exercising ALL
-    FIVE filters so a decode round-trip proves every unfilter branch,
-    not just the trivial one; ``'none'`` emits filter 0 everywhere
-    (the fast path a bulk artifact writer would take). Filtering
-    operates on raw scanlines exactly as the spec defines (recon ==
-    raw for a lossless codec), with numpy doing each row in one shot."""
-    import struct
-    import zlib
-
+def _filter_scanlines(img: "object", policy: str) -> list[bytes]:
+    """Filter one (sub-)image's scanlines per the spec: row y under
+    ``policy='cycle'`` gets filter y%5 (deliberately exercising ALL
+    FIVE filters so a round-trip proves every unfilter branch);
+    ``'none'`` emits filter 0 everywhere. Filtering operates on raw
+    values (recon == raw for a lossless codec), one numpy shot per
+    row."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, ch = a.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = a.reshape(h, w * ch).astype(np.int64)
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int64)
     zeros_row = np.zeros(w * ch, dtype=np.int64)
     lines = []
     for y in range(h):
@@ -321,7 +379,7 @@ def encode_png(arr: "object", filter_policy: str = "cycle") -> bytes:
         prev = flat[y - 1] if y else zeros_row
         left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
         ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
-        ft = (y % 5) if filter_policy == "cycle" else 0
+        ft = (y % 5) if policy == "cycle" else 0
         if ft == 0:
             f = raw
         elif ft == 1:
@@ -338,6 +396,50 @@ def encode_png(arr: "object", filter_policy: str = "cycle") -> bytes:
             )
             f = raw - pred
         lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+    return lines
+
+
+def encode_png(
+    arr: "object",
+    filter_policy: str = "cycle",
+    interlace: bool = False,
+    palette: "object | None" = None,
+) -> bytes:
+    """Encode a uint8 numpy array as an 8-bit PNG. Input is HxW gray
+    or HxWxC for C in 2/3/4 — or, with ``palette`` (a (P,3) uint8
+    color table, P <= 256), an HxW array of palette INDICES written
+    as color type 3 with a PLTE chunk. ``interlace=True`` writes
+    Adam7: each of the seven passes is extracted on its stride grid
+    and filtered as an independent sub-image (empty passes emit no
+    bytes), exactly the layout ``_adam7_unfilter`` reverses. See
+    ``_filter_scanlines`` for the filter policy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if a.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+            raise ValueError("palette encode needs HxW indices and a (P<=256,3) table")
+        if int(a.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        color = 3
+        a = a[:, :, None]
+    else:
+        if a.ndim == 2:
+            a = a[:, :, None]
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    h, w = a.shape[:2]
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines.extend(_filter_scanlines(sub, filter_policy))
+    else:
+        lines = _filter_scanlines(a, filter_policy)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -347,13 +449,11 @@ def encode_png(arr: "object", filter_policy: str = "cycle") -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", pal.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b"")
 
 
 def decode_image(payload: bytes) -> object:
@@ -362,8 +462,8 @@ def decode_image(payload: bytes) -> object:
     WRITABLE array (never a read-only view over the payload buffer).
     REAL (pure-numpy) for binary PPM (P6, RGB), binary PGM (P5,
     grayscale), uncompressed 24-bit bottom-up BMP with a
-    BITMAPINFOHEADER-family DIB header, and — since round 9 —
-    non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA) via stdlib
+    BITMAPINFOHEADER-family DIB header, and — since round 9 — 8-bit
+    PNG of every color type in both progressive modes via stdlib
     zlib + numpy unfiltering (``decode_png``). Codecs whose entropy
     coding genuinely needs a library (JPEG/GIF/WebP/...) remain the
     declared capability gate — wire

@@ -2491,17 +2491,22 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-interlaced 8-bit PNG per document — pixel(x,y,c) =
     (doc_id + 3x + 7y + 11c) mod 256 at width 8+id%5, height 6+id%7,
     with the COLOR TYPE varying by doc (id%3: grayscale / RGB / RGBA,
-    so all three channel layouts decode in one query) — is ENCODED
-    engine-side by ``operators/multimodal.encode_png`` with the
-    'cycle' filter policy (scanline y gets filter y%5, and height >= 6
-    guarantees every image exercises ALL FIVE filters: None, Sub, Up,
-    Average, Paeth) and DECODED by ``decode_png``'s stdlib-zlib +
-    numpy parser in a second Arrow stage. The oracle recomputes
-    dimensions, channel count, and the exact uint8 pixel sum
-    ARITHMETICALLY from the pixel formula — it never sees PNG bytes —
-    so encoder and decoder must BOTH be right about chunk framing,
-    DEFLATE, and every unfilter branch for the hash to match; a
-    decoder that mispredicts even one Paeth tie-break hash-fails.
+    so all three channel layouts decode in one query) and the
+    PROGRESSIVE MODE varying by doc (id%2: odd docs write Adam7
+    interlace — seven independently-filtered passes on stride grids —
+    even docs write sequential scanlines) — is ENCODED engine-side by
+    ``operators/multimodal.encode_png`` with the 'cycle' filter
+    policy (scanline y gets filter y%5, and height >= 6 guarantees
+    every image exercises ALL FIVE filters: None, Sub, Up, Average,
+    Paeth) and DECODED by ``decode_png``'s stdlib-zlib + numpy parser
+    in a second Arrow stage. The oracle recomputes dimensions,
+    channel count, and the exact uint8 pixel sum ARITHMETICALLY from
+    the pixel formula — it never sees PNG bytes, and interlacing
+    changes only the byte layout, never the pixels, so ONE oracle
+    covers both modes — and encoder and decoder must BOTH be right
+    about chunk framing, DEFLATE, de-interlacing, and every unfilter
+    branch for the hash to match; a decoder that mispredicts even one
+    Paeth tie-break hash-fails.
 
     Scale: identical shape to multimodal_image_decode — two
     Arrow-batched map stages, zero shuffles, payloads decode where
@@ -2526,7 +2531,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
                 if ch == 1:
                     px = px[:, :, 0]  # grayscale encodes as color type 0
-                payloads.append(multimodal.encode_png(px, "cycle"))
+                payloads.append(
+                    multimodal.encode_png(px, "cycle", interlace=bool(d % 2))
+                )
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
@@ -2579,6 +2586,59 @@ def _curation_oracle(
     SELECT doc_id, n_tokens, stopword_ratio, lang, cum_tokens
     FROM admitted WHERE cum_tokens <= {budget} ORDER BY doc_id
     """
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents
+    ),
+    bench_sh AS (
+      SELECT DISTINCT {_duck_hash48('s')} AS h
+      FROM (SELECT * FROM base WHERE doc_id % 37 = 0) b,
+           UNNEST({_DUCK_SHINGLES}) AS t(s)
+    ),
+    train AS (
+      SELECT doc_id, source FROM base WHERE doc_id % 37 <> 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (
+        SELECT doc_id, {_duck_hash48('s')} AS h
+        FROM (SELECT * FROM base WHERE doc_id % 37 <> 0) x,
+             UNNEST({_DUCK_SHINGLES}) AS t(s)
+      ) tr
+      JOIN bench_sh USING (h)
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.doc_id) AS BIGINT) AS n_clean
+    FROM train t LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 9 — the canonical pre-training
+    hygiene op the catalog lacked): documents with ``doc_id % 37 == 0``
+    stand in for a held-out eval suite; every other document is
+    TRAINING data and counts as CONTAMINATED if it shares at least one
+    word 3-gram with any benchmark document (the published
+    n-gram-overlap criterion). Output is per-source accounting —
+    exactly what a data card reports after a decontamination pass.
+
+    Scale (operators/curation.decontaminate_against_benchmark): eval
+    suites are megabytes against a corpus of terabytes, so the
+    benchmark's distinct shingle hashes BROADCAST and the corpus-side
+    probe is a map-side LEFT SEMI join — corpus text never shuffles;
+    the only exchanges are benchmark-sized or hit-set-sized.
+    Contentless docs (< 3 tokens) have no shingles and are clean by
+    construction, the shared dedup-eligibility contract."""
+    from ..operators.curation import decontaminate_against_benchmark
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_against_benchmark(docs, F.col("doc_id") % 37 == 0)
 
 
 @register(

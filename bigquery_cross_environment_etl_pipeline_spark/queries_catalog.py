@@ -86,6 +86,11 @@ _FORCE_WINDOW: list[str] = [
     # only in-corpus tokens) but the join shape changed, so the r8
     # green no longer attests the current plan
     "heavy_hitters_countmin",
+    # new this round: benchmark decontamination — per-source
+    # contamination accounting via n-gram overlap against a held-out
+    # benchmark slice, broadcast-semi-join shape (the corpus never
+    # shuffles)
+    "benchmark_decontamination",
     # NOT forced: orc_roundtrip_rollup's r9 change strengthens only
     # the small-SF precondition (>=4 rows so repartition(4) writes 4
     # files) — a failure path; driver-data output is bit-identical

@@ -264,7 +264,8 @@ def test_png_roundtrip_all_filters_and_color_types():
     """encode_png('cycle') assigns scanline y filter y%5, so any
     height >= 5 exercises None/Sub/Up/Average/Paeth; the decode must
     reproduce the exact pixels for gray (1ch), gray+alpha (2ch), RGB
-    and RGBA."""
+    and RGBA — in BOTH progressive modes (Adam7 filters each pass as
+    an independent sub-image, a different byte layout entirely)."""
     import numpy as np
 
     for d, ch in ((3, 1), (4, 2), (5, 3), (6, 4)):
@@ -272,9 +273,62 @@ def test_png_roundtrip_all_filters_and_color_types():
         if ch == 1:
             px = px[:, :, 0]
         for policy in ("cycle", "none"):
-            arr = multimodal.decode_image(multimodal.encode_png(px, policy))
-            assert arr.shape == px.shape, (ch, policy)
-            assert np.array_equal(arr, px), (ch, policy)
+            for interlace in (False, True):
+                arr = multimodal.decode_image(
+                    multimodal.encode_png(px, policy, interlace=interlace)
+                )
+                assert arr.shape == px.shape, (ch, policy, interlace)
+                assert np.array_equal(arr, px), (ch, policy, interlace)
+
+
+def test_png_adam7_empty_pass_sizes():
+    """Images small or narrow enough that some Adam7 passes are EMPTY
+    (zero rows or columns) must round-trip — empty passes contribute
+    no bytes, not even filter bytes."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for shape in ((1, 1), (2, 3), (3, 1, 3), (1, 16, 3), (8, 8), (5, 5, 4)):
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        d = multimodal.decode_png(multimodal.encode_png(a, interlace=True))
+        assert d.shape == a.shape and np.array_equal(d, a), shape
+
+
+def test_png_palette_roundtrip_and_hostile():
+    """Color type 3: indices resolve through PLTE to HxWx3; an
+    out-of-range index, a missing PLTE, and palette transparency
+    (tRNS) each refuse loudly instead of misreading."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.randint(0, 17, size=(9, 7)).astype(np.uint8)
+    for interlace in (False, True):
+        d = multimodal.decode_png(
+            multimodal.encode_png(idx, "cycle", interlace=interlace, palette=pal)
+        )
+        assert d.shape == (9, 7, 3) and np.array_equal(d, pal[idx]), interlace
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    raw = b"".join(b"\x00" + bytes([5, 6, 7]) for _ in range(2))
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(raw))
+    end = chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.decode_png(sig + ihdr + chunk(b"PLTE", bytes(9)) + idat + end)
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(sig + ihdr + idat + end)
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        multimodal.decode_png(
+            sig + ihdr + chunk(b"PLTE", bytes(24)) + chunk(b"tRNS", b"\x00") + idat + end
+        )
 
 
 def test_png_hostile_payloads_raise_loudly():
@@ -323,12 +377,14 @@ def test_png_hostile_payloads_raise_loudly():
             + chunk(b"IDAT", b"\x00not-zlib")
             + chunk(b"IEND", b"")
         )
-    with pytest.raises(NotImplementedError):  # Adam7
+    with pytest.raises(ValueError):
+        # Adam7 is REAL since the follow-up pass; a non-interlaced
+        # byte layout under an interlace=1 header is now a LENGTH
+        # mismatch (the passes consume different byte counts), never
+        # a silent misread
         multimodal.decode_png(png(interlace=1))
-    with pytest.raises(NotImplementedError):  # 16-bit
+    with pytest.raises(NotImplementedError):  # 16-bit stays gated
         multimodal.decode_png(png(depth=16))
-    with pytest.raises(NotImplementedError):  # palette
-        multimodal.decode_png(png(color=3))
 
 
 def _ppm_bytes(d: int, w: int, h: int, header: bytes | None = None):

@@ -167,3 +167,27 @@ def test_band_sweep_candidate_sets_are_nested(spark, near_dup_docs):
         }
     assert sets[2] <= sets[4] <= sets[8]
     assert sets[8]  # the forced dups band-match somewhere
+
+
+def test_countmin_out_of_vocabulary_probe_estimates_zero(spark):
+    """ADVICE r8: an item absent from the corpus hashes into cells
+    that may not exist as sketch rows — the estimate must be the
+    Count-Min answer for an unseen item (its true count 0 plus the
+    collision mass of its cells, which is 0 when all four cells are
+    empty), never an inflated positive read from only the surviving
+    cells, and the probe row must never vanish."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators import sketches
+
+    occ = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2, "token string"
+    )
+    grid = sketches.countmin_sketch(occ).cache()
+    probes = spark.createDataFrame(
+        [("alpha",), ("definitely-not-in-corpus-xyzzy",)], "token string"
+    )
+    est = {
+        r["token"]: r["est_n"]
+        for r in sketches.countmin_estimate(grid, probes).collect()
+    }
+    assert est["alpha"] >= 5  # overestimate-only invariant
+    assert est["definitely-not-in-corpus-xyzzy"] == 0
