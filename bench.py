@@ -166,6 +166,14 @@ BENCH_QUERIES = [
     # overlap vs a held-out slice, broadcast-semi-join shape)
     "multimodal_png_decode",
     "benchmark_decontamination",
+    # round-9 additions, second batch: GIF decode (pure-Python LZW +
+    # 4-pass row interlace + palette) and WAV PCM audio decode (RIFF
+    # chunk walker) — the audio modality's first real decoder
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    # round-9 additions, third batch: real end-to-end image resize
+    # (decode -> nearest-neighbor -> PNG re-encode -> re-decode)
+    "multimodal_resize_decode",
 ]
 
 

@@ -2542,6 +2542,191 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(assets)
 
 
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(6 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(list_sum([
+             (5*doc_id
+              + 7*((doc_id + 3*((i // 3) % (8 + doc_id % 5))
+                           + 7*(i // (3 * (8 + doc_id % 5))))
+                   % (4 + doc_id % 13))
+              + 13*(i % 3)) % 256
+             for i in generate_series(0,
+               (8 + doc_id % 5) * (6 + doc_id % 7) * 3 - 1)
+           ]) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (round 9): a deterministic single-frame GIF per
+    document — palette size P = 4+id%13, palette color pal[k][c] =
+    (5·id + 7k + 13c) mod 256, pixel index idx(x,y) = (id + 3x + 7y)
+    mod P, width 8+id%5, height 6+id%7, with the GIF 4-pass ROW
+    INTERLACE on odd ids — is encoded engine-side by
+    ``operators/multimodal.encode_gif`` (REAL LZW: dictionary growth,
+    width escalation, 12-bit cap resets) and decoded by
+    ``decode_gif``'s pure-Python LZW + palette resolution in a second
+    Arrow stage. The oracle recomputes the palette-resolved pixel sum
+    ARITHMETICALLY (palette formula composed with the index formula —
+    it never sees GIF bytes), so container parsing, LZW, interlace
+    reordering, and palette lookup must ALL be right for the hash to
+    match. LZW is a dictionary coder, not a library-bound entropy
+    coder — this closes the GIF half of the former codec gate; only
+    JPEG/WebP remain gated.
+
+    Scale: same zero-shuffle two-Arrow-stage shape as the PPM/PNG
+    decode queries."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, p = 8 + d % 5, 6 + d % 7, 4 + d % 13
+                x = np.arange(w).reshape(1, w)
+                y = np.arange(h).reshape(h, 1)
+                idx = ((d + 3 * x + 7 * y) % p).astype(np.uint8)
+                k = np.arange(p).reshape(p, 1)
+                c = np.arange(3).reshape(1, 3)
+                pal = ((5 * d + 7 * k + 13 * c) % 256).astype(np.uint8)
+                payloads.append(
+                    multimodal.encode_gif(idx, pal, interlace=bool(d % 2))
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_image_features(assets)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8000 + doc_id % 100 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(50 + doc_id % 40 AS BIGINT) AS n_frames,
+           CAST(list_sum([
+             (7*doc_id + 3*(j // (1 + doc_id % 2))
+                       + 11*(j % (1 + doc_id % 2))) % 65536 - 32768
+             for j in generate_series(0,
+               (50 + doc_id % 40) * (1 + doc_id % 2) - 1)
+           ]) AS BIGINT) AS amp_sum
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round 9 — the audio modality leaves the
+    declared-gate list): a deterministic RIFF/WAVE PCM16 clip per
+    document — sample(i,c) = (7·id + 3i + 11c) mod 65536 − 32768 over
+    50+id%40 frames, 1+id%2 channels, rate 8000+id%100 — is encoded
+    engine-side by ``operators/multimodal.encode_wav`` and decoded by
+    ``decode_wav``'s RIFF chunk walker in a second Arrow stage, which
+    emits the parsed rate/channels/frames and the exact signed
+    amplitude sum. The oracle recomputes every fact ARITHMETICALLY
+    from the sample formula; a decoder that misreads the fmt block,
+    frame layout, or sample signedness hash-fails. Non-PCM encodings
+    (ADPCM/MP3-in-WAV/float) remain the gate inside decode_wav.
+
+    Scale: identical zero-shuffle decode-where-produced shape as the
+    image decode queries — the contract a 100 TB audio pipeline needs."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, ch = 50 + d % 40, 1 + d % 2
+                i = np.arange(n).reshape(n, 1)
+                c = np.arange(ch).reshape(1, ch)
+                samples = ((7 * d + 3 * i + 11 * c) % 65536) - 32768
+                payloads.append(
+                    multimodal.encode_wav(samples, 8000 + d % 100)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_audio_features(assets)
+
+
+@register(
+    "multimodal_resize_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(10 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(list_sum([
+             (doc_id + 3*((((i // 3) % 10) * (8 + doc_id % 5)) // 10)
+                     + 7*(((i // 30) * (6 + doc_id % 7)) // 12)
+                     + 11*(i % 3)) % 256
+             for i in generate_series(0, 10 * 12 * 3 - 1)
+           ]) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end resize (round 9 — the resize stage stops being
+    a byte-truncation stub): a three-Arrow-stage pipeline per document
+    — (1) encode the formula image pixel(x,y,c) = (id + 3x + 7y + 11c)
+    mod 256 at w=8+id%5, h=6+id%7 as PNG; (2)
+    ``operators/multimodal.resize_images_real`` decodes it, resamples
+    to 10x12 by nearest-neighbor (out(Y,X) = in((Y*h)//12, (X*w)//10),
+    exact integer index arithmetic), and re-encodes as PNG; (3)
+    ``decode_image_features`` decodes the RESIZED PNG and emits its
+    dims and exact pixel sum. The oracle composes the resample index
+    map with the pixel formula arithmetically — it never sees any
+    image bytes — so the hash proves decode, nearest-neighbor
+    resampling, re-encode, and re-decode are ALL exact.
+
+    Scale: all three stages are zero-shuffle Arrow maps; pixels never
+    leave the task that synthesized them."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 7
+                x = np.arange(w).reshape(1, w, 1)
+                y = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                payloads.append(multimodal.encode_png(px, "none"))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    resized = multimodal.resize_images_real(assets, target_w=10, target_h=12)
+    return multimodal.decode_image_features(resized)
+
+
 # ---------------------------------------------------------------------------
 # Composite curation pipeline (quality -> lang -> dedup -> token budget)
 # ---------------------------------------------------------------------------

@@ -46,12 +46,24 @@ from bigquery_cross_environment_etl_pipeline_spark.sources.registry import (  # 
 from .conftest import SF_SMOKE  # noqa: E402
 
 
-def _force_window_cases():
+def _gate_cases():
+    """The round's new/changed queries: the _FORCE_WINDOW list
+    (semantically modified — old greens no longer attest) PLUS every
+    oracle-bearing query with no green ledger row (brand-new — the
+    rotation's never-green section sends these to the driver next, so
+    their first exposure is exactly as imminent as the forced ones,
+    without consuming the <=3 force budget)."""
     queries_catalog._load_all()
-    return queries_catalog._FORCE_WINDOW
+    ledger = queries_catalog._load_ledger().get("green", {})
+    never_green = [
+        n for n in queries_catalog._ORACLE if not ledger.get(n)
+    ]
+    return list(
+        dict.fromkeys(queries_catalog._FORCE_WINDOW + never_green)
+    )
 
 
-@pytest.mark.parametrize("name", _force_window_cases())
+@pytest.mark.parametrize("name", _gate_cases())
 def test_force_window_query_survives_the_arrow_type_domain(name, spark):
     """Every new/changed query must hash-match its oracle in the SAME
     type domain the external driver compares in, BEFORE its first

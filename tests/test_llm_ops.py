@@ -331,6 +331,167 @@ def test_png_palette_roundtrip_and_hostile():
         )
 
 
+def test_gif_roundtrip_lzw_interlace_and_hostile():
+    """GIF 87a/89a decode is REAL (round 9): pure-Python LZW with
+    dictionary growth, width escalation, and 12-bit cap resets, plus
+    the 4-pass row interlace and palette resolution. Round-trips
+    cover small palettes, a full 256-color table, a 1x1 frame, and a
+    low-entropy 64x64 that forces LZW width escalation; hostile
+    payloads (truncations at several depths, bad magic) refuse
+    loudly, transparency gates, and non-image extensions are skipped."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    for p_colors, shape, il in (
+        (4, (7, 9), False),
+        (17, (12, 8), True),
+        (256, (20, 20), False),
+        (3, (1, 1), False),
+        (2, (64, 64), True),
+    ):
+        pal = rng.randint(0, 256, size=(p_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, p_colors, size=shape).astype(np.uint8)
+        out = multimodal.decode_image(multimodal.encode_gif(idx, pal, interlace=il))
+        assert out.shape == shape + (3,) and np.array_equal(out, pal[idx])
+
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(5, 6)).astype(np.uint8)
+    g = multimodal.encode_gif(idx, pal)
+    for cut in (3, 12, len(g) // 2, len(g) - 2):
+        with pytest.raises(ValueError):
+            multimodal.decode_gif(g[:cut])
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"NOTGIF" + bytes(20))
+    desc_at = g.index(b"\x2c")
+    with pytest.raises(NotImplementedError, match="transparency"):
+        multimodal.decode_gif(
+            g[:desc_at] + b"\x21\xf9\x04\x01\x00\x00\x00\x00" + g[desc_at:]
+        )
+    # comment extension and an OPAQUE graphic-control extension must
+    # be skipped, not tripped over
+    for ext in (b"\x21\xfe\x05hello\x00", b"\x21\xf9\x04\x00\x00\x00\x00\x00"):
+        out = multimodal.decode_gif(g[:desc_at] + ext + g[desc_at:])
+        assert np.array_equal(out, pal[idx])
+
+
+def test_lzw_dictionary_cap_reset_roundtrip():
+    """A 60k-symbol low-entropy stream overflows the 12-bit LZW
+    dictionary — the encoder must emit a clear-code reset and the
+    decoder must follow it; a width-escalation off-by-one fails this
+    within the first few hundred symbols."""
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    for n, hi in ((1000, 4), (20000, 2), (60000, 7), (8000, 255)):
+        seq = rng.randint(0, hi, size=n).tolist()
+        mcs = max(2, (hi - 1).bit_length() if hi > 1 else 2)
+        assert multimodal._lzw_decode(
+            multimodal._lzw_encode(seq, mcs), mcs, n
+        ) == seq, (n, hi)
+
+
+def test_wav_roundtrip_and_hostile():
+    """RIFF/WAVE PCM decode is REAL (round 9): 16-bit signed and
+    8-bit unsigned (recentered), chunk-walking past metadata chunks.
+    Hostile payloads — bad magic, non-PCM format, truncated data,
+    missing data chunk — refuse loudly; the encoder refuses values
+    that would silently clip."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 2, 4):
+        a = rng.randint(-32768, 32768, size=(101, ch)).astype(np.int32)
+        rate, d = multimodal.decode_wav(multimodal.encode_wav(a, 8000 + ch))
+        assert rate == 8000 + ch and d.shape == a.shape and np.array_equal(d, a)
+
+    good = multimodal.encode_wav(np.arange(-20, 20, dtype=np.int32), 44100)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(good[:-5])  # truncated data chunk
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + bytes(20))
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # MP3-in-WAV
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    nodata = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(nodata)) + nodata)
+    with pytest.raises(ValueError):  # refuse silent clipping
+        multimodal.encode_wav(np.array([40000]), 8000)
+    # a metadata LIST chunk between fmt and data must be walked past
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    samples = struct.pack("<4h", 1, -2, 3, -4)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt16
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+        + b"data" + struct.pack("<I", 8) + samples
+    )
+    rate, d = multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and d[:, 0].tolist() == [1, -2, 3, -4]
+
+
+def test_decode_audio_features_stage(spark):
+    """The WAV mapInPandas stage: real parse, exact integer facts,
+    NULL/undecodable payloads -> NULL facts without killing the
+    batch."""
+    import numpy as np
+
+    a = np.arange(-50, 50, dtype=np.int32).reshape(50, 2)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_wav(a, 16000))),
+            (2, bytearray(b"RIFF garbage")),
+            (3, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.decode_audio_features(assets).collect()
+    }
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[1]["n_channels"] == 2 and rows[1]["n_frames"] == 50
+    assert rows[1]["amp_sum"] == int(a.sum())
+    assert rows[2]["sample_rate"] is None and rows[3]["amp_sum"] is None
+
+
+def test_resize_images_real_stage(spark):
+    """The REAL resize stage: decode -> nearest-neighbor -> PNG
+    re-encode, with exact index arithmetic (out(Y,X) = in((Y*h)//th,
+    (X*w)//tw)) verified against a numpy reference, and the
+    NULL/undecodable one-bad-asset contract."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_png(src))),
+            (2, bytearray(b"\xff\xd8\xff\xe0 jpeg")),  # gated codec
+            (3, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.resize_images_real(assets, 4, 5).collect()
+    }
+    out = multimodal.decode_png(bytes(rows[1]["payload"]))
+    yi = (np.arange(5) * 6) // 5
+    xi = (np.arange(4) * 9) // 4
+    assert np.array_equal(out, src[yi][:, xi])
+    assert rows[1]["n_bytes_out"] == len(bytes(rows[1]["payload"]))
+    assert rows[2]["payload"] is None and rows[3]["n_bytes_out"] is None
+
+
 def test_png_hostile_payloads_raise_loudly():
     """The planted hostile-input battery (VERDICT r8 item 1): a
     truncated IDAT, a bad filter byte, a short inflated stream, and
