@@ -333,14 +333,19 @@ def decode_png(payload: bytes) -> "object":
             f"PNG bit depth {depth} / color type {color} not supported "
             "(8-bit samples only — the decode contract is uint8)"
         )
+    if trns is not None:
+        # tRNS is valid for color types 0/2/3 (one transparent
+        # gray/RGB value, or per-palette-entry alpha) — refusing it
+        # for ALL types keeps the contract honest: decoding to an
+        # alpha-less array would silently render transparent pixels
+        # opaque, the exact misread class this module designs out
+        raise NotImplementedError(
+            "PNG transparency (tRNS) not supported — dropping alpha "
+            "silently would be a misread"
+        )
     if color == 3:
         if plte is None or not plte or len(plte) % 3:
             raise ValueError("palette PNG with missing/malformed PLTE")
-        if trns is not None:
-            raise NotImplementedError(
-                "palette transparency (tRNS) not supported — dropping "
-                "alpha silently would be a misread"
-            )
     if w <= 0 or h <= 0:
         raise ValueError("PNG dimensions must be positive")
     if not idat:
@@ -469,9 +474,10 @@ def decode_image(payload: bytes) -> object:
     grayscale), uncompressed 24-bit bottom-up BMP with a
     BITMAPINFOHEADER-family DIB header, and — since round 9 — 8-bit
     PNG of every color type in both progressive modes via stdlib
-    zlib + numpy unfiltering (``decode_png``). Codecs whose entropy
-    coding genuinely needs a library (JPEG/GIF/WebP/...) remain the
-    declared capability gate — wire
+    zlib + numpy unfiltering (``decode_png``) — and GIF 87a/89a via
+    pure-Python LZW (``decode_gif``). Codecs whose entropy coding
+    genuinely needs a library (JPEG/WebP) remain the declared
+    capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
     designed out (see ``_ppm_header``).
@@ -831,19 +837,28 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     ValueError loudly."""
     clear = 1 << min_code_size
     end = clear + 1
-    stream = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    bitpos = 0
+    # rolling accumulator + byte cursor (same pattern as the encoder):
+    # a whole-stream big int re-shifted per code is O(bits^2) — minutes
+    # per real-corpus GIF in the decode hot path
+    buf = 0
+    nbits = 0
+    pos = 0
+    n_bytes = len(data)
     width = min_code_size + 1
     table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
     next_code = end + 1
     out: list[int] = []
     prev: tuple[int, ...] | None = None
     while True:
-        if bitpos + width > total_bits:
-            raise ValueError("GIF LZW stream ended without end code")
-        code = (stream >> bitpos) & ((1 << width) - 1)
-        bitpos += width
+        while nbits < width:
+            if pos >= n_bytes:
+                raise ValueError("GIF LZW stream ended without end code")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
         if code == clear:
             table = {i: (i,) for i in range(clear)}
             width = min_code_size + 1
@@ -927,6 +942,15 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         w = (px,)
     if w:
         emit(table[w], width)
+        # the decoder performs ONE MORE dictionary add upon reading
+        # this final code and may escalate its code width before
+        # reading END — mirror it, or END goes out at a narrower
+        # width than the decoder reads it with (caught by fuzzing:
+        # ~0.5% of streams, whenever the final add lands exactly on
+        # 2^width). next_code > end+1 ⇔ the flush code is not the
+        # first since a reset, i.e. the decoder really does add.
+        if next_code > end + 1 and next_code == (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(buf & 0xFF)
@@ -972,7 +996,7 @@ def decode_gif(payload: bytes) -> "object":
                 raise ValueError("GIF extension truncated")
             label = payload[i + 1]
             j = i + 2
-            if label == 0xF9 and j < L and payload[j] >= 4:
+            if label == 0xF9 and j + 1 < L and payload[j] >= 4:
                 if payload[j + 1] & 0x01:
                     raise NotImplementedError(
                         "GIF transparency (GCE transparent-color flag) not "

@@ -149,3 +149,22 @@ def test_loaded_queries_annotation_rides_line_and_detail():
     line2, detail2 = bench.compose_output(timings, errors, "/root/testdata/sf0.1")
     assert "loaded_queries" not in detail2 and "retimed_passes" not in detail2
     assert "n_loaded" not in json.loads(line2)
+
+
+def test_quiet_pass_outliers_are_regression_candidates_not_load():
+    """Attribution (review finding, round 9): a >3x-over-quiet query
+    on a pass whose calibration measured QUIET is a genuine
+    regression candidate — compose_output must carry it under
+    `regression_candidates`, never under the load label that tells
+    future readers to ignore it."""
+    timings, errors = _mk(10)
+    cands = {"q_regressed": 4.2}
+    line, detail = bench.compose_output(
+        timings, errors, "/root/testdata/sf0.1",
+        regression_candidates=cands,
+    )
+    d = json.loads(line)
+    assert detail["regression_candidates"] == cands
+    assert d["regression_candidates"] == {"q_regressed": 4.2}
+    assert d["n_regression_candidates"] == 1
+    assert "loaded_queries" not in detail and "n_loaded" not in d

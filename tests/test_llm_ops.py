@@ -238,15 +238,18 @@ def test_multimodal_arrow_path_matches_pandas_path(spark):
 def test_multimodal_decode_entropy_codecs_still_gated():
     """Entropy-coded codecs stay the declared capability gate (round 7
     narrowed the gate from ALL formats to compressed-only; round 9
-    narrowed it again — PNG is now real, JPEG/GIF are not)."""
+    narrowed it twice more — PNG and GIF are now real, JPEG/WebP are
+    not)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
-    # a PNG signature now routes to the REAL decoder, whose hostile
-    # path is loud (here: nothing after the signature)
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
+    # PNG and GIF signatures now route to the REAL decoders, whose
+    # hostile paths are loud (here: nothing valid after the signature)
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def _formula_pixels(d: int, w: int, h: int, ch: int):
@@ -329,6 +332,16 @@ def test_png_palette_roundtrip_and_hostile():
         multimodal.decode_png(
             sig + ihdr + chunk(b"PLTE", bytes(24)) + chunk(b"tRNS", b"\x00") + idat + end
         )
+    # review finding (round 9): tRNS is ALSO valid on gray/RGB PNGs
+    # (one transparent value) — it must refuse there too, not decode
+    # with transparency silently rendered opaque
+    rgb_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+    rgb_raw = b"".join(b"\x00" + bytes(9) for _ in range(2))
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        multimodal.decode_png(
+            sig + rgb_ihdr + chunk(b"tRNS", bytes(6))
+            + chunk(b"IDAT", zlib.compress(rgb_raw)) + end
+        )
 
 
 def test_gif_roundtrip_lzw_interlace_and_hostile():
@@ -367,6 +380,10 @@ def test_gif_roundtrip_lzw_interlace_and_hostile():
         multimodal.decode_gif(
             g[:desc_at] + b"\x21\xf9\x04\x01\x00\x00\x00\x00" + g[desc_at:]
         )
+    # review finding (round 9): a stream truncated right after the GCE
+    # size byte must raise the documented ValueError, not IndexError
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(g[:desc_at] + b"\x21\xf9\x04")
     # comment extension and an OPAQUE graphic-control extension must
     # be skipped, not tripped over
     for ext in (b"\x21\xfe\x05hello\x00", b"\x21\xf9\x04\x00\x00\x00\x00\x00"):
@@ -388,6 +405,31 @@ def test_lzw_dictionary_cap_reset_roundtrip():
         assert multimodal._lzw_decode(
             multimodal._lzw_encode(seq, mcs), mcs, n
         ) == seq, (n, hi)
+
+
+def test_lzw_end_code_width_escalation_regression():
+    """Review finding (round 9): when the decoder's dictionary add for
+    the encoder's FINAL flushed code lands exactly on 2^width, the
+    decoder reads END at width+1 — the encoder must mirror that
+    escalation or ~0.5% of streams lose their END code. Pins the two
+    fuzz-found failing cases plus a seeded sweep."""
+    import numpy as np
+
+    seq = [0, 3, 3, 2, 0, 0, 2, 1, 3, 1, 2]
+    assert multimodal._lzw_decode(multimodal._lzw_encode(seq, 2), 2, len(seq)) == seq
+
+    rng = np.random.RandomState(123)
+    pal2 = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    idx = rng.randint(0, 2, size=(1, 19)).astype(np.uint8)
+    out = multimodal.decode_gif(multimodal.encode_gif(idx, pal2))
+    assert np.array_equal(out, pal2[idx])
+
+    for _ in range(500):
+        hi = int(rng.randint(2, 17))
+        n = int(rng.randint(1, 120))
+        s = rng.randint(0, hi, size=n).tolist()
+        mcs = max(2, int(hi - 1).bit_length() if hi > 1 else 2)
+        assert multimodal._lzw_decode(multimodal._lzw_encode(s, mcs), mcs, n) == s
 
 
 def test_wav_roundtrip_and_hostile():

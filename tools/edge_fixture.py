@@ -200,10 +200,10 @@ def replay(dest: str, only: list[str] | None = None) -> int:
     # loop — KeyboardInterrupt, a Spark setup failure — must still
     # remove the duck_spill_* temp directory, as arrow_replay.py does
     with BoundedOracle(dest, TABLES) as ora:
-        return _replay_loop(spark, ora, q, o, only)
+        return _replay_loop(spark, ora, q, o, only, dest)
 
 
-def _replay_loop(spark, ora, q, o, only) -> int:
+def _replay_loop(spark, ora, q, o, only, dest) -> int:
     names = only or sorted(o)
     fails, loud_both = 0, 0
     for name in names:
