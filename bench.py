@@ -174,6 +174,11 @@ BENCH_QUERIES = [
     # round-9 additions, third batch: real end-to-end image resize
     # (decode -> nearest-neighbor -> PNG re-encode -> re-decode)
     "multimodal_resize_decode",
+    # round-9 additions, fourth batch: distributed BPE tokenizer
+    # training (vocab-sized merge rounds, one argmax row per round)
+    # and corpus-scale application (chained column-level replaces)
+    "bpe_train_merges",
+    "bpe_token_counts",
 ]
 
 

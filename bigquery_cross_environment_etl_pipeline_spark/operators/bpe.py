@@ -1,0 +1,172 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The canonical tokenizer-training job a pre-training pipeline runs over
+its corpus (SentencePiece/GPT-style BPE, word-internal merges): start
+from characters, repeatedly merge the most frequent adjacent symbol
+pair. The reference has no analog (its transform hook is identity);
+this is north-star training-data surface.
+
+Representation — the "spaced symbol string": a word's symbol sequence
+is one string with single spaces between symbols and sentinel spaces
+at both ends (``' a b c '``). That makes every training/apply step a
+pure string/column operation both engines share bitwise:
+
+- pair extraction  = split on ' ' + adjacent zip (the n=2 shingle);
+- applying merge (a,b)→ab = ``replace(sym, ' a b ', ' ab ')`` — both
+  Spark's and DuckDB's ``replace`` scan the original left-to-right,
+  non-overlapping, which is EXACTLY BPE's greedy merge order
+  (``' a a a '`` under (a,a) becomes ``' aa a '``, never ``' a aa '``);
+- document-level application joins char-spaced words with a DOUBLE
+  space, so ``' x y '`` patterns can never match across a word
+  boundary — merges stay word-internal without a per-word explode.
+
+Scale (100 TB corpus): training never touches the corpus after the
+initial word count (map-side combinable, the only corpus-sized
+shuffle). Every merge round runs over the VOCABULARY relation — Zipf
+keeps that orders of magnitude smaller than the corpus and it only
+shrinks as merges apply. The per-round argmax collects exactly ONE
+row to the driver (the `checkpoint argmax` pattern); K rounds = K
+tiny jobs over a vocab-sized lineage. Applying a trained merge table
+to documents is a chain of K column-level replaces — zero shuffles,
+rides the scan.
+
+Determinism: the argmax tie-breaks on (count DESC, pair ASC) — a
+total order, so both engines pick the same merge at every round and
+the DuckDB oracle replays training EXACTLY with K unrolled CTE
+rounds (the PageRank/Lloyd unrolled-oracle recipe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import tokens
+
+#: default number of merge rounds for the driver-visible queries —
+#: small enough that the unrolled-CTE oracle stays readable, large
+#: enough that merges chain (later merges consume earlier ones).
+N_MERGES = 8
+
+
+def char_spaced(word: Column) -> Column:
+    """``'abc'`` -> ``' a b c '`` (sentinel spaces both ends; the
+    regexp leaves a trailing space per char). Both engines' regex
+    engines are code-point aware, so multibyte text splits the same."""
+    return F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(sym, n): the corpus word vocabulary in spaced-symbol form with
+    occurrence counts — the ONLY corpus-sized aggregation in BPE
+    training. Empty tokens (from empty/whitespace text) are excluded,
+    the contentless-doc contract."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(char_spaced(F.col("word")).alias("sym"), "n")
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = N_MERGES, text_col: str = "text"
+) -> list[tuple[int, str, str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns
+    [(rank, left_sym, right_sym, merged, pair_count), ...].
+
+    Each round: count adjacent symbol pairs over the vocab (weighted
+    by word count), pick the (count DESC, pair ASC) argmax — ONE
+    collected row — and fold the merge into the vocab as a literal
+    ``replace``. Raises a named ValueError if a round finds no pairs
+    (corpus too small for the requested rounds), the shared
+    tiny-slice precondition convention."""
+    vocab = word_vocab(docs, text_col)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        best = (
+            vocab.select(
+                F.explode(shingles(F.col("sym"), 2)).alias("pair"), "n"
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"train_bpe: no adjacent symbol pairs left at round {r} — "
+                f"the corpus is too small for {n_merges} merge rounds"
+            )
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ")
+        merged = left + right
+        merges.append((r, left, right, merged, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("sym"),
+            "n",
+        )
+    return merges
+
+
+def merge_table(spark: SparkSession, merges) -> DataFrame:
+    """The trained merge table as a DataFrame (bounded: n_merges
+    rows)."""
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def doc_symbols(docs: DataFrame, text_col: str = "text") -> Column:
+    """Document-level spaced-symbol string: char-spaced words joined
+    by a DOUBLE space (each spaced word already ends with one space;
+    the join adds the second), so no ``' x y '`` merge pattern can
+    span a word boundary. NULL for contentless docs."""
+    words = F.filter(tokens(text_col), lambda w: w != F.lit(""))
+    spaced = F.transform(
+        words, lambda w: F.regexp_replace(w, "(.)", "$1 ")
+    )
+    return F.when(
+        F.size(words) > 0,
+        F.concat(F.lit(" "), F.array_join(spaced, " ")),
+    )
+
+
+def apply_merges(sym: Column, merges) -> Column:
+    """Fold a trained merge table into a symbol-string column as a
+    chain of literal replaces, in rank order — pure column ops, zero
+    shuffles, zero Python."""
+    out = sym
+    for _rank, left, right, merged, _cnt in merges:
+        out = F.replace(
+            out, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+        )
+    return out
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token count after applying ``merges``:
+    (id, n_bpe_tokens). Contentless docs count 0."""
+    applied = apply_merges(doc_symbols(docs, text_col), merges)
+    # explicit NULL branch, not coalesce(size(...)): size(NULL) is
+    # configuration-dependent (-1 under legacy sizeOfNull), and -1
+    # would sail straight through a coalesce
+    return docs.select(
+        F.col(id_col),
+        F.when(applied.isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(applied), r" +")))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )

@@ -2728,6 +2728,146 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py) — unrolled-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+def _bpe_ctes(k: int) -> str:
+    """K unrolled BPE training rounds as CTEs (the PageRank/Lloyd
+    recipe): w0 = corpus word counts, v0 = spaced-symbol vocab, then
+    per round r: p{r} adjacent-pair counts, b{r} the (count DESC,
+    pair ASC) argmax merge, v{r+1} the vocab with that merge folded
+    in via the same left-to-right non-overlapping replace Spark
+    applies.
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines CTEs by default, and
+    with v{r+1} referencing v{r} and b{r} (twice), inlining makes the
+    K-round chain EXPONENTIAL — the un-materialized form did not
+    finish in 9 minutes at sf0.001; materialized it runs in
+    seconds."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST({_DUCK_WORDS}) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, n FROM w0
+    )""",
+    ]
+    for r in range(k):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(sym), ' ') AS s, n FROM v{r}) t,
+           UNNEST([x FOR x IN generate_series(1, len(s) - 1)]) AS u(i)
+      GROUP BY pair
+    )"""
+        )
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+      SELECT CAST({r} AS INT) AS merge_rank, s[1] AS left_sym,
+             s[2] AS right_sym, replace(pair, ' ', '') AS merged,
+             cnt AS pair_count
+      FROM (SELECT pair, cnt, regexp_split_to_array(pair, ' ') AS s
+            FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1)
+    )"""
+        )
+        parts.append(
+            f"""v{r + 1} AS MATERIALIZED (
+      SELECT replace(sym,
+                     ' ' || (SELECT left_sym || ' ' || right_sym FROM b{r}) || ' ',
+                     ' ' || (SELECT merged FROM b{r}) || ' ') AS sym, n
+      FROM v{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_applied_expr(k: int, sym: str = "sym") -> str:
+    """Nested-replace application of the K trained merges, rank order."""
+    out = sym
+    for r in range(k):
+        out = (
+            f"replace({out}, "
+            f"' ' || (SELECT left_sym || ' ' || right_sym FROM b{r}) || ' ', "
+            f"' ' || (SELECT merged FROM b{r}) || ' ')"
+        )
+    return out
+
+
+_BPE_K = 8  # operators/bpe.N_MERGES — keep in lockstep
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_K)}
+    {" UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(_BPE_K))}
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (round 9 — the canonical
+    corpus-scale tokenizer job, operators/bpe.py): 8 merge rounds over
+    the documents word vocabulary; output is the trained merge table
+    (rank, pair, merged symbol, pair count). Determinism comes from
+    the (count DESC, pair ASC) argmax tie-break, so the oracle replays
+    the ENTIRE training trajectory with 8 unrolled CTE rounds — a
+    wrong pair count, tie-break, or merge application at ANY round
+    derails every later round and hash-fails.
+
+    Scale: the corpus is touched once (word count, map-side
+    combinable); every round runs over the Zipf-bounded VOCABULARY
+    relation and collects exactly one argmax row to the driver — the
+    shape a 100 TB SentencePiece-style training job needs."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.merge_table(spark, bpe.train_bpe(docs, _BPE_K))
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_K)},
+    docw AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+    docsym AS (
+      SELECT doc_id,
+             CASE WHEN w IS NULL
+                    OR len(list_filter(w, x -> x <> '')) = 0 THEN NULL
+                  ELSE ' ' || array_to_string(
+                         [regexp_replace(x, '(.)', '\\1 ', 'g')
+                          for x in list_filter(w, x -> x <> '')], ' ')
+             END AS sym
+      FROM docw
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN sym IS NULL THEN 0
+                ELSE len(regexp_split_to_array(
+                       trim({_bpe_applied_expr(_BPE_K)}), ' +'))
+                END AS BIGINT) AS n_bpe_tokens
+    FROM docsym
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization applied at corpus scale (round 9): train the
+    8-merge table, then count each document's post-merge tokens. The
+    application is a chain of 8 literal column-level replaces over the
+    double-space-joined document symbol string (word boundaries carry
+    two spaces, so no ' x y ' merge pattern can cross one) — zero
+    shuffles, zero Python, rides the scan; exactly how a trained
+    tokenizer's token-budget accounting runs over 100 TB. The oracle
+    retrains via the same unrolled CTEs and applies the same nested
+    replaces, so training AND application must both be exact.
+    Contentless docs count 0 tokens (shared contract)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, _BPE_K)
+    return bpe.bpe_token_counts(docs, merges)
+
+
+# ---------------------------------------------------------------------------
 # Composite curation pipeline (quality -> lang -> dedup -> token budget)
 # ---------------------------------------------------------------------------
 
