@@ -7,18 +7,34 @@ pair. The reference has no analog (its transform hook is identity);
 this is north-star training-data surface.
 
 Representation — the "spaced symbol string": a word's symbol sequence
-is one string with single spaces between symbols and sentinel spaces
-at both ends (``' a b c '``). That makes every training/apply step a
-pure string/column operation both engines share bitwise:
+is one string with DOUBLE spaces between symbols and double sentinel
+spaces at both ends (``'  a  b  c  '``). That makes every
+training/apply step a pure string/column operation both engines share
+bitwise:
 
-- pair extraction  = split on ' ' + adjacent zip (the n=2 shingle);
-- applying merge (a,b)→ab = ``replace(sym, ' a b ', ' ab ')`` — both
-  Spark's and DuckDB's ``replace`` scan the original left-to-right,
-  non-overlapping, which is EXACTLY BPE's greedy merge order
-  (``' a a a '`` under (a,a) becomes ``' aa a '``, never ``' a aa '``);
-- document-level application joins char-spaced words with a DOUBLE
-  space, so ``' x y '`` patterns can never match across a word
-  boundary — merges stay word-internal without a per-word explode.
+- pair extraction = split on runs of spaces + adjacent zip (the n=2
+  shingle);
+- applying merge (a,b)→ab = ``replace(sym, ' a  b ', ' ab ')``. The
+  pattern's single-space flanks consume only ONE of each boundary's
+  two spaces, so two token-disjoint merge sites that share a boundary
+  (``a b a b``) BOTH match in one left-to-right non-overlapping scan,
+  while token-overlapping sites (``a a a`` under (a,a)) still block —
+  which is EXACTLY reference greedy BPE (Sennrich's
+  ``(?<!\S)a b(?!\S)`` regex), reproduced without lookarounds (RE2,
+  hence the DuckDB oracle, has none). A single-space encoding is NOT
+  equivalent: its pattern eats the whole shared boundary and silently
+  skips every other site in ``abab``/``aaaa`` runs (round-9 review
+  finding);
+- document-level application joins double-spaced words with a TRIPLE
+  space, which the exactly-two-interior-space merge pattern can never
+  match across — merges stay word-internal without a per-word
+  explode.
+
+Character splitting uses ``([\s\S])``, not ``(.)``: Java's dot
+excludes Unicode line terminators (U+0085/U+2028/U+2029 — which
+``\s+`` tokenization does NOT strip) while RE2's dot excludes only
+newline, so a dot-based splitter builds different symbol sequences in
+the two engines (round-9 review finding, confirmed on ``'a\\x85b'``).
 
 Scale (100 TB corpus): training never touches the corpus after the
 initial word count (map-side combinable, the only corpus-sized
@@ -51,10 +67,12 @@ N_MERGES = 8
 
 
 def char_spaced(word: Column) -> Column:
-    """``'abc'`` -> ``' a b c '`` (sentinel spaces both ends; the
-    regexp leaves a trailing space per char). Both engines' regex
-    engines are code-point aware, so multibyte text splits the same."""
-    return F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+    """``'abc'`` -> ``'  a  b  c  '`` (double boundaries everywhere;
+    the regexp leaves a trailing double space per char). ``[\\s\\S]``
+    matches EVERY code point in both Java and RE2 — see the module
+    docstring for why dot does not — and both engines are code-point
+    aware, so multibyte text splits the same."""
+    return F.concat(F.lit("  "), F.regexp_replace(word, r"([\s\S])", "$1  "))
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -82,8 +100,15 @@ def train_bpe(
     collected row — and fold the merge into the vocab as a literal
     ``replace``. Raises a named ValueError if a round finds no pairs
     (corpus too small for the requested rounds), the shared
-    tiny-slice precondition convention."""
-    vocab = word_vocab(docs, text_col)
+    tiny-slice precondition convention.
+
+    The initial vocab is localCheckpoint'ed (round-9 review finding):
+    without it every round's argmax job replays the corpus-sized word
+    count — K rounds = K corpus scans instead of one, and the
+    docstring's 'training never touches the corpus after the word
+    count' would be a lie at 100 TB. After the checkpoint each round's
+    lineage is just r cheap replaces over the materialized vocab."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(n_merges):
         best = (
@@ -107,7 +132,9 @@ def train_bpe(
         merges.append((r, left, right, merged, cnt))
         vocab = vocab.select(
             F.replace(
-                F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                F.col("sym"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {merged} "),
             ).alias("sym"),
             "n",
         )
@@ -125,28 +152,30 @@ def merge_table(spark: SparkSession, merges) -> DataFrame:
 
 
 def doc_symbols(docs: DataFrame, text_col: str = "text") -> Column:
-    """Document-level spaced-symbol string: char-spaced words joined
-    by a DOUBLE space (each spaced word already ends with one space;
-    the join adds the second), so no ``' x y '`` merge pattern can
-    span a word boundary. NULL for contentless docs."""
+    """Document-level spaced-symbol string: double-spaced words joined
+    by a TRIPLE space (each spaced word already ends with a double
+    space; the join adds the third), which the exactly-two-interior-
+    space merge pattern can never match across — merges stay
+    word-internal. NULL for contentless docs."""
     words = F.filter(tokens(text_col), lambda w: w != F.lit(""))
     spaced = F.transform(
-        words, lambda w: F.regexp_replace(w, "(.)", "$1 ")
+        words, lambda w: F.regexp_replace(w, r"([\s\S])", "$1  ")
     )
     return F.when(
         F.size(words) > 0,
-        F.concat(F.lit(" "), F.array_join(spaced, " ")),
+        F.concat(F.lit("  "), F.array_join(spaced, " ")),
     )
 
 
 def apply_merges(sym: Column, merges) -> Column:
     """Fold a trained merge table into a symbol-string column as a
     chain of literal replaces, in rank order — pure column ops, zero
-    shuffles, zero Python."""
+    shuffles, zero Python; exact greedy semantics per the module
+    docstring."""
     out = sym
     for _rank, left, right, merged, _cnt in merges:
         out = F.replace(
-            out, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+            out, F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
         )
     return out
 

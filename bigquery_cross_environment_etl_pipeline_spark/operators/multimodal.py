@@ -333,19 +333,26 @@ def decode_png(payload: bytes) -> "object":
             f"PNG bit depth {depth} / color type {color} not supported "
             "(8-bit samples only — the decode contract is uint8)"
         )
+    if color == 3 and (plte is None or not plte or len(plte) % 3):
+        # structural validation FIRST: a malformed PLTE is corruption
+        # and must report as such even when a tRNS chunk is also
+        # present (review finding — error classes route downstream
+        # retry-with-a-library decisions, so they must not lie)
+        raise ValueError("palette PNG with missing/malformed PLTE")
     if trns is not None:
-        # tRNS is valid for color types 0/2/3 (one transparent
-        # gray/RGB value, or per-palette-entry alpha) — refusing it
-        # for ALL types keeps the contract honest: decoding to an
-        # alpha-less array would silently render transparent pixels
-        # opaque, the exact misread class this module designs out
+        # tRNS is spec-valid for color types 0/2/3 only (one
+        # transparent gray/RGB value, or per-palette-entry alpha).
+        # There it is a CAPABILITY gate (NotImplementedError): decoding
+        # to an alpha-less array would silently render transparent
+        # pixels opaque, and a library could do better. On the alpha
+        # color types 4/6 the spec forbids tRNS outright — corruption,
+        # not a gate a library would fix.
+        if color in (4, 6):
+            raise ValueError("PNG tRNS chunk is invalid for alpha color types")
         raise NotImplementedError(
             "PNG transparency (tRNS) not supported — dropping alpha "
             "silently would be a misread"
         )
-    if color == 3:
-        if plte is None or not plte or len(plte) % 3:
-            raise ValueError("palette PNG with missing/malformed PLTE")
     if w <= 0 or h <= 0:
         raise ValueError("PNG dimensions must be positive")
     if not idat:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators import bpe as bpe_ops
 from ..operators import dedup, similarity, sketches, text
 from ..operators.multimodal import extract_features, synthesize_assets
 from ..queries_catalog import register
@@ -2752,14 +2753,14 @@ def _bpe_ctes(k: int) -> str:
       WHERE word <> '' GROUP BY word
     )""",
         """v0 AS MATERIALIZED (
-      SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, n FROM w0
+      SELECT '  ' || regexp_replace(word, '([\\s\\S])', '\\1  ', 'g') AS sym, n FROM w0
     )""",
     ]
     for r in range(k):
         parts.append(
             f"""p{r} AS MATERIALIZED (
       SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(n) AS BIGINT) AS cnt
-      FROM (SELECT regexp_split_to_array(trim(sym), ' ') AS s, n FROM v{r}) t,
+      FROM (SELECT regexp_split_to_array(trim(sym), ' +') AS s, n FROM v{r}) t,
            UNNEST([x FOR x IN generate_series(1, len(s) - 1)]) AS u(i)
       GROUP BY pair
     )"""
@@ -2776,7 +2777,7 @@ def _bpe_ctes(k: int) -> str:
         parts.append(
             f"""v{r + 1} AS MATERIALIZED (
       SELECT replace(sym,
-                     ' ' || (SELECT left_sym || ' ' || right_sym FROM b{r}) || ' ',
+                     ' ' || (SELECT left_sym || '  ' || right_sym FROM b{r}) || ' ',
                      ' ' || (SELECT merged FROM b{r}) || ' ') AS sym, n
       FROM v{r}
     )"""
@@ -2790,13 +2791,13 @@ def _bpe_applied_expr(k: int, sym: str = "sym") -> str:
     for r in range(k):
         out = (
             f"replace({out}, "
-            f"' ' || (SELECT left_sym || ' ' || right_sym FROM b{r}) || ' ', "
+            f"' ' || (SELECT left_sym || '  ' || right_sym FROM b{r}) || ' ', "
             f"' ' || (SELECT merged FROM b{r}) || ' ')"
         )
     return out
 
 
-_BPE_K = 8  # operators/bpe.N_MERGES — keep in lockstep
+_BPE_K = bpe_ops.N_MERGES  # single source of truth (review finding)
 
 
 @register(
@@ -2835,8 +2836,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN w IS NULL
                     OR len(list_filter(w, x -> x <> '')) = 0 THEN NULL
-                  ELSE ' ' || array_to_string(
-                         [regexp_replace(x, '(.)', '\\1 ', 'g')
+                  ELSE '  ' || array_to_string(
+                         [regexp_replace(x, '([\\s\\S])', '\\1  ', 'g')
                           for x in list_filter(w, x -> x <> '')], ' ')
              END AS sym
       FROM docw

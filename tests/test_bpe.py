@@ -56,6 +56,59 @@ def test_merges_never_cross_word_boundaries(spark):
     assert counts == {0: 4, 1: 4}
 
 
+def test_adjacent_disjoint_sites_both_merge_like_reference_bpe(spark):
+    """Round-9 review finding: with single-space boundaries the
+    replace pattern consumed the shared boundary space and skipped
+    every other merge site in runs — 'abab' became (ab) a b and
+    'aaaa' became (aa) a a, which is NOT reference greedy BPE. The
+    double-space representation fixes it: token-disjoint adjacent
+    sites all merge in one scan."""
+    docs = _docs(spark, ["abab abab", "abab abab"])
+    merges = bpe.train_bpe(docs, n_merges=1)
+    assert merges[0][1:4] == ("a", "b", "ab")
+    assert merges[0][4] == 8  # both sites per word counted
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, merges).collect()
+    }
+    # each 'abab' -> (ab)(ab): 2 tokens per word, 2 words per doc
+    assert counts == {0: 4, 1: 4}
+
+
+def test_even_self_pair_runs_merge_greedily(spark):
+    """'aaaa' under merge (a,a) must become (aa)(aa) — 2 tokens, the
+    Sennrich greedy result — not (aa) a a."""
+    docs = _docs(spark, ["aaaa aaaa", "aaaa aaaa"])
+    merges = bpe.train_bpe(docs, n_merges=1)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    assert merges[0][4] == 12  # 3 adjacent positions per word x 4
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, merges).collect()
+    }
+    assert counts == {0: 4, 1: 4}  # (aa)(aa) x 2 words
+
+
+def test_unicode_line_terminators_split_like_any_char(spark):
+    """Round-9 review finding: Java's regex dot excludes U+0085/
+    U+2028/U+2029 (which \\s+ tokenization does NOT strip), so a
+    dot-based char splitter silently skips them; [\\s\\S] must treat
+    them as ordinary symbols."""
+    docs = _docs(spark, ["ab ab", "a b a b"])
+    merges = bpe.train_bpe(docs, n_merges=1)
+    # every pair ties at 2; UTF-8 binary order (both engines' string
+    # order) makes ('a', NEL) the smallest pair string, so it merges —
+    # a dot-based splitter would never surface NEL as a symbol at all
+    assert merges[0][1:3] == ("a", "\u0085")
+    assert merges[0][4] == 2
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, merges).collect()
+    }
+    # doc0: (a+NEL)(b) x2 words = 4; doc1 (U+2028) untouched: 3 x2 = 6
+    assert counts == {0: 4, 1: 6}
+
+
 def test_contentless_docs_count_zero_tokens(spark):
     docs = _docs(spark, ["hello world hello", None, "", "   "])
     merges = bpe.train_bpe(docs, n_merges=1)

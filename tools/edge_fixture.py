@@ -66,6 +66,12 @@ EDGE_ROWS = {
         # every hash/shingle path must agree which (min doc_id)
         {"doc_id": 900008, "text": "identical twin text for exact dedup checks", "lang": "en", "source": "edge", "n_chars": 43},
         {"doc_id": 900009, "text": "identical twin text for exact dedup checks", "lang": "en", "source": "edge", "n_chars": 43},
+        # round 9: Unicode line terminators INSIDE words — \s+
+        # tokenization does not strip U+0085/U+2028/U+2029, Java's
+        # regex dot skips them while RE2's matches them (the BPE
+        # char-splitter divergence class), and any per-char string op
+        # must treat them as ordinary symbols on both engines
+        {"doc_id": 900010, "text": "nelword line sep para end", "lang": "en", "source": "edge", "n_chars": 26},
     ],
     "events": [
         {"event_id": 900001, "ts": None, "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
