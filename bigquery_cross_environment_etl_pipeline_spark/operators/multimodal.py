@@ -165,9 +165,19 @@ _BMP_INFO_SIZES = {40, 52, 56, 108, 124}
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: IHDR color type -> bytes per pixel at bit depth 8 (palette pixels
-#: are 1-byte indices into PLTE, resolved after unfiltering)
+#: IHDR color type -> channel count (palette pixels are indices into
+#: PLTE, resolved after unfiltering)
 _PNG_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: spec §11.2.2: the valid bit depths per color type — every listed
+#: combination is implemented; anything else is corruption
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 #: Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step).
 #: Each pass is an independently-filtered sub-image; empty passes
@@ -287,22 +297,26 @@ def _adam7_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
 
 
 def decode_png(payload: bytes) -> "object":
-    """Pure numpy + stdlib-zlib PNG decode for 8-bit PNGs of EVERY
-    color type — grayscale / RGB / palette / gray+alpha / RGBA (0/2/
-    3/4/6) — in both progressive modes (non-interlaced and Adam7).
-    IHDR is parsed, IDAT chunks are concatenated and inflated (PNG's
-    DEFLATE layer IS stdlib zlib — no image library involved), the
-    four scanline filters are reversed in numpy, Adam7 passes are
-    de-interlaced onto their stride grids, and palette indices are
-    resolved through PLTE. Sub-byte and 16-bit depths raise
-    NotImplementedError (the decode contract is uint8 arrays), as
-    does palette transparency (tRNS — silently dropping alpha would
-    be a misread); structural corruption (truncated IDAT, bad filter
-    byte, short chunks, out-of-range palette index) raises ValueError
+    """Pure numpy + stdlib-zlib PNG decode for 8- AND 16-bit PNGs of
+    EVERY color type — grayscale / RGB / palette / gray+alpha / RGBA
+    (0/2/3/4/6; palette is 8-bit by spec) — in both progressive modes
+    (non-interlaced and Adam7). IHDR is parsed, IDAT chunks are
+    concatenated and inflated (PNG's DEFLATE layer IS stdlib zlib —
+    no image library involved), the four scanline filters are
+    reversed in numpy over bytes at bpp distance (so depth 16 reuses
+    the same machinery), Adam7 passes are de-interlaced onto their
+    stride grids, sub-byte depths (1/2/4, gray/palette) bit-unpack
+    MSB-first with padding trimmed, and palette indices are resolved
+    through PLTE — EVERY spec-valid (depth, color) combination is
+    implemented. Transparency raises NotImplementedError (tRNS —
+    silently dropping alpha would be a misread); structural corruption
+    (truncated IDAT, bad filter byte, short chunks, out-of-range
+    palette index, spec-invalid depth/color pairs) raises ValueError
     loudly.
 
-    Returns HxW uint8 for grayscale, HxWxC for multi-channel images
-    (palette resolves to HxWx3) — always a fresh writable array."""
+    Returns HxW for grayscale, HxWxC for multi-channel images
+    (palette resolves to HxWx3) — uint8 for 8-bit sources, uint16 for
+    16-bit (never a lossy downcast); always a fresh writable array."""
     import struct
     import zlib
 
@@ -328,10 +342,13 @@ def decode_png(payload: bytes) -> "object":
         raise ValueError(f"PNG compression/filter method {comp}/{filt} invalid")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
-    if depth != 8 or color not in _PNG_COLOR_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color} not supported "
-            "(8-bit samples only — the decode contract is uint8)"
+    if color not in _PNG_VALID_DEPTHS:
+        raise ValueError(f"PNG color type {color} invalid")
+    if depth not in _PNG_VALID_DEPTHS[color]:
+        # a spec-invalid (depth, color) pair is CORRUPTION — every
+        # spec-valid combination is now implemented
+        raise ValueError(
+            f"PNG bit depth {depth} is invalid for color type {color}"
         )
     if color == 3 and (plte is None or not plte or len(plte) % 3):
         # structural validation FIRST: a malformed PLTE is corruption
@@ -362,10 +379,60 @@ def decode_png(payload: bytes) -> "object":
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
     ch = _PNG_COLOR_CHANNELS[color]
-    if interlace:
-        arr = _adam7_unfilter(raw, h, w, ch)
+    if depth < 8:
+        # sub-byte samples (gray/palette only, so ch == 1): the
+        # filters operate on the PACKED bytes at distance 1 (spec §9:
+        # bpp rounds up to one byte), so unfilter each scanline's
+        # ceil(w*depth/8) bytes, then bit-unpack MSB-first and trim
+        # the final byte's padding bits
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+
+        def unpack(bts: "object", rows: int, width: int) -> "object":
+            bits = np.unpackbits(bts.reshape(rows, -1), axis=1)
+            vals = bits.reshape(rows, -1, depth) @ weights
+            return vals[:, :width].astype(np.uint8)
+
+        if interlace:
+            samples = np.empty((h, w), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                prb = (pw * depth + 7) // 8
+                n = ph * (1 + prb)
+                sub = _png_unfilter(raw[pos : pos + n], ph, prb, 1)
+                samples[y0::dy, x0::dx] = unpack(sub, ph, pw)
+                pos += n
+            if pos != len(raw):
+                raise ValueError(
+                    f"Adam7 stream is {len(raw)} bytes, passes consume "
+                    f"{pos} (IDAT truncated or padded)"
+                )
+        else:
+            rb = (w * depth + 7) // 8
+            samples = unpack(_png_unfilter(raw, h, rb, 1), h, w)
+        arr = samples[:, :, None]
+        if color == 0:
+            # raw sample values (0 .. 2^depth-1), NOT rescaled — the
+            # exact stored data; rescaling to 0..255 is presentation
+            return samples.copy()
+        # color == 3: fall through to the palette resolution below
     else:
-        arr = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+        # the four filters operate on BYTES at bpp distance (spec §9),
+        # so the unfilter machinery takes bytes-per-pixel
+        bpp = ch * (depth // 8)
+        if interlace:
+            arr = _adam7_unfilter(raw, h, w, bpp)
+        else:
+            arr = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian sample pairs -> uint16 (the one contract widening:
+        # 16-bit sources return uint16 arrays, never a lossy downcast)
+        pairs = arr.reshape(h, w, ch, 2).astype(np.uint16)
+        arr16 = (pairs[..., 0] << 8) | pairs[..., 1]
+        return arr16[:, :, 0].copy() if ch == 1 else arr16.copy()
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = arr[:, :, 0]
@@ -421,11 +488,13 @@ def encode_png(
     filter_policy: str = "cycle",
     interlace: bool = False,
     palette: "object | None" = None,
+    depth: int | None = None,
 ) -> bytes:
-    """Encode a uint8 numpy array as an 8-bit PNG. Input is HxW gray
-    or HxWxC for C in 2/3/4 — or, with ``palette`` (a (P,3) uint8
-    color table, P <= 256), an HxW array of palette INDICES written
-    as color type 3 with a PLTE chunk. ``interlace=True`` writes
+    """Encode a numpy array as a PNG — uint8 input writes depth 8,
+    uint16 writes depth 16 (big-endian sample pairs). Input is HxW
+    gray or HxWxC for C in 2/3/4 — or, with ``palette`` (a (P,3)
+    uint8 color table, P <= 256), an HxW array of palette INDICES
+    written as color type 3 with a PLTE chunk (8-bit only, by spec). ``interlace=True`` writes
     Adam7: each of the seven passes is extracted on its stride grid
     and filtered as an independent sub-image (empty passes emit no
     bytes), exactly the layout ``_adam7_unfilter`` reverses. See
@@ -435,8 +504,21 @@ def encode_png(
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    src = np.asarray(arr)
+    if depth is None:
+        depth = 16 if src.dtype == np.uint16 else 8
+    elif depth in (1, 2, 4):
+        # sub-byte (gray or palette indices): HxW uint8 values < 2^depth
+        if src.ndim != 2:
+            raise ValueError("sub-byte PNG encode needs an HxW array")
+        if src.size and int(src.max()) >= (1 << depth):
+            raise ValueError(f"sample exceeds {depth}-bit range")
+    elif depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} unsupported")
+    a = src if depth == 16 else np.asarray(arr, dtype=np.uint8)
     if palette is not None:
+        if depth == 16:
+            raise ValueError("PNG 16-bit palette is spec-invalid")
         pal = np.asarray(palette, dtype=np.uint8)
         if a.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
             raise ValueError("palette encode needs HxW indices and a (P<=256,3) table")
@@ -448,15 +530,37 @@ def encode_png(
         if a.ndim == 2:
             a = a[:, :, None]
         color = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    if depth == 16:
+        # interleave big-endian byte pairs; the filter stage operates
+        # on bytes with bpp = 2*ch, exactly what the decoder reverses
+        hi = (a >> 8).astype(np.uint8)
+        lo = (a & 0xFF).astype(np.uint8)
+        a = np.stack([hi, lo], axis=-1).reshape(a.shape[0], a.shape[1], -1)
     h, w = a.shape[:2]
+    if depth < 8:
+        # pack samples MSB-first into scanline bytes (packbits
+        # zero-pads the final byte, matching the decoder's trim);
+        # filtering then runs over the packed bytes at distance 1
+        shifts = np.arange(depth - 1, -1, -1)
+
+        def pack(img: "object") -> "object":
+            ph, pw = img.shape[:2]
+            bits = ((img[:, :, 0][:, :, None] >> shifts) & 1).reshape(
+                ph, pw * depth
+            )
+            return np.packbits(bits, axis=1)[:, :, None]
+
+        prep = pack
+    else:
+        prep = lambda img: img  # noqa: E731 — trivial passthrough
     if interlace:
         lines = []
         for x0, y0, dx, dy in _ADAM7:
             sub = a[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                lines.extend(_filter_scanlines(sub, filter_policy))
+                lines.extend(_filter_scanlines(prep(sub), filter_policy))
     else:
-        lines = _filter_scanlines(a, filter_policy)
+        lines = _filter_scanlines(prep(a), filter_policy)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -466,7 +570,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", pal.tobytes())

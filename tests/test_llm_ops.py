@@ -297,6 +297,51 @@ def test_png_adam7_empty_pass_sizes():
         assert d.shape == a.shape and np.array_equal(d, a), shape
 
 
+def test_png_16bit_roundtrip():
+    """Depth-16 PNG is real: big-endian sample pairs, filters over
+    bytes at bpp=2*ch distance, uint16 arrays out (never a lossy
+    downcast) — every color type, both progressive modes."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    for shape in ((7, 9), (6, 5, 3), (4, 11, 4), (8, 8, 2)):
+        a = rng.randint(0, 65536, size=shape).astype(np.uint16)
+        for il in (False, True):
+            d = multimodal.decode_png(multimodal.encode_png(a, "cycle", interlace=il))
+            assert d.dtype == np.uint16 and d.shape == a.shape
+            assert np.array_equal(d, a), (shape, il)
+    with pytest.raises(ValueError, match="spec-invalid"):
+        multimodal.encode_png(
+            np.zeros((3, 3), np.uint16), palette=np.zeros((4, 3), np.uint8)
+        )
+
+
+def test_png_subbyte_roundtrip():
+    """Depths 1/2/4 (gray and palette) are real: MSB-first bit
+    packing with zero-padded final bytes, filters over the packed
+    bytes at distance 1, raw (unrescaled) sample values out — odd
+    widths exercise the padding trim, both progressive modes."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    for d in (1, 2, 4):
+        for shape in ((7, 9), (5, 17), (12, 3)):
+            a = rng.randint(0, 1 << d, size=shape).astype(np.uint8)
+            for il in (False, True):
+                out = multimodal.decode_png(
+                    multimodal.encode_png(a, "cycle", interlace=il, depth=d)
+                )
+                assert out.shape == a.shape and np.array_equal(out, a)
+        pal = rng.randint(0, 256, size=(1 << d, 3), dtype=np.uint8)
+        idx = rng.randint(0, 1 << d, size=(9, 7)).astype(np.uint8)
+        out = multimodal.decode_png(
+            multimodal.encode_png(idx, "cycle", palette=pal, depth=d)
+        )
+        assert np.array_equal(out, pal[idx])
+    with pytest.raises(ValueError, match="range"):
+        multimodal.encode_png(np.array([[5]], dtype=np.uint8), depth=2)
+
+
 def test_png_palette_roundtrip_and_hostile():
     """Color type 3: indices resolve through PLTE to HxWx3; an
     out-of-range index, a missing PLTE, and palette transparency
@@ -586,8 +631,14 @@ def test_png_hostile_payloads_raise_loudly():
         # mismatch (the passes consume different byte counts), never
         # a silent misread
         multimodal.decode_png(png(interlace=1))
-    with pytest.raises(NotImplementedError):  # 16-bit stays gated
+    with pytest.raises(ValueError):
+        # 16-bit is REAL since the follow-up pass; an 8-bit-sized
+        # stream under a depth-16 header is now a LENGTH mismatch
         multimodal.decode_png(png(depth=16))
+    with pytest.raises(ValueError):
+        # spec-invalid depth/color combination = corruption (every
+        # spec-VALID combination is implemented)
+        multimodal.decode_png(png(depth=4, color=2))
 
 
 def _ppm_bytes(d: int, w: int, h: int, header: bytes | None = None):
