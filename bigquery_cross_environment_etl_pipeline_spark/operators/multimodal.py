@@ -56,6 +56,10 @@ _EXT_MODALITY = {
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
     "png": ("image", "image/png"),
+    "gif": ("image", "image/gif"),
+    "bmp": ("image", "image/bmp"),
+    "ppm": ("image", "image/x-portable-pixmap"),
+    "pgm": ("image", "image/x-portable-graymap"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "mp4": ("video", "video/mp4"),
