@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     # and corpus-scale application (chained column-level replaces)
     "bpe_train_merges",
     "bpe_token_counts",
+    # round-9 additions, fifth batch: Unicode NFC normalization (the
+    # pre-hash hygiene step; one of the few legitimately-UDF ops —
+    # Spark has no JVM builtin for Unicode normalization)
+    "text_nfc_normalization",
 ]
 
 

@@ -10,6 +10,8 @@ engines).
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -146,3 +148,36 @@ def fingerprint(col: str | Column) -> Column:
     (the rolling-hash analog; content-defined, order-sensitive)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def nfc_normalize(col: str | Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonical pre-hashing hygiene step (decomposed 'e'+U+0301 and
+    composed U+00E9 are byte-different but the SAME text: every
+    digest/shingle/dedup path disagrees on them until normalization
+    collapses the difference). Spark has NO JVM built-in for Unicode
+    normalization, so this is one of the few legitimately-UDF ops in
+    the repo — vectorized per Arrow batch, never per-row Python in a
+    JVM expression. NULL passes through as NULL.
+
+    Cross-engine note: Python's unicodedata and DuckDB's
+    nfc_normalize both implement Unicode NFC; their tables could skew
+    for codepoints newer than the older of the two bundled Unicode
+    versions — irrelevant for the corpus here, worth pinning if a
+    production corpus leans on bleeding-edge scripts."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: with `from __future__ import annotations` in effect,
+    # pyspark resolves the UDF's type hints by name — 'pd.Series'
+    # must be resolvable in the function's globals, hence the
+    # module-qualified hint below instead of a local pandas import
+    @pandas_udf("string")
+    def _nfc(s: "pandas.Series") -> "pandas.Series":  # noqa: F821
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

@@ -2728,6 +2728,56 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(resized)
 
 
+@register(
+    "text_nfc_normalization",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+           COALESCE(text IS DISTINCT FROM nfc_normalize(text), FALSE)
+             AS changed,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE {_duck_hash48('nfc_normalize(text)')} END AS nfc_hash
+    FROM documents
+    """,
+)
+def text_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (round 9 — the canonical pre-hashing
+    hygiene step a dedup pipeline runs first: decomposed e+combining-
+    acute and composed é are byte-different but the SAME text, so
+    every digest/shingle path disagrees on them until normalization).
+    Spark has NO JVM built-in for Unicode normalization, making this
+    one of the catalog's few legitimately-UDF operators — an
+    Arrow-batched pandas UDF (operators/text.nfc_normalize), never
+    row-at-a-time Python. Output per doc: raw/normalized lengths, a
+    null-safe changed flag, and the 48-bit hash of the NORMALIZED
+    text — the content identity dedup should key on. The oracle uses
+    DuckDB's native nfc_normalize, so two independent Unicode NFC
+    implementations must agree byte-for-byte for the hash to match.
+
+    Scale: one vectorized Arrow map stage riding the scan — zero
+    shuffles; the normalize-then-hash column feeds straight into the
+    exact-dedup groupBy without materializing normalized text."""
+    from ..operators.text import hash48, nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the UDF output ONCE in an inner projection — four
+    # references to the same pandas-UDF expression would otherwise
+    # risk four Arrow round-trips per row batch
+    base = docs.select(
+        "doc_id", "text", nfc_normalize("text").alias("_nfc")
+    )
+    return base.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length("_nfc").cast("bigint").alias("n_chars_nfc"),
+        (~F.col("text").eqNullSafe(F.col("_nfc"))).alias("changed"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(hash48(F.col("_nfc")))
+        .alias("nfc_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py) — unrolled-CTE oracle
 # ---------------------------------------------------------------------------

@@ -1227,3 +1227,31 @@ def test_exact_jaccard_refuses_overflowing_threshold(docs_with_dups):
         dedup.exact_jaccard_pairs_inverted(
             docs_with_dups, min_jaccard=1 / 3
         )
+
+
+def test_nfc_normalization_collapses_decomposed_text(spark):
+    """NFC hygiene (round 9): decomposed e+U+0301 and composed U+00E9
+    are byte-different but the same text — after normalization their
+    content hashes agree, so dedup keyed on the normalized hash
+    collapses them; NULL passes through."""
+    from bigquery_cross_environment_etl_pipeline_spark.operators.text import (
+        hash48,
+        nfc_normalize,
+    )
+    import pyspark.sql.functions as F
+
+    composed = "café latte"
+    decomposed = "café latte"
+    assert composed != decomposed  # byte-different inputs
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", nfc_normalize("text").alias("n"), hash48(nfc_normalize("text")).alias("h")
+        ).collect()
+    }
+    assert rows[1]["n"] == rows[2]["n"] == composed
+    assert rows[1]["h"] == rows[2]["h"]
+    assert rows[3]["n"] is None and rows[3]["h"] is None
