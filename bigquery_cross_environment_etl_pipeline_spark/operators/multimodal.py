@@ -274,22 +274,19 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
     return out
 
 
-def _adam7_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
-    """De-interlace an Adam7 stream: unfilter each pass's sub-image
-    independently (filters reference only bytes within their own
-    pass) and scatter it into the full image on the pass's stride
-    grid. Trailing/partial-pass truncation raises loudly."""
-    import numpy as np
-
-    out = np.empty((h, w, ch), dtype=np.uint8)
+def _adam7_scatter(raw: bytes, h: int, w: int, out: "object", decode_pass):
+    """The ONE Adam7 pass walk (byte-pixel and sub-byte decodes both
+    ride it): for each non-empty pass, ``decode_pass(buf, ph, pw) ->
+    (sub_image, bytes_consumed)`` decodes that pass's scanlines, and
+    the result scatters onto the pass's stride grid.
+    Trailing/partial-pass truncation raises loudly."""
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        n = ph * (1 + pw * ch)
-        sub = _png_unfilter(raw[pos : pos + n], ph, pw, ch).reshape(ph, pw, ch)
+        sub, n = decode_pass(raw[pos:], ph, pw)
         out[y0::dy, x0::dx] = sub
         pos += n
     if pos != len(raw):
@@ -298,6 +295,20 @@ def _adam7_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
             "(IDAT truncated or padded)"
         )
     return out
+
+
+def _adam7_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
+    """De-interlace an Adam7 stream of byte-sized pixels (``ch`` =
+    bytes per pixel): unfilter each pass's sub-image independently
+    (filters reference only bytes within their own pass) and scatter
+    via ``_adam7_scatter``."""
+    import numpy as np
+
+    def decode_pass(buf: bytes, ph: int, pw: int):
+        n = ph * (1 + pw * ch)
+        return _png_unfilter(buf[:n], ph, pw, ch).reshape(ph, pw, ch), n
+
+    return _adam7_scatter(raw, h, w, np.empty((h, w, ch), dtype=np.uint8), decode_pass)
 
 
 def decode_png(payload: bytes) -> "object":
@@ -397,23 +408,15 @@ def decode_png(payload: bytes) -> "object":
             return vals[:, :width].astype(np.uint8)
 
         if interlace:
-            samples = np.empty((h, w), dtype=np.uint8)
-            pos = 0
-            for x0, y0, dx, dy in _ADAM7:
-                pw = (w - x0 + dx - 1) // dx
-                ph = (h - y0 + dy - 1) // dy
-                if pw <= 0 or ph <= 0:
-                    continue
+
+            def decode_pass(buf: bytes, ph: int, pw: int):
                 prb = (pw * depth + 7) // 8
                 n = ph * (1 + prb)
-                sub = _png_unfilter(raw[pos : pos + n], ph, prb, 1)
-                samples[y0::dy, x0::dx] = unpack(sub, ph, pw)
-                pos += n
-            if pos != len(raw):
-                raise ValueError(
-                    f"Adam7 stream is {len(raw)} bytes, passes consume "
-                    f"{pos} (IDAT truncated or padded)"
-                )
+                return unpack(_png_unfilter(buf[:n], ph, prb, 1), ph, pw), n
+
+            samples = _adam7_scatter(
+                raw, h, w, np.empty((h, w), dtype=np.uint8), decode_pass
+            )
         else:
             rb = (w * depth + 7) // 8
             samples = unpack(_png_unfilter(raw, h, rb, 1), h, w)
@@ -512,13 +515,25 @@ def encode_png(
     if depth is None:
         depth = 16 if src.dtype == np.uint16 else 8
     elif depth in (1, 2, 4):
-        # sub-byte (gray or palette indices): HxW uint8 values < 2^depth
         if src.ndim != 2:
             raise ValueError("sub-byte PNG encode needs an HxW array")
-        if src.size and int(src.max()) >= (1 << depth):
-            raise ValueError(f"sample exceeds {depth}-bit range")
     elif depth not in (8, 16):
         raise ValueError(f"PNG bit depth {depth} unsupported")
+    # range-validate EVERY depth before any dtype cast (review
+    # finding: an explicit depth=8 over uint16 data silently wrapped
+    # mod 256, and negatives sailed through — the encoder refuses
+    # rather than corrupts, the same contract as encode_wav)
+    if not (
+        np.issubdtype(src.dtype, np.integer) or src.dtype == np.bool_
+    ):
+        raise ValueError(f"PNG encode needs integer samples, got {src.dtype}")
+    if src.size and (
+        int(src.min()) < 0 or int(src.max()) >= (1 << depth)
+    ):
+        raise ValueError(
+            f"sample out of {depth}-bit range "
+            f"[{int(src.min())}, {int(src.max())}]"
+        )
     a = src if depth == 16 else np.asarray(arr, dtype=np.uint8)
     if palette is not None:
         if depth == 16:
@@ -582,15 +597,16 @@ def encode_png(
 
 
 def decode_image(payload: bytes) -> object:
-    """Decode an image payload to a uint8 numpy array — HxWxC for
-    multi-channel (C in 2/3/4), HxW for grayscale; always a fresh
-    WRITABLE array (never a read-only view over the payload buffer).
-    REAL (pure-numpy) for binary PPM (P6, RGB), binary PGM (P5,
-    grayscale), uncompressed 24-bit bottom-up BMP with a
-    BITMAPINFOHEADER-family DIB header, and — since round 9 — 8-bit
-    PNG of every color type in both progressive modes via stdlib
-    zlib + numpy unfiltering (``decode_png``) — and GIF 87a/89a via
-    pure-Python LZW (``decode_gif``). Codecs whose entropy coding
+    """Decode an image payload to a numpy array — HxWxC for
+    multi-channel (C in 2/3/4), HxW for grayscale; uint8, EXCEPT that
+    16-bit PNG sources return uint16 (never a lossy downcast); always
+    a fresh WRITABLE array (never a read-only view over the payload
+    buffer). REAL (pure-numpy) for binary PPM (P6, RGB), binary PGM
+    (P5, grayscale), uncompressed 24-bit bottom-up BMP with a
+    BITMAPINFOHEADER-family DIB header, and — since round 9 — PNG at
+    every spec-valid depth x color combination in both progressive
+    modes via stdlib zlib + numpy unfiltering (``decode_png``) — and
+    GIF 87a/89a via pure-Python LZW (``decode_gif``). Codecs whose entropy coding
     genuinely needs a library (JPEG/WebP) remain the declared
     capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.

@@ -173,11 +173,9 @@ def nfc_normalize(col: str | Column) -> Column:
     # module-qualified hint below instead of a local pandas import
     @pandas_udf("string")
     def _nfc(s: "pandas.Series") -> "pandas.Series":  # noqa: F821
-        import unicodedata
-
-        return s.map(
-            lambda x: None if x is None else unicodedata.normalize("NFC", x)
-        )
+        # the canonical null-propagating vectorized form (review
+        # finding: a hand-rolled per-element lambda duplicated it)
+        return s.str.normalize("NFC")
 
     c = F.col(col) if isinstance(col, str) else col
     return _nfc(c)
