@@ -1,4 +1,4 @@
-"""Distributed BPE (byte-pair-encoding) tokenizer training.
+r"""Distributed BPE (byte-pair-encoding) tokenizer training.
 
 The canonical tokenizer-training job a pre-training pipeline runs over
 its corpus (SentencePiece/GPT-style BPE, word-internal merges): start

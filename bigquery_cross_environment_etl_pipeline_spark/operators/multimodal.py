@@ -389,11 +389,34 @@ def decode_png(payload: bytes) -> "object":
         raise ValueError("PNG dimensions must be positive")
     if not idat:
         raise ValueError("PNG has no IDAT chunk")
+    ch = _PNG_COLOR_CHANNELS[color]
+    # the declared dimensions fix the EXACT inflated size (per pass:
+    # ph * (1 + ceil(pw*depth*ch/8))), so bound the inflate to it —
+    # a crafted tiny-IDAT/huge-stream payload must not be able to
+    # allocate more than the header admits (ADVICE r9: an unbounded
+    # zlib.decompress here turned one hostile asset into a
+    # batch-killing MemoryError)
+    if interlace:
+        expected = sum(
+            ph * (1 + (pw * depth * ch + 7) // 8)
+            for x0, y0, dx, dy in _ADAM7
+            for pw, ph in (
+                ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy),
+            )
+            if pw > 0 and ph > 0
+        )
+    else:
+        expected = h * (1 + (w * depth * ch + 7) // 8)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if dec.unconsumed_tail:
+            raise ValueError(
+                "PNG IDAT inflates beyond the size its declared "
+                f"dimensions imply ({expected} bytes)"
+            )
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
-    ch = _PNG_COLOR_CHANNELS[color]
     if depth < 8:
         # sub-byte samples (gray/palette only, so ch == 1): the
         # filters operate on the PACKED bytes at distance 1 (spec §9:
@@ -501,7 +524,9 @@ def encode_png(
     uint16 writes depth 16 (big-endian sample pairs). Input is HxW
     gray or HxWxC for C in 2/3/4 — or, with ``palette`` (a (P,3)
     uint8 color table, P <= 256), an HxW array of palette INDICES
-    written as color type 3 with a PLTE chunk (8-bit only, by spec). ``interlace=True`` writes
+    written as color type 3 with a PLTE chunk (spec-valid at depths
+    1/2/4/8, all supported here; 16-bit palette is spec-invalid and
+    rejected). ``interlace=True`` writes
     Adam7: each of the seven passes is extracted on its stride grid
     and filtered as an independent sub-image (empty passes emit no
     bytes), exactly the layout ``_adam7_unfilter`` reverses. See
@@ -693,7 +718,11 @@ def decode_image_features(assets: DataFrame) -> DataFrame:
                 if b is not None:
                     try:
                         arr = decode_image(bytes(b))
-                    except (ValueError, NotImplementedError, IndexError):
+                    except (ValueError, NotImplementedError, IndexError, MemoryError):
+                        # MemoryError: a hostile payload whose DECLARED
+                        # dimensions are a memory bomb (e.g. a GIF header
+                        # claiming 65535x65535) fails per-asset, not
+                        # per-batch — the one-bad-asset NULL-facts contract
                         arr = None  # undecodable -> NULL facts
                 if arr is None:
                     width.append(None); height.append(None)
@@ -890,10 +919,22 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
         if i + 8 + n > L:
             raise ValueError(f"WAV chunk {cid!r} truncated")
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("WAV has duplicate fmt chunks")
             fmt = payload[i + 8 : i + 8 + n]
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("WAV has duplicate data chunks")
             data = payload[i + 8 : i + 8 + n]
         i += 8 + n + (n & 1)  # chunks are word-aligned
+    if 0 < L - i:
+        # 1-7 dangling bytes can't be a chunk header — structural
+        # corruption, raised loudly per the docstring contract (a
+        # missing FINAL word-align pad byte lands i == L+1 and is
+        # tolerated, matching common writers)
+        raise ValueError(
+            f"WAV has {L - i} trailing bytes that are not a chunk"
+        )
     if fmt is None or len(fmt) < 16:
         raise ValueError("WAV fmt chunk missing or short")
     if data is None:
@@ -1261,7 +1302,11 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
                 if b is not None:
                     try:
                         parsed = decode_wav(bytes(b))
-                    except (ValueError, NotImplementedError, IndexError):
+                    except (ValueError, NotImplementedError, IndexError, MemoryError):
+                        # MemoryError: a hostile payload whose DECLARED
+                        # dimensions are a memory bomb (e.g. a GIF header
+                        # claiming 65535x65535) fails per-asset, not
+                        # per-batch — the one-bad-asset NULL-facts contract
                         parsed = None
                 if parsed is None:
                     rate.append(None); nch.append(None)
@@ -1315,7 +1360,11 @@ def resize_images_real(
                 if b is not None:
                     try:
                         arr = decode_image(bytes(b))
-                    except (ValueError, NotImplementedError, IndexError):
+                    except (ValueError, NotImplementedError, IndexError, MemoryError):
+                        # MemoryError: a hostile payload whose DECLARED
+                        # dimensions are a memory bomb (e.g. a GIF header
+                        # claiming 65535x65535) fails per-asset, not
+                        # per-batch — the one-bad-asset NULL-facts contract
                         arr = None
                 if arr is None:
                     outs.append(None)
