@@ -15,9 +15,12 @@ LZW with real dictionary growth, width escalation, 12-bit cap resets,
 and the 4-pass row interlace; LZW is a dictionary coder, not a
 library-bound entropy coder), and for AUDIO via RIFF/WAVE PCM
 (``decode_wav``, 16-bit signed / 8-bit unsigned, chunk-walking the
-RIFF grammar). Only codecs whose *entropy coding* genuinely needs a
-library (JPEG/WebP images; MP3/AAC audio; all video codecs) remain
-the declared capability gate. ``extract_features`` keeps the deterministic
+RIFF grammar). Since round 10, BASELINE JPEG is real too
+(``operators/jpeg.py``: Huffman entropy decode + dequantization +
+vectorized 8x8 IDCT + JFIF YCbCr->RGB, with chroma subsampling and
+restart markers). The remaining capability gate is narrow and honest:
+progressive/arithmetic JPEG, WebP, MP3/AAC audio, and all video
+codecs. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -631,15 +634,18 @@ def decode_image(payload: bytes) -> object:
     BITMAPINFOHEADER-family DIB header, and — since round 9 — PNG at
     every spec-valid depth x color combination in both progressive
     modes via stdlib zlib + numpy unfiltering (``decode_png``) — and
-    GIF 87a/89a via pure-Python LZW (``decode_gif``). Codecs whose entropy coding
-    genuinely needs a library (JPEG/WebP) remain the declared
-    capability gate — wire
+    GIF 87a/89a via pure-Python LZW (``decode_gif``) — and, since
+    round 10, baseline JPEG via ``operators/jpeg.py`` (Huffman +
+    dequant + numpy IDCT + JFIF YCbCr->RGB). Only WebP and the
+    non-baseline JPEG coding processes (progressive, arithmetic,
+    12-bit, CMYK) remain the declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
     designed out (see ``_ppm_header``).
 
     Round 7: previously the WHOLE function was the gate; round 9
-    narrowed it to entropy-coded formats only."""
+    narrowed it to entropy-coded formats; round 10 to
+    progressive/arithmetic formats only."""
     import numpy as np
 
     magic = bytes(payload[:2])
@@ -683,9 +689,17 @@ def decode_image(payload: bytes) -> object:
         return decode_png(bytes(payload))
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return decode_gif(bytes(payload))
+    if magic == b"\xff\xd8":
+        # baseline/extended-sequential JFIF decodes for real (round 10,
+        # operators/jpeg.py: Huffman + dequant + numpy IDCT + YCbCr);
+        # progressive/arithmetic/12-bit/CMYK raise NotImplementedError
+        # inside decode_jpeg — still per-asset, never per-batch
+        from . import jpeg
+
+        return jpeg.decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "entropy-coded image formats (JPEG/WebP) require an image "
-        "library not present in this container; wire "
+        "WebP (VP8 arithmetic coding) requires an image library not "
+        "present in this container; wire "
         "PIL.Image.open(io.BytesIO(payload)) here"
     )
 
@@ -693,6 +707,54 @@ def decode_image(payload: bytes) -> object:
 DECODE_SCHEMA = (
     "asset_id bigint, width int, height int, n_channels int, pixel_sum bigint"
 )
+
+
+COEFF_SCHEMA = "asset_id bigint, n_blocks int, coef_checksum bigint"
+
+
+def decode_jpeg_coefficient_features(assets: DataFrame) -> DataFrame:
+    """Arrow decode stage over the JPEG ENTROPY LAYER specifically:
+    each payload is parsed by ``jpeg.decode_jpeg_coefficients`` down to
+    its dequantized coefficient blocks (no IDCT, no color), reduced to
+    the block count and the zigzag-position-weighted integer checksum
+    ``sum over blocks of sum_i (i+1) * coef[zigzag i]`` — weighting by
+    scan position makes a decoder that misorders the zigzag, drops a
+    ZRL, or mispredicts a DC difference hash-fail even when the raw
+    coefficient multiset is right. Same one-bad-asset NULL-facts and
+    zero-shuffle contract as ``decode_image_features``."""
+    import numpy as np
+    import pandas as pd
+
+    from . import jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.zeros((8, 8), dtype=np.int64)
+        for i, (r, c) in enumerate(jpeg.ZIGZAG):
+            weights[r, c] = i + 1
+        for pdf in batches:
+            nblocks, checks = [], []
+            for b in pdf["payload"]:
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    _, comps = jpeg.decode_jpeg_coefficients(bytes(b))
+                except (ValueError, NotImplementedError, IndexError, MemoryError):
+                    nblocks.append(None)
+                    checks.append(None)
+                    continue
+                nb = sum(int(a.shape[0] * a.shape[1]) for a in comps)
+                ck = sum(int((a * weights).sum()) for a in comps)
+                nblocks.append(nb)
+                checks.append(ck)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_blocks": pd.array(nblocks, dtype="Int32"),
+                    "coef_checksum": pd.array(checks, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, COEFF_SCHEMA)
 
 
 def decode_image_features(assets: DataFrame) -> DataFrame:

@@ -71,30 +71,23 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # round 9 (pruned to <=3 per VERDICT r8 item 3 — the 12 r8-new
-    # queries all have green rows; their slots go back to the
-    # oldest-green-first rotation so the r4 evidence tail refreshes):
+    # round 10 (kept <=3 per the standing policy so the r5 evidence
+    # tail — 23 queries whose newest green is r5 — rotates through
+    # this round's 50 driver slots, VERDICT r9 item 3):
     #
-    # new this round (VERDICT r8 item 1): real PNG decode — stdlib
-    # zlib inflate + numpy unfiltering of all four non-trivial
-    # scanline filters, gray/RGB/RGBA in one query, arithmetic oracle
-    "multimodal_png_decode",
-    # plan changed this round (ADVICE r8): countmin_estimate now
-    # LEFT-joins the sketch with absent cells coalesced to 0 so
-    # out-of-vocabulary probes estimate 0 instead of inflating;
-    # output is bit-identical for in-corpus probes (this query probes
-    # only in-corpus tokens) but the join shape changed, so the r8
-    # green no longer attests the current plan
-    "heavy_hitters_countmin",
-    # new this round: benchmark decontamination — per-source
-    # contamination accounting via n-gram overlap against a held-out
-    # benchmark slice, broadcast-semi-join shape (the corpus never
-    # shuffles)
-    "benchmark_decontamination",
-    # NOT forced: orc_roundtrip_rollup's r9 change strengthens only
-    # the small-SF precondition (>=4 rows so repartition(4) writes 4
-    # files) — a failure path; driver-data output is bit-identical
-    # and the r8 green attests it, the jdbc_roundtrip precedent.
+    # new this round (VERDICT r9 item 1): real baseline JPEG decode —
+    # Huffman entropy layer + dequant + numpy IDCT + JFIF YCbCr->RGB
+    # (operators/jpeg.py); block-constant construction makes the
+    # lossy codec bit-exact so the oracle states every decoded pixel
+    "multimodal_jpeg_decode",
+    # new this round: the AC/zigzag/run-length half of the JPEG
+    # entropy layer, pinned by an integer coefficient checksum
+    "multimodal_jpeg_coefficients",
+    # NOT forced: the ADVICE r9 fixes (bounded PNG inflate, WAV chunk
+    # strictness, MemoryError in per-asset catches) change only
+    # hostile-payload failure paths; driver-data output is
+    # bit-identical and the r9 greens attest it (the
+    # orc_roundtrip_rollup precedent).
 ]
 
 _STABLE_ORDER = [

@@ -1,0 +1,383 @@
+"""Baseline JPEG codec tests (operators/jpeg.py, round 10).
+
+Three layers of evidence, mirroring the PNG/GIF test strategy:
+
+1. **Exact round trips** for the constructions the driver oracles use
+   (block-constant pixels; chosen coefficient lattices) — these must be
+   BIT-exact, that is the whole design.
+2. **Independent naive reference**: the vectorized einsum IDCT and the
+   entropy decoder are checked against a from-the-definition
+   quadruple-loop IDCT and direct coefficient comparison on random
+   images — catches vectorization/transpose bugs the self round-trip
+   can't see (an encoder and decoder sharing one wrong transform would
+   still round-trip).
+3. **Hostile payloads**: every declared ValueError /
+   NotImplementedError class is pinned — truncated streams, invalid
+   Huffman codes, AC overruns, wrong restart markers, undefined
+   tables, non-baseline SOFs, 12-bit precision, CMYK.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bigquery_cross_environment_etl_pipeline_spark.operators import jpeg, multimodal
+
+
+def _const_gray(seed: int, w: int, h: int):
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    return ((3 * seed + 5 * bx[None, :] + 11 * by[:, None]) % 256).astype(np.uint8)
+
+
+def _const_rgb(seed: int, w: int, h: int, bs: int):
+    bx = np.arange(w) // bs
+    by = np.arange(h) // bs
+    c = np.arange(3)
+    return (
+        (3 * seed + 5 * bx[None, :, None] + 11 * by[:, None, None] + 17 * c) % 256
+    ).astype(np.uint8)
+
+
+def _expected_color_roundtrip(px):
+    """The deterministic YCbCr round trip the decoder promises (and
+    the DuckDB oracle states): forward transform with floor(x+0.5),
+    inverse with floor(x+0.5) and clipping."""
+    ycc = jpeg.rgb_to_ycbcr(px).astype(np.float64)
+    return jpeg._ycbcr_to_rgb(ycc[..., 0], ycc[..., 1], ycc[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# 1. exact round trips
+# ---------------------------------------------------------------------------
+
+
+def test_gray_block_constant_roundtrip_exact():
+    for seed, w, h, rst in [(0, 8, 8, 0), (1, 17, 23, 2), (2, 40, 9, 1), (3, 31, 26, 5)]:
+        px = _const_gray(seed, w, h)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, restart_interval=rst))
+        assert out.dtype == np.uint8 and out.shape == (h, w)
+        assert np.array_equal(out, px)
+
+
+@pytest.mark.parametrize("sub,bs", [("4:4:4", 8), ("4:2:2", 16), ("4:2:0", 16)])
+def test_color_block_constant_roundtrip_exact(sub, bs):
+    for seed, w, h, rst in [(0, 16, 16, 0), (5, 33, 18, 2), (9, 47, 41, 3)]:
+        px = _const_rgb(seed, w, h, bs)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling=sub, restart_interval=rst))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, _expected_color_roundtrip(px))
+
+
+def test_coefficient_lattice_roundtrip_exact():
+    """The driver's AC-path construction: nonzeros on a mod-29 lattice
+    (zero-runs up to 28 force ZRL), signed values in [-9, 9]."""
+    for seed in range(8):
+        nbx, nby = 1 + seed % 5, 1 + seed % 4
+        blocks = np.zeros((nby, nbx, 8, 8), dtype=np.int64)
+        for b in range(nbx * nby):
+            for i in range(64):
+                if (7 * i + b + seed) % 29 == 0:
+                    r, c = jpeg.ZIGZAG[i]
+                    blocks[b // nbx, b % nbx, r, c] = ((seed + b + i) % 19) - 9
+        payload = jpeg.encode_jpeg_from_coeffs(
+            [blocks], 8 * nbx, 8 * nby, restart_interval=3 if seed % 2 else 0
+        )
+        meta, comps = jpeg.decode_jpeg_coefficients(payload)
+        assert meta["width"] == 8 * nbx and meta["height"] == 8 * nby
+        assert np.array_equal(comps[0], blocks)
+
+
+def test_coefficient_extremes_and_zrl_chains():
+    """Category edges: DC at the +/-1023 AC limit after dequant, a
+    63-zero run (two ZRLs + run prefix), and a lone last-position AC."""
+    blocks = np.zeros((1, 3, 8, 8), dtype=np.int64)
+    blocks[0, 0, 0, 0] = 1016  # max DC our pixel path produces (8*127)
+    r, c = jpeg.ZIGZAG[63]
+    blocks[0, 0, r, c] = -1  # 62 zeros between: ZRL x3 + run 14
+    blocks[0, 1, 0, 0] = -1016  # large negative DC swing (diff -2032)
+    r2, c2 = jpeg.ZIGZAG[1]
+    blocks[0, 2, r2, c2] = 1023  # max AC category 10
+    payload = jpeg.encode_jpeg_from_coeffs([blocks], 24, 8)
+    _, comps = jpeg.decode_jpeg_coefficients(payload)
+    assert np.array_equal(comps[0], blocks)
+
+
+def test_dequantization_scales_coefficients():
+    """A non-unit qtable must multiply into the dequantized output —
+    pins that DQT entries are read in ZIGZAG order."""
+    q = [1 + (i % 4) for i in range(64)]
+    blocks = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    for i in (0, 5, 17, 63):
+        r, c = jpeg.ZIGZAG[i]
+        blocks[0, 0, r, c] = 7
+    payload = jpeg.encode_jpeg_from_coeffs([blocks], 8, 8, qtables=[q])
+    _, comps = jpeg.decode_jpeg_coefficients(payload)
+    expected = np.zeros((8, 8), dtype=np.int64)
+    for i in (0, 5, 17, 63):
+        r, c = jpeg.ZIGZAG[i]
+        expected[r, c] = 7 * q[i]
+    assert np.array_equal(comps[0][0, 0], expected)
+
+
+def test_lossy_roundtrip_bounded_error_random_pixels():
+    """With unit tables the only loss is DCT float rounding: random
+    uint8 images must round-trip within +/-1 per sample."""
+    rng = np.random.default_rng(7)
+    for shape, sub in [((24, 32), None), ((21, 19), None), ((16, 24, 3), "4:4:4")]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = (
+            jpeg.encode_jpeg(px)
+            if sub is None
+            else jpeg.encode_jpeg(px, subsampling=sub)
+        )
+        out = jpeg.decode_jpeg(payload)
+        if sub is None:
+            assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+        else:
+            # color adds two rounded affine transforms: still tightly bounded
+            assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# 2. independent naive reference
+# ---------------------------------------------------------------------------
+
+
+def _naive_idct_block(F):
+    """T.81 A.3.3 from the definition: quadruple loop, no numpy
+    transform machinery shared with the implementation under test."""
+    import math
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * F[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = s / 4
+    return out
+
+
+def test_vectorized_idct_matches_naive_definition():
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(-512, 512, (2, 3, 8, 8)).astype(np.int64)
+    fast = jpeg._idct_blocks(blocks)
+    for by in range(2):
+        for bx in range(3):
+            naive = _naive_idct_block(blocks[by, bx].astype(np.float64))
+            assert np.allclose(fast[by, bx], naive, atol=1e-9)
+
+
+def test_decoded_pixels_match_naive_pipeline_gray():
+    """Full-path cross-check on a random gray image: entropy-decode
+    coefficients, push them through the NAIVE IDCT + the documented
+    rounding, compare to decode_jpeg's output exactly."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(px)
+    meta, comps = jpeg.decode_jpeg_coefficients(payload)
+    by, bx = comps[0].shape[:2]
+    plane = np.zeros((by * 8, bx * 8))
+    for y in range(by):
+        for x in range(bx):
+            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = _naive_idct_block(
+                comps[0][y, x].astype(np.float64)
+            )
+    expected = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)[
+        : meta["height"], : meta["width"]
+    ].astype(np.uint8)
+    assert np.array_equal(jpeg.decode_jpeg(payload), expected)
+
+
+def test_annex_k_tables_are_canonically_valid():
+    """BITS/HUFFVAL consistency + prefix-freeness of the built codes."""
+    for bits, vals in [
+        (jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS),
+        (jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS),
+        (jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS),
+        (jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS),
+    ]:
+        codes = jpeg._canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        seen = set()
+        for code, ln in codes.values():
+            bitstr = format(code, f"0{ln}b")
+            for p in range(1, len(bitstr)):
+                assert bitstr[:p] not in seen  # no codeword prefixes another
+            seen.add(bitstr)
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-pin the well-known prefix and the involution property
+    assert jpeg.ZIGZAG[:8] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    ]
+    assert jpeg.ZIGZAG[63] == (7, 7)
+    assert len(set(jpeg.ZIGZAG)) == 64
+
+
+# ---------------------------------------------------------------------------
+# 3. hostile payloads
+# ---------------------------------------------------------------------------
+
+
+def _valid_gray() -> bytes:
+    return jpeg.encode_jpeg(_const_gray(1, 16, 16))
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_truncated_entropy_stream():
+    payload = _valid_gray()
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_truncated_segment_length():
+    # SOI + APP0 claiming more bytes than exist
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\xff\xff" + b"\x00" * 4)
+
+
+def test_progressive_and_friends_are_gated_not_misread():
+    base = _valid_gray()
+    for marker, exc in [
+        (0xC2, NotImplementedError),  # progressive
+        (0xC3, NotImplementedError),  # lossless
+        (0xC9, NotImplementedError),  # arithmetic
+    ]:
+        mutated = bytearray(base)
+        idx = mutated.find(b"\xff\xc0")
+        mutated[idx + 1] = marker
+        with pytest.raises(exc):
+            jpeg.decode_jpeg(bytes(mutated))
+
+
+def test_12bit_precision_gated():
+    base = bytearray(_valid_gray())
+    idx = base.find(b"\xff\xc0")
+    base[idx + 4] = 12  # precision byte of SOF0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.decode_jpeg(bytes(base))
+
+
+def test_cmyk_gated():
+    # hand-build an SOF0 with 4 components behind a minimal header
+    sof = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        (1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0)
+    )
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+    )
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        jpeg.decode_jpeg(payload)
+
+
+def test_zero_dimensions_rejected():
+    sof = struct.pack(">BHHB", 8, 0, 8, 1) + bytes((1, 0x11, 0))
+    payload = b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(ValueError, match="positive"):
+        jpeg.decode_jpeg(payload)
+
+
+def test_undefined_quant_table_rejected():
+    base = bytearray(_valid_gray())
+    idx = base.find(b"\xff\xc0")
+    base[idx + 12] = 3  # component quant-table selector -> undefined id 3
+    with pytest.raises(ValueError, match="undefined DQT"):
+        jpeg.decode_jpeg(bytes(base))
+
+
+def test_wrong_restart_marker_rejected():
+    payload = bytearray(jpeg.encode_jpeg(_const_gray(2, 32, 32), restart_interval=2))
+    # find the first RST0 (0xFFD0) in the entropy data and break it
+    idx = payload.find(b"\xff\xd0", payload.find(b"\xff\xda"))
+    assert idx > 0, "restart marker expected in fixture"
+    payload[idx + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST"):
+        jpeg.decode_jpeg(bytes(payload))
+
+
+def test_eoi_before_sos_rejected():
+    with pytest.raises(ValueError, match="EOI"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_ac_overrun_rejected():
+    """63 leading zeros followed by a run that walks past position 63
+    must raise, not wrap."""
+    # craft entropy data via the encoder's own writer against a legit header
+    blocks = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    payload = bytearray(jpeg.encode_jpeg_from_coeffs([blocks], 8, 8))
+    # locate entropy start (right after SOS segment) and splice in a
+    # hand-built stream: DC cat 0, then ZRL x4 (64 zeros -> overrun)
+    sos_at = payload.find(b"\xff\xda")
+    seglen = struct.unpack_from(">H", payload, sos_at + 2)[0]
+    entropy_at = sos_at + 2 + seglen
+    dc = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    ac = jpeg._canonical_codes(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    wtr = jpeg._BitWriter()
+    wtr.write(dc[0][0], dc[0][1])  # DC category 0 (diff = 0)
+    for _ in range(4):
+        wtr.write(ac[0xF0][0], ac[0xF0][1])
+    wtr.flush()
+    evil = payload[:entropy_at] + wtr.out + b"\xff\xd9"
+    with pytest.raises(ValueError, match="overruns the block|invalid Huffman"):
+        jpeg.decode_jpeg_coefficients(bytes(evil))
+
+
+def test_stuffed_ff_bytes_roundtrip():
+    """Force an entropy byte equal to 0xFF so the writer stuffs 0x00
+    and the reader unstuffs it (found by seed search: this DC sequence
+    provably emits a stuffed byte); verify exactness through it."""
+    blocks = np.zeros((1, 6, 8, 8), dtype=np.int64)
+    blocks[0, :, 0, 0] = [633, -842, -652, -535, -648, 612]
+    payload = jpeg.encode_jpeg_from_coeffs([blocks], 48, 8)
+    assert b"\xff\x00" in payload[payload.find(b"\xff\xda") + 2 :]
+    _, comps = jpeg.decode_jpeg_coefficients(payload)
+    assert np.array_equal(comps[0], blocks)
+
+
+# ---------------------------------------------------------------------------
+# integration with the multimodal layer
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_dispatches_jpeg():
+    px = _const_gray(4, 24, 16)
+    out = multimodal.decode_image(jpeg.encode_jpeg(px))
+    assert np.array_equal(out, px)
+
+
+def test_decode_image_features_null_facts_on_progressive(spark):
+    """A gated (progressive) payload inside a batch yields NULL facts
+    for that asset only — the one-bad-asset contract."""
+    good = jpeg.encode_jpeg(_const_gray(3, 16, 16))
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad))], "asset_id bigint, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in multimodal.decode_image_features(df).collect()}
+    assert rows[1]["pixel_sum"] == int(_const_gray(3, 16, 16).sum())
+    assert rows[2]["pixel_sum"] is None and rows[2]["width"] is None

@@ -236,12 +236,14 @@ def test_multimodal_arrow_path_matches_pandas_path(spark):
 
 
 def test_multimodal_decode_entropy_codecs_still_gated():
-    """Entropy-coded codecs stay the declared capability gate (round 7
-    narrowed the gate from ALL formats to compressed-only; round 9
-    narrowed it twice more — PNG and GIF are now real, JPEG/WebP are
-    not)."""
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    """The codec gate keeps narrowing round over round (r7: compressed
+    formats; r9: PNG/GIF real; r10: baseline JPEG real). What REMAINS
+    gated: WebP (NotImplementedError), and non-baseline JPEG coding
+    processes (gated inside decode_jpeg — see test_jpeg.py). A JPEG
+    SOI followed by garbage is now CORRUPTION (ValueError), not a
+    capability gate."""
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # bad APP0
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
     # PNG and GIF signatures now route to the REAL decoders, whose
