@@ -183,6 +183,12 @@ BENCH_QUERIES = [
     # pre-hash hygiene step; one of the few legitimately-UDF ops —
     # Spark has no JVM builtin for Unicode normalization)
     "text_nfc_normalization",
+    # round-10 additions: baseline JPEG — the pixel path (Huffman +
+    # dequant + einsum IDCT + JFIF color over gray/4:4:4/4:2:0 with
+    # restart markers) and the AC entropy-layer path (zigzag-weighted
+    # coefficient checksum)
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_coefficients",
 ]
 
 
