@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     # coefficient checksum)
     "multimodal_jpeg_decode",
     "multimodal_jpeg_coefficients",
+    # round-10, second wave: progressive (SOF2) JPEG — the Annex G
+    # scan-script state machine end to end
+    "multimodal_jpeg_progressive",
 ]
 
 

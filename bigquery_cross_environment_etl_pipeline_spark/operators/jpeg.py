@@ -40,11 +40,23 @@ ever seeing a JPEG byte. The AC/zigzag/run-length path is pinned by a
 second query over ``encode_jpeg_from_coeffs`` payloads whose
 dequantized-coefficient checksum is an integer formula.
 
-Declared gates that REMAIN (and why): progressive (SOF2) spectral
-selection / successive approximation, 12-bit precision, arithmetic
-coding (SOF9+), and CMYK/Adobe 4-component color — each raises
-``NotImplementedError`` loudly. WebP and all video codecs stay
-library-bound (VP8 is a genuinely different arithmetic coder).
+PROGRESSIVE (SOF2) decodes for real too (round 10, second wave): the
+full Annex G Huffman procedures — interleaved/per-component DC scans
+with successive approximation (first pass point-transformed by Al,
+refinement bits OR'd into two's-complement magnitudes),
+single-component AC scans over spectral bands [Ss, Se] with EOBn
+end-of-band runs, and the G.1.2.3 refinement walk where correction
+bits for previously-nonzero coefficients interleave with newly-born
++/-1 coefficients. ``encode_jpeg_progressive`` emits a six-phase scan
+script (DC first -> split-band AC firsts -> DC refine -> AC refines)
+whose decoded coefficients are bit-identical to the sequential
+encoding's, so every exactness argument carries over.
+
+Declared gates that REMAIN (and why): 12-bit precision, arithmetic
+coding (SOF9+), hierarchical/lossless processes (SOF3/5-7/13-15), and
+CMYK/Adobe 4-component color — each raises ``NotImplementedError``
+loudly. WebP and all video codecs stay library-bound (VP8 is a
+genuinely different arithmetic coder).
 
 Reference parity note: the reference pipeline
 (pulse_billing_etl_service) moves media-free billing rows and has no
@@ -181,9 +193,29 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, the inverse map the bit-reader walks."""
-    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+class _DecodeTable:
+    """Huffman decode table with an 8-bit-prefix fast path: ``fast``
+    maps every byte whose leading bits form a code of length <= 8 to
+    (symbol, length); longer codes fall back to the (length, code)
+    walk. Same decoded symbols either way — the fast path exists
+    because the per-bit walk dominates the pure-Python decode cost."""
+
+    __slots__ = ("fast", "slow")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        codes = _canonical_codes(bits, vals)
+        self.slow = {(ln, c): s for s, (c, ln) in codes.items()}
+        self.fast: list = [None] * 256
+        for s, (c, ln) in codes.items():
+            if ln <= 8:
+                base = c << (8 - ln)
+                for i in range(1 << (8 - ln)):
+                    self.fast[base | i] = (s, ln)
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> _DecodeTable:
+    """Build the decode table the bit-reader consumes."""
+    return _DecodeTable(bits, vals)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +257,9 @@ class _BitWriter:
 class _BitReader:
     """MSB-first reader over the entropy-coded segment: unstuffs
     0xFF00, stops (loudly) at any real marker, resynchronizes at RSTn
-    when the MCU loop calls ``restart``."""
+    when the MCU loop calls ``restart``. Bits buffer in an unbounded
+    int accumulator; ``_fill_soft`` pre-buffers without raising so the
+    Huffman fast path can peek a whole byte."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -252,6 +286,25 @@ class _BitReader:
         self._acc = (self._acc << 8) | b
         self._n += 8
 
+    def _fill_soft(self, need: int) -> None:
+        """Buffer up to ``need`` bits, stopping SILENTLY at stream end
+        or a marker — consumers that then run short raise through the
+        strict ``_fetch`` path with the precise error."""
+        data, pos, n = self.data, self.pos, self._n
+        end = len(data)
+        acc = self._acc
+        while n < need and pos < end:
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= end or data[pos + 1] != 0x00:
+                    break  # marker (or truncation): strict path reports
+                pos += 2
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.data, self.pos, self._n, self._acc = data, pos, n, acc
+
     def read_bit(self) -> int:
         if self._n == 0:
             self._fetch()
@@ -259,22 +312,48 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self._n < n:
+            self._fill_soft(n)
+            while self._n < n:
+                self._fetch()  # raises the precise truncation error
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
 
-    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+    def huffman(self, table: _DecodeTable) -> int:
+        if self._n < 8:
+            self._fill_soft(16)
+        if self._n >= 8:
+            hit = table.fast[(self._acc >> (self._n - 8)) & 0xFF]
+            if hit is not None:
+                self._n -= hit[1]
+                return hit[0]
+        slow = table.slow
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = slow.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG entropy stream")
 
     def restart(self, idx: int) -> None:
         """Byte-align and consume the expected RST(idx % 8) marker."""
+        if self._n >= 8:
+            # _fill_soft may have buffered whole bytes past the MCU
+            # boundary — return them to the stream before aligning
+            # (careful: buffered bytes may have been STUFFED 0xFF00
+            # pairs, so walk back through the raw stream instead of
+            # arithmetic on pos)
+            give_back = self._n // 8
+            for _ in range(give_back):
+                self.pos -= 1
+                if (
+                    self.data[self.pos] == 0x00
+                    and self.pos > 0
+                    and self.data[self.pos - 1] == 0xFF
+                ):
+                    self.pos -= 1
+            self._n -= give_back * 8
         self._acc = 0
         self._n = 0
         if self.pos + 2 > len(self.data):
@@ -374,6 +453,77 @@ def _encode_block(
     return zz[0]
 
 
+def _validate_and_headers(
+    comps,
+    width,
+    height,
+    sampling,
+    qtables,
+    restart_interval,
+    sof_marker,
+    progressive_ac: bool = False,
+):
+    """Shared frame setup for the sequential and progressive writers:
+    validates grids, returns (header bytes, int64 arrays, sampling,
+    qtables)."""
+    import numpy as np
+
+    n = len(comps)
+    if n not in (1, 3):
+        raise ValueError("JPEG encoding supports 1 or 3 components")
+    if sampling is None:
+        sampling = [(1, 1)] * n
+    if qtables is None:
+        qtables = [UNIT_QTABLE] * min(n, 2)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    arrs = [np.asarray(c, dtype=np.int64) for c in comps]
+    for i, ((sh, sv), a) in enumerate(zip(sampling, arrs)):
+        cw = -(-width * sh // hmax)   # ceil(width * sh / hmax)
+        chh = -(-height * sv // vmax)
+        bx = -(-cw // 8)
+        by = -(-chh // 8)
+        if n > 1:
+            # interleaved scans pad each component's grid to whole MCUs
+            bx = -(-bx // sh) * sh
+            by = -(-by // sv) * sv
+        if a.shape != (by, bx, 8, 8):
+            raise ValueError(
+                f"component {i} block grid {a.shape[:2]} != expected ({by}, {bx})"
+            )
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in range(min(n, 2)):
+        out += _seg(0xDB, bytes([tid]) + bytes(qtables[tid]))
+    sof = struct.pack(">BHHB", 8, height, width, n)
+    for i, (sh, sv) in enumerate(sampling):
+        sof += bytes((i + 1, sh << 4 | sv, min(i, 1)))
+    out += _seg(sof_marker, sof)
+    ac_l = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
+        AC_LUMA_BITS, AC_LUMA_VALS
+    )
+    ac_c = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
+        AC_CHROMA_BITS, AC_CHROMA_VALS
+    )
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, *ac_l))
+    if n == 3:
+        out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_payload(1, 1, *ac_c))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return out, arrs, sampling, qtables
+
+
+def _sos_segment(scan_comps, ss: int, se: int, ah: int, al: int) -> bytes:
+    """SOS header: (component id, dc/ac table selectors) per scan
+    component plus the spectral/approximation parameters."""
+    sos = bytes([len(scan_comps)])
+    for cid, dcid, acid in scan_comps:
+        sos += bytes((cid, dcid << 4 | acid))
+    return _seg(0xDA, sos + bytes((ss, se, ah << 4 | al)))
+
+
 def encode_jpeg_from_coeffs(
     comps: "list[object]",
     width: int,
@@ -392,80 +542,45 @@ def encode_jpeg_from_coeffs(
     grids must cover ceil over the sampled dimensions exactly — this is
     the low-level entry the coefficient-checksum driver query and the
     round-trip tests build on, so it validates rather than pads."""
-    import numpy as np
-
-    n = len(comps)
-    if n not in (1, 3):
-        raise ValueError("encode_jpeg_from_coeffs supports 1 or 3 components")
-    if sampling is None:
-        sampling = [(1, 1)] * n
-    if qtables is None:
-        qtables = [UNIT_QTABLE] * min(n, 2)
+    out, arrs, sampling, qtables = _validate_and_headers(
+        comps, width, height, sampling, qtables, restart_interval, 0xC0
+    )
+    n = len(arrs)
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
-    arrs = [np.asarray(c, dtype=np.int64) for c in comps]
-    for i, ((sh, sv), a) in enumerate(zip(sampling, arrs)):
-        cw = -(-width * sh // hmax)   # ceil(width * sh / hmax)
-        chh = -(-height * sv // vmax)
-        if n > 1:
-            bx = -(-cw // 8)
-            by = -(-chh // 8)
-            # interleaved scans pad each component's grid to whole MCUs
-            bx = -(-bx // sh) * sh
-            by = -(-by // sv) * sv
-        else:
-            bx = -(-cw // 8)
-            by = -(-chh // 8)
-        if a.shape != (by, bx, 8, 8):
-            raise ValueError(
-                f"component {i} block grid {a.shape[:2]} != expected ({by}, {bx})"
-            )
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid in range(min(n, 2)):
-        out += _seg(0xDB, bytes([tid]) + bytes(qtables[tid]))
-    sof = struct.pack(">BHHB", 8, height, width, n)
-    for i, (sh, sv) in enumerate(sampling):
-        sof += bytes((i + 1, sh << 4 | sv, min(i, 1)))
-    out += _seg(0xC0, sof)
-    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
-    out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
-    if n == 3:
-        out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
-        out += _seg(0xC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
-    if restart_interval:
-        out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([n])
-    for i in range(n):
-        t = min(i, 1)
-        sos += bytes((i + 1, t << 4 | t))
-    sos += bytes((0, 63, 0))  # baseline spectral range, no approximation
-    out += _seg(0xDA, sos)
+    out += _sos_segment(
+        [(i + 1, min(i, 1), min(i, 1)) for i in range(n)], 0, 63, 0, 0
+    )
 
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
     if n == 3:
         dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
-    zz_idx = [r * 8 + c for r, c in ZIGZAG]
     wtr = _BitWriter()
     preds = [0] * n
     rst = 0
+    # pre-reorder every block into zigzag order in one numpy fancy
+    # index per component (the per-block python gather was the hot
+    # spot), then .tolist() hands the entropy loop plain ints
+    zz_all = [
+        a.reshape(a.shape[0], a.shape[1], 64)[:, :, _ZZFLAT].tolist()
+        for a in arrs
+    ]
     if n == 1:
         by, bx = arrs[0].shape[:2]
-        flat = arrs[0].reshape(by, bx, 64)
         mcus = [(y, x) for y in range(by) for x in range(bx)]
 
         def write_mcu(pos):
             y, x = pos
-            zz = [int(flat[y, x, j]) for j in zz_idx]
-            preds[0] = _encode_block(wtr, zz, preds[0], dc_codes[0], ac_codes[0])
+            preds[0] = _encode_block(
+                wtr, zz_all[0][y][x], preds[0], dc_codes[0], ac_codes[0]
+            )
 
     else:
         mx = -(-width // (8 * hmax))
         my = -(-height // (8 * vmax))
         mcus = [(y, x) for y in range(my) for x in range(mx)]
-        flats = [a.reshape(a.shape[0], a.shape[1], 64) for a in arrs]
 
         def write_mcu(pos):
             my_, mx_ = pos
@@ -473,12 +588,12 @@ def encode_jpeg_from_coeffs(
                 t = min(i, 1)
                 for v in range(sv):
                     for hh in range(sh):
-                        zz = [
-                            int(flats[i][my_ * sv + v, mx_ * sh + hh, j])
-                            for j in zz_idx
-                        ]
                         preds[i] = _encode_block(
-                            wtr, zz, preds[i], dc_codes[t], ac_codes[t]
+                            wtr,
+                            zz_all[i][my_ * sv + v][mx_ * sh + hh],
+                            preds[i],
+                            dc_codes[t],
+                            ac_codes[t],
                         )
 
     for k, pos in enumerate(mcus):
@@ -562,20 +677,15 @@ def _quantize_blocks(blocks, qtable64):
 SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
-def encode_jpeg(
+def _pixels_to_coeffs(
     arr: "object",
-    qtable_luma: "list[int] | None" = None,
-    qtable_chroma: "list[int] | None" = None,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 pixels — HxW grayscale or HxWx3 RGB — as baseline
-    JFIF. Quantization tables are zigzag-ordered 64-entry lists
-    (default: unit tables, the exactness configuration); chroma
-    subsampling is box-mean with half-up rounding over edge-replicated
-    even dimensions. The natural-order qtable the DCT stage needs is
-    derived from the zigzag order, so the DQT bytes and the math can
-    never disagree."""
+    qtable_luma: "list[int] | None",
+    qtable_chroma: "list[int] | None",
+    subsampling: str,
+):
+    """Shared pixel pipeline for the sequential and progressive
+    encoders: color transform, chroma subsampling, padding, DCT,
+    quantization. Returns (comps, w, h, sampling, qtables)."""
     import numpy as np
 
     a = np.asarray(arr)
@@ -597,9 +707,7 @@ def encode_jpeg(
         h, w = a.shape
         plane = _pad_replicate(a, 8, 8).astype(np.float64) - 128.0
         blocks = _quantize_blocks(_blockify(plane), nat_l)
-        return encode_jpeg_from_coeffs(
-            [blocks], w, h, [(1, 1)], [qz_l], restart_interval
-        )
+        return [blocks], w, h, [(1, 1)], [qz_l]
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg takes HxW gray or HxWx3 RGB")
     h, w = a.shape[:2]
@@ -622,13 +730,309 @@ def encode_jpeg(
         mult = 8 * (sv if i == 0 else 1), 8 * (sh if i == 0 else 1)
         padded = _pad_replicate(p, mult[0], mult[1]).astype(np.float64) - 128.0
         comps.append(_quantize_blocks(_blockify(padded), nat_l if i == 0 else nat_c))
-    return encode_jpeg_from_coeffs(
-        comps,
-        w,
-        h,
-        [(sh, sv), (1, 1), (1, 1)],
-        [qz_l, qz_c],
-        restart_interval,
+    return comps, w, h, [(sh, sv), (1, 1), (1, 1)], [qz_l, qz_c]
+
+
+def encode_jpeg(
+    arr: "object",
+    qtable_luma: "list[int] | None" = None,
+    qtable_chroma: "list[int] | None" = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels — HxW grayscale or HxWx3 RGB — as baseline
+    JFIF. Quantization tables are zigzag-ordered 64-entry lists
+    (default: unit tables, the exactness configuration); chroma
+    subsampling is box-mean with half-up rounding over edge-replicated
+    even dimensions. The natural-order qtable the DCT stage needs is
+    derived from the zigzag order, so the DQT bytes and the math can
+    never disagree."""
+    comps, w, h, sampling, qts = _pixels_to_coeffs(
+        arr, qtable_luma, qtable_chroma, subsampling
+    )
+    return encode_jpeg_from_coeffs(comps, w, h, sampling, qts, restart_interval)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G, Huffman procedures)
+# ---------------------------------------------------------------------------
+
+
+def _prog_ac_table() -> tuple[list[int], list[int]]:
+    """AC Huffman table for progressive scans. The Annex K tables are
+    SEQUENTIAL tables: their only zero-size symbols are EOB (0x00) and
+    ZRL (0xF0), but progressive end-of-band runs need EOBn symbols
+    0x10..0xE0 too. Real encoders optimize custom tables per scan; for
+    a deterministic reference codec a FIXED canonical table covering
+    every legal progressive symbol (16 EOBn/ZRL + 160 run/size) at
+    lengths 8/9 is simpler and spec-valid — the decoder reads whatever
+    DHT says, so optimality is irrelevant to correctness."""
+    vals = [r << 4 for r in range(16)]  # EOB0..EOB14, ZRL
+    vals += [r << 4 | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = 80   # 80 codes of length 8
+    bits[8] = 96   # 96 codes of length 9 (fits: (256-80)*2 = 352)
+    return bits, vals
+
+
+PROG_AC_BITS, PROG_AC_VALS = _prog_ac_table()
+
+
+class _ProgState:
+    """Per-scan EOB-run accumulator with the buffered correction bits
+    that must follow the eventual EOBn code (jcphuff's EOBRUN/BE)."""
+
+    __slots__ = ("eobrun", "be_bits")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+
+def _flush_eobrun(wtr: _BitWriter, ac_codes, st: _ProgState) -> None:
+    if st.eobrun:
+        r = st.eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(st.eobrun - (1 << r), r)
+        for b in st.be_bits:
+            wtr.write(b, 1)
+        st.eobrun = 0
+        st.be_bits = []
+
+
+def _emit_ac_first(wtr, ac_codes, zz, ss, se, al, st: _ProgState) -> None:
+    """AC first pass over the band [ss, se]: point transform toward
+    zero by ``al``, run-length code the survivors, fold all-zero bands
+    into the scan-wide EOB run."""
+    vals = [
+        (v >> al) if v >= 0 else -((-v) >> al) for v in zz[ss : se + 1]
+    ]
+    if not any(vals):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+        return
+    _flush_eobrun(wtr, ac_codes, st)
+    r = 0
+    trailing = 0
+    for t in vals:
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            r -= 16
+        s = _category(t)
+        if s > 10:
+            raise ValueError(f"AC coefficient {t} exceeds category 10")
+        code, ln = ac_codes[r << 4 | s]
+        wtr.write(code, ln)
+        wtr.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r:
+        st.eobrun += 1  # trailing zeros join the next EOB run
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
+def _emit_ac_refine(wtr, ac_codes, zz, ss, se, al, st: _ProgState) -> None:
+    """AC refinement over the band (T.81 G.1.2.3 / figure G.7):
+    correction bits for coefficients nonzero in earlier passes buffer
+    until the next emitted code; newly-nonzero coefficients emit
+    (run, 1) + sign; ZRLs fold into the EOB run when nothing new
+    follows them."""
+    band = zz[ss : se + 1]
+    absv = [abs(v) >> al for v in band]
+    eob_last = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_last = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_last:
+            _flush_eobrun(wtr, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            r -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: buffer its next magnitude bit
+            br.append(t & 1)
+            continue
+        _flush_eobrun(wtr, ac_codes, st)
+        code, ln = ac_codes[r << 4 | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if band[i] >= 0 else 0, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.eobrun += 1
+        st.be_bits.extend(br)
+        if st.eobrun == 0x7FFF or len(st.be_bits) > 930:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
+def encode_jpeg_progressive_from_coeffs(
+    comps: "list[object]",
+    width: int,
+    height: int,
+    sampling: "list[tuple[int, int]] | None" = None,
+    qtables: "list[list[int]] | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a PROGRESSIVE (SOF2) JFIF stream from chosen quantized
+    coefficients, using the canonical six-phase scan script that
+    exercises every Annex G Huffman procedure:
+
+    1. DC first pass, all components interleaved (Ah=0, Al=1);
+    2. per component, AC first passes over the split spectral bands
+       [1, 5] and [6, 63] at Al=1 (EOBn runs, ZRL, magnitudes);
+    3. DC refinement, interleaved (one raw bit per block);
+    4. per component, AC refinements of both bands down to Al=0
+       (correction bits + newly-born +/-1 coefficients).
+
+    Decoding the result MUST produce bit-identical coefficients to the
+    sequential encoding of the same blocks — the round-trip contract
+    tests and the driver query pin."""
+    out, arrs, sampling, qtables = _validate_and_headers(
+        comps, width, height, sampling, qtables, restart_interval, 0xC2,
+        progressive_ac=True,
+    )
+    n = len(arrs)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [prog_ac]
+    if n == 3:
+        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_codes.append(prog_ac)
+    flats = [a.reshape(a.shape[0], a.shape[1], 64) for a in arrs]
+    zz_all = [f[:, :, _ZZFLAT].tolist() for f in flats]
+
+    def zz_of(ci: int, by: int, bx: int) -> list[int]:
+        return zz_all[ci][by][bx]
+
+    def dc_units():
+        """Interleaved MCU walk (same order as the sequential scan)."""
+        if n == 1:
+            by, bx = arrs[0].shape[:2]
+            return [[(0, y, x)] for y in range(by) for x in range(bx)]
+        mx = -(-width // (8 * hmax))
+        my = -(-height // (8 * vmax))
+        return [
+            [
+                (ci, y * sv + v, x * sh + hh)
+                for ci, (sh, sv) in enumerate(sampling)
+                for v in range(sv)
+                for hh in range(sh)
+            ]
+            for y in range(my)
+            for x in range(mx)
+        ]
+
+    def ac_units(ci: int):
+        """Non-interleaved walk over the component's SAMPLED grid."""
+        sh, sv = sampling[ci]
+        if n == 1:
+            nbx, nby = -(-width // 8), -(-height // 8)
+        else:
+            cw = -(-width * sh // hmax)
+            chh = -(-height * sv // vmax)
+            nbx, nby = -(-cw // 8), -(-chh // 8)
+        return [[(ci, y, x)] for y in range(nby) for x in range(nbx)]
+
+    def emit_scan(scan_comps, units, ss, se, ah, al, block_fn):
+        nonlocal out
+        out += _sos_segment(scan_comps, ss, se, ah, al)
+        wtr = _BitWriter()
+        st = _ProgState()
+        preds = [0] * n
+        rst = 0
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                _flush_eobrun(wtr, ac_codes[min(unit[0][0], 1)], st)
+                wtr.restart(rst)
+                rst += 1
+                preds[:] = [0] * n
+            for ci, by, bx in unit:
+                block_fn(wtr, st, preds, ci, by, bx)
+        _flush_eobrun(
+            wtr, ac_codes[min(units[0][0][0], 1)] if units else ac_codes[0], st
+        )
+        wtr.flush()
+        out += wtr.out
+
+    al_dc, al_ac = 1, 1
+
+    def dc_first(wtr, st, preds, ci, by, bx):
+        dc_pt = int(flats[ci][by, bx, 0]) >> al_dc  # arithmetic shift (G.1.2.1)
+        diff = dc_pt - preds[ci]
+        preds[ci] = dc_pt
+        t = _category(diff)
+        if t > 11:
+            raise ValueError(f"DC difference {diff} exceeds category 11")
+        code, ln = dc_codes[min(ci, 1)][t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def dc_refine(wtr, st, preds, ci, by, bx):
+        wtr.write((int(flats[ci][by, bx, 0]) >> 0) & 1, 1)
+
+    def ac_scan(ss, se, ah, al):
+        def fn(wtr, st, preds, ci, by, bx):
+            zz = zz_of(ci, by, bx)
+            if ah == 0:
+                _emit_ac_first(wtr, ac_codes[min(ci, 1)], zz, ss, se, al, st)
+            else:
+                _emit_ac_refine(wtr, ac_codes[min(ci, 1)], zz, ss, se, al, st)
+
+        return fn
+
+    all_comps = [(i + 1, min(i, 1), min(i, 1)) for i in range(n)]
+    emit_scan(all_comps, dc_units(), 0, 0, 0, al_dc, dc_first)
+    for ci in range(n):
+        sel = [(ci + 1, min(ci, 1), min(ci, 1))]
+        emit_scan(sel, ac_units(ci), 1, 5, 0, al_ac, ac_scan(1, 5, 0, al_ac))
+        emit_scan(sel, ac_units(ci), 6, 63, 0, al_ac, ac_scan(6, 63, 0, al_ac))
+    emit_scan(all_comps, dc_units(), 0, 0, al_dc, 0, dc_refine)
+    for ci in range(n):
+        sel = [(ci + 1, min(ci, 1), min(ci, 1))]
+        emit_scan(sel, ac_units(ci), 1, 5, 1, 0, ac_scan(1, 5, 1, 0))
+        emit_scan(sel, ac_units(ci), 6, 63, 1, 0, ac_scan(6, 63, 1, 0))
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: "object",
+    qtable_luma: "list[int] | None" = None,
+    qtable_chroma: "list[int] | None" = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels as progressive JFIF — the same pixel
+    pipeline as ``encode_jpeg`` (color transform, subsampling, DCT,
+    quantization) emitted through the six-phase progressive scan
+    script. Decoded coefficients are bit-identical to the sequential
+    encoding's, so every baseline exactness argument (block-constant
+    DC-only round trips) carries over unchanged."""
+    comps, w, h, sampling, qts = _pixels_to_coeffs(
+        arr, qtable_luma, qtable_chroma, subsampling
+    )
+    return encode_jpeg_progressive_from_coeffs(
+        comps, w, h, sampling, qts, restart_interval
     )
 
 
@@ -637,10 +1041,11 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 #: SOF markers this decoder rejects, with the reason (each is a
-#: genuinely different coding process, not a parsing gap)
+#: genuinely different coding process, not a parsing gap). SOF0/SOF1
+#: decode as sequential; SOF2 decodes as progressive (round 10 —
+#: spectral selection + successive approximation are Huffman-layer
+#: features, not library-bound entropy coding).
 _SOF_GATES = {
-    0xC2: "progressive JPEG (SOF2: spectral selection passes)",
-    0xC1: None,  # extended sequential Huffman decodes like baseline
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -653,21 +1058,153 @@ _SOF_GATES = {
     0xCF: "differential arithmetic lossless JPEG (SOF15)",
 }
 
+#: zigzag index -> flat natural index, precomputed for the hot loops
+_ZZFLAT = [r * 8 + c for r, c in ZIGZAG]
+
+
+def _decode_block_sequential(rdr, dc_map, ac_map, block, pred: int) -> int:
+    """One full sequential block (Ss=0..63, no approximation), writing
+    QUANTIZED coefficients; returns the new DC predictor."""
+    t = rdr.huffman(dc_map)
+    if t > 15:
+        raise ValueError("invalid DC category")
+    pred += _extend(rdr.receive(t), t)
+    block.flat[0] = pred
+    k = 1
+    while k < 64:
+        rs = rdr.huffman(ac_map)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if rs == 0x00:  # EOB
+                return pred
+            if rs == 0xF0:  # ZRL: sixteen zeros, a nonzero MUST follow
+                k += 16
+                if k > 63:
+                    raise ValueError("AC run overruns the block")
+                continue
+            raise ValueError(f"invalid AC symbol 0x{rs:02X}")
+        k += r
+        if k > 63:
+            raise ValueError("AC run overruns the block")
+        block.flat[_ZZFLAT[k]] = _extend(rdr.receive(s), s)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
+    """Progressive AC first pass (T.81 G.1.2.2): run-length decode of
+    the spectral band [ss, se] at precision ``al``, with EOBn
+    end-of-band runs spanning blocks. Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.huffman(ac_map)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros within the band
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overruns the spectral band")
+        block.flat[_ZZFLAT[k]] = _extend(rdr.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): walk the band reading
+    correction bits for already-nonzero coefficients and +/-1 births
+    for newly nonzero ones; EOBn runs still carry correction bits for
+    the skipped blocks' nonzero history. Returns the remaining
+    eobrun."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(idx: int) -> None:
+        cur = int(block.flat[idx])
+        if rdr.read_bit() and (cur & p1) == 0:
+            block.flat[idx] = cur + (p1 if cur >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.huffman(ac_map)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of end-of-band blocks
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement can only introduce magnitude-1 "
+                        "coefficients"
+                    )
+                val = p1 if rdr.read_bit() else m1
+            while k <= se:
+                idx = _ZZFLAT[k]
+                if block.flat[idx] != 0:
+                    correct(idx)
+                else:
+                    if r == 0:
+                        if val:
+                            block.flat[idx] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                if val:
+                    raise ValueError(
+                        "AC refinement run overruns the spectral band"
+                    )
+    if eobrun > 0:
+        while k <= se:
+            idx = _ZZFLAT[k]
+            if block.flat[idx] != 0:
+                correct(idx)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
 
 def decode_jpeg_coefficients(payload: bytes):
-    """Parse a baseline/extended-sequential JFIF stream down to its
-    DEQUANTIZED coefficient blocks — the integer layer the
-    coefficient-checksum oracle pins. Returns ``(meta, comps)`` where
-    ``meta`` has width/height/sampling/n_components and ``comps`` is a
-    list of (blocks_y, blocks_x, 8, 8) int32 arrays in natural order.
+    """Parse a sequential (SOF0/SOF1) or PROGRESSIVE (SOF2) JFIF stream
+    down to its DEQUANTIZED coefficient blocks — the integer layer the
+    coefficient-checksum oracles pin. Returns ``(meta, comps)`` where
+    ``meta`` has width/height/sampling/n_components/progressive and
+    ``comps`` is a list of (blocks_y, blocks_x, 8, 8) int64 arrays in
+    natural order.
+
+    Sequential streams may split components across scans
+    (non-interleaved baseline is spec-legal); progressive streams run
+    the full scan-script state machine — interleaved or per-component
+    DC scans with successive approximation (first pass shifted by Al,
+    refinement bits OR'd in, two's-complement-correct for negative
+    DCs), per-component AC scans over spectral bands [Ss, Se] with
+    EOBn end-of-band runs, ZRL, and the G.1.2.3 refinement walk where
+    correction bits interleave with newly-born +/-1 coefficients.
+    Restart intervals apply per scan (DC predictors and EOB runs
+    reset).
 
     All tables (DQT, DHT) are read from the file. Structural
     corruption — bad marker framing, truncated segments, missing
     SOF/SOS, undefined table references, invalid Huffman codes,
-    coefficient overrun, wrong restart markers — raises ValueError;
-    the non-baseline coding processes in ``_SOF_GATES`` plus 12-bit
-    precision and 4-component (CMYK) color raise NotImplementedError,
-    the decode_png error-class contract."""
+    coefficient overrun, wrong restart markers, AC-before-DC scans,
+    components never scanned — raises ValueError; the coding processes
+    in ``_SOF_GATES`` plus 12-bit precision and 4-component (CMYK)
+    color raise NotImplementedError, the decode_png error-class
+    contract."""
     import numpy as np
 
     data = bytes(payload)
@@ -678,11 +1215,144 @@ def decode_jpeg_coefficients(payload: bytes):
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    arrs: list = []
+    dc_seen: list = []
+    any_scan = False
+
+    def run_scan(body: bytes, start: int) -> int:
+        """Decode one scan's entropy data; returns the stream position
+        of the next marker."""
+        comps = sof["comps"]
+        n = len(comps)
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        w, h = sof["w"], sof["h"]
+        ns = body[0]
+        if len(body) != 1 + 2 * ns + 3:
+            raise ValueError("SOS header length inconsistent")
+        by_id = {c["id"]: i for i, c in enumerate(comps)}
+        scomps = []
+        for i in range(ns):
+            cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+            if cs not in by_id:
+                raise ValueError(f"scan references unknown component {cs}")
+            scomps.append((by_id[cs], tabs >> 4, tabs & 15))
+        ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = a >> 4, a & 15
+        if progressive:
+            if ss > se or se > 63 or (ss == 0 and se != 0):
+                raise ValueError(f"invalid spectral band [{ss}, {se}]")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be single-component")
+            if ss > 0 and not all(dc_seen[ci] for ci, _, _ in scomps):
+                raise ValueError("AC scan before the component's first DC scan")
+            if ss == 0 and ah > 0 and not all(
+                dc_seen[ci] for ci, _, _ in scomps
+            ):
+                raise ValueError(
+                    "DC refinement before the component's first DC scan"
+                )
+        else:
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError(
+                    "sequential scan must cover the full 0-63 band with no "
+                    "approximation"
+                )
+        rdr = _BitReader(data, start)
+        preds = [0] * n
+        eobrun = 0
+        interleaved = ns > 1
+
+        # per-scan decode units: (component, block_y, block_x) triples
+        # grouped into MCUs (restart intervals count MCUs)
+        if interleaved:
+            mx = -(-w // (8 * hmax))
+            my = -(-h // (8 * vmax))
+            units = [
+                [
+                    (ci, y * comps[ci]["v"] + v, x * comps[ci]["h"] + hh)
+                    for ci, _, _ in scomps
+                    for v in range(comps[ci]["v"])
+                    for hh in range(comps[ci]["h"])
+                ]
+                for y in range(my)
+                for x in range(mx)
+            ]
+        else:
+            ci = scomps[0][0]
+            c = comps[ci]
+            if n == 1:
+                nbx, nby = -(-w // 8), -(-h // 8)
+            else:
+                # non-interleaved grid covers the component's SAMPLED
+                # dimensions, NOT the MCU-padded grid
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                nbx, nby = -(-cw // 8), -(-chh // 8)
+            units = [[(ci, y, x)] for y in range(nby) for x in range(nbx)]
+
+        tabs_for = {ci: (dcid, acid) for ci, dcid, acid in scomps}
+        rst = 0
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                rdr.restart(rst)
+                rst += 1
+                preds[:] = [0] * n
+                eobrun = 0
+            for ci, by_, bx_ in unit:
+                dcid, acid = tabs_for[ci]
+                block = arrs[ci][by_, bx_]
+                if not progressive:
+                    dc_map = dc_maps.get(dcid)
+                    ac_map = ac_maps.get(acid)
+                    if dc_map is None or ac_map is None:
+                        raise ValueError(
+                            "scan references undefined Huffman table"
+                        )
+                    preds[ci] = _decode_block_sequential(
+                        rdr, dc_map, ac_map, block, preds[ci]
+                    )
+                elif ss == 0:  # progressive DC scan
+                    if ah == 0:  # first pass
+                        dc_map = dc_maps.get(dcid)
+                        if dc_map is None:
+                            raise ValueError(
+                                "scan references undefined Huffman table"
+                            )
+                        t = rdr.huffman(dc_map)
+                        if t > 15:
+                            raise ValueError("invalid DC category")
+                        preds[ci] += _extend(rdr.receive(t), t)
+                        block.flat[0] = preds[ci] << al
+                    else:  # refinement: one raw bit per block
+                        if rdr.read_bit():
+                            block.flat[0] = int(block.flat[0]) | (1 << al)
+                else:  # progressive AC scan
+                    ac_map = ac_maps.get(acid)
+                    if ac_map is None:
+                        raise ValueError(
+                            "scan references undefined Huffman table"
+                        )
+                    if ah == 0:
+                        eobrun = _decode_ac_first(
+                            rdr, ac_map, block, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _decode_ac_refine(
+                            rdr, ac_map, block, ss, se, al, eobrun
+                        )
+        if ss == 0 and (ah == 0 or not progressive):
+            # only a FIRST DC pass establishes the component's history;
+            # refinements require one (checked above)
+            for ci, _, _ in scomps:
+                dc_seen[ci] = True
+        return rdr.pos
+
     while True:
         if pos + 2 > len(data):
-            raise ValueError("JPEG truncated before SOS")
+            raise ValueError("JPEG truncated before EOI")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{data[pos]:02X}")
         marker = data[pos + 1]
@@ -692,7 +1362,9 @@ def decode_jpeg_coefficients(payload: bytes):
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no segment
         if marker == 0xD9:
-            raise ValueError("EOI before SOS (no image data)")
+            if not any_scan:
+                raise ValueError("EOI before SOS (no image data)")
+            break
         if pos + 2 > len(data):
             raise ValueError("JPEG segment length truncated")
         (seglen,) = struct.unpack_from(">H", data, pos)
@@ -707,15 +1379,15 @@ def decode_jpeg_coefficients(payload: bytes):
                 i += 1
                 if pq not in (0, 1):
                     raise ValueError(f"DQT precision {pq} invalid")
-                n = 64 * (2 if pq else 1)
-                if i + n > len(body):
+                nbytes = 64 * (2 if pq else 1)
+                if i + nbytes > len(body):
                     raise ValueError("DQT table truncated")
                 if pq:
                     vals = list(struct.unpack_from(">64H", body, i))
                 else:
                     vals = list(body[i : i + 64])
                 qtables[tq] = vals
-                i += n
+                i += nbytes
         elif marker == 0xC4:  # DHT: one or more tables per segment
             i = 0
             while i < len(body):
@@ -723,13 +1395,16 @@ def decode_jpeg_coefficients(payload: bytes):
                     raise ValueError("DHT header truncated")
                 cls, tid = body[i] >> 4, body[i] & 15
                 bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                if i + 17 + n > len(body):
+                nvals = sum(bits)
+                if i + 17 + nvals > len(body):
                     raise ValueError("DHT values truncated")
-                vals = list(body[i + 17 : i + 17 + n])
+                vals = list(body[i + 17 : i + 17 + nvals])
                 (dc_maps if cls == 0 else ac_maps)[tid] = _decode_map(bits, vals)
-                i += 17 + n
-        elif marker in (0xC0, 0xC1):
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if sof is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError(
@@ -751,6 +1426,21 @@ def decode_jpeg_coefficients(payload: bytes):
                     raise ValueError(f"sampling factors {sh}x{sv} invalid")
                 comps_meta.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             sof = {"w": w, "h": h, "comps": comps_meta}
+            hmax = max(c["h"] for c in comps_meta)
+            vmax = max(c["v"] for c in comps_meta)
+            for c in comps_meta:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        f"fractional chroma sampling {c['h']}x{c['v']} vs "
+                        f"{hmax}x{vmax} requires an image library"
+                    )
+                if ncomp > 1:
+                    bx = -(-w // (8 * hmax)) * c["h"]
+                    by = -(-h // (8 * vmax)) * c["v"]
+                else:
+                    bx, by = -(-w // 8), -(-h // 8)
+                arrs.append(np.zeros((by, bx, 8, 8), dtype=np.int64))
+                dc_seen.append(False)
         elif marker in _SOF_GATES:
             raise NotImplementedError(
                 f"{_SOF_GATES[marker]} requires an image library"
@@ -760,109 +1450,35 @@ def decode_jpeg_coefficients(payload: bytes):
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF")
-            ns = body[0]
-            if ns != len(sof["comps"]):
-                raise ValueError(
-                    "multi-scan JPEG (non-interleaved scans) unsupported; "
-                    "baseline writes one interleaved scan"
-                )
-            scan = {}
-            for i in range(ns):
-                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                scan[cs] = {"dc": tabs >> 4, "ac": tabs & 15}
-            break
+            pos = run_scan(body, pos)
+            any_scan = True
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             continue  # APPn / COM metadata
         else:
             raise ValueError(f"unsupported JPEG marker 0xFF{marker:02X}")
 
     comps = sof["comps"]
-    n = len(comps)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    w, h = sof["w"], sof["h"]
-    arrs = []
-    grids = []
-    for c in comps:
+    for ci, c in enumerate(comps):
         if c["tq"] not in qtables:
             raise ValueError(f"component references undefined DQT {c['tq']}")
-        if c["id"] not in scan:
-            raise ValueError(f"SOF component {c['id']} missing from the scan")
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                f"fractional chroma sampling {c['h']}x{c['v']} vs "
-                f"{hmax}x{vmax} requires an image library"
+        if not dc_seen[ci]:
+            raise ValueError(
+                f"component {c['id']} never received a DC scan — the "
+                "stream is incomplete, not decodable-to-zeros"
             )
-        if n > 1:
-            mx = -(-w // (8 * hmax))
-            my = -(-h // (8 * vmax))
-            bx, by = mx * c["h"], my * c["v"]
-        else:
-            bx, by = -(-w // 8), -(-h // 8)
-        grids.append((by, bx))
-        arrs.append(np.zeros((by, bx, 8, 8), dtype=np.int64))
-    rdr = _BitReader(data, pos)
-    preds = [0] * n
-
-    def decode_block(ci: int, by_: int, bx_: int) -> None:
-        sc = scan[comps[ci]["id"]]
-        dc = dc_maps.get(sc["dc"])
-        ac = ac_maps.get(sc["ac"])
-        if dc is None or ac is None:
-            raise ValueError("scan references undefined Huffman table")
-        q = qtables[comps[ci]["tq"]]
-        block = arrs[ci][by_, bx_]
-        t = rdr.huffman(dc)
-        if t > 15:
-            raise ValueError("invalid DC category")
-        diff = _extend(rdr.receive(t), t)
-        preds[ci] += diff
-        block.flat[0] = preds[ci] * q[0]
-        k = 1
-        while k < 64:
-            rs = rdr.huffman(ac)
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if rs == 0x00:  # EOB
-                    return
-                if rs == 0xF0:  # ZRL: sixteen zeros, a nonzero MUST follow
-                    k += 16
-                    if k > 63:
-                        raise ValueError("AC run overruns the block")
-                    continue
-                raise ValueError(f"invalid AC symbol 0x{rs:02X}")
-            k += r
-            if k > 63:
-                raise ValueError("AC run overruns the block")
-            v = _extend(rdr.receive(s), s)
-            block.flat[ZIGZAG[k][0] * 8 + ZIGZAG[k][1]] = v * q[k]
-            k += 1
-
-    if n == 1:
-        by, bx = grids[0]
-        mcus = [(y, x) for y in range(by) for x in range(bx)]
-    else:
-        mx = -(-w // (8 * hmax))
-        my = -(-h // (8 * vmax))
-        mcus = [(y, x) for y in range(my) for x in range(mx)]
-    rst = 0
-    for k, (y, x) in enumerate(mcus):
-        if restart_interval and k and k % restart_interval == 0:
-            rdr.restart(rst)
-            rst += 1
-            preds[:] = [0] * n
-        if n == 1:
-            decode_block(0, y, x)
-        else:
-            for ci, c in enumerate(comps):
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        decode_block(ci, y * c["v"] + v, x * c["h"] + hh)
+    # dequantize once, after all scans: DQT entries are zigzag-ordered,
+    # so scatter them to natural order first
+    for ci, c in enumerate(comps):
+        qnat = np.ones((8, 8), dtype=np.int64)
+        for i, flat in enumerate(_ZZFLAT):
+            qnat.flat[flat] = qtables[c["tq"]][i]
+        arrs[ci] *= qnat
     meta = {
-        "width": w,
-        "height": h,
-        "n_components": n,
+        "width": sof["w"],
+        "height": sof["h"],
+        "n_components": len(comps),
         "sampling": [(c["h"], c["v"]) for c in comps],
+        "progressive": progressive,
     }
     return meta, arrs
 

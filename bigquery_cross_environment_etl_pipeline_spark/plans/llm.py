@@ -2946,6 +2946,142 @@ def multimodal_jpeg_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 3 AS m,
+             17 + doc_id % 15 AS w,
+             15 + doc_id % 11 AS h,
+             CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS bs
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, m, w, h, bs,
+             unnest(generate_series(0,
+               ((w + bs - 1) // bs) * ((h + bs - 1) // bs) - 1)) AS i
+      FROM base
+    ),
+    rgb AS (
+      SELECT doc_id, m, w, h, bs,
+             i % ((w + bs - 1) // bs) AS bx,
+             i // ((w + bs - 1) // bs) AS by,
+             (5*doc_id + 7*(i % ((w + bs - 1) // bs))
+                       + 13*(i // ((w + bs - 1) // bs))) % 256 AS r,
+             (5*doc_id + 7*(i % ((w + bs - 1) // bs))
+                       + 13*(i // ((w + bs - 1) // bs)) + 19) % 256 AS g,
+             (5*doc_id + 7*(i % ((w + bs - 1) // bs))
+                       + 13*(i // ((w + bs - 1) // bs)) + 38) % 256 AS b
+      FROM blocks
+    ),
+    ycc AS (
+      SELECT *,
+        floor(2.99e-1*r + 5.87e-1*g + 1.14e-1*b + 0.5) AS y,
+        floor(128.0 - 1.68735892e-1*r - 3.31264108e-1*g + 5.0e-1*b + 0.5)
+          AS cb,
+        floor(128.0 + 5.0e-1*r - 4.18687589e-1*g - 8.1312411e-2*b + 0.5)
+          AS cr
+      FROM rgb
+    ),
+    dec AS (
+      SELECT doc_id, m, w, h,
+        least(bs, w - bx*bs) * least(bs, h - by*bs) AS npix,
+        CASE WHEN m = 0 THEN CAST(r AS DOUBLE)
+             ELSE
+          least(255.0, greatest(0.0,
+            floor(y + 1.402e0*(cr - 128.0) + 0.5)))
+          + least(255.0, greatest(0.0,
+            floor(y - 3.44136286e-1*(cb - 128.0)
+                    - 7.14136286e-1*(cr - 128.0) + 0.5)))
+          + least(255.0, greatest(0.0,
+            floor(y + 1.772e0*(cb - 128.0) + 0.5)))
+        END AS blockval
+      FROM ycc
+    )
+    SELECT doc_id AS asset_id,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(CASE WHEN MIN(m) = 0 THEN 1 ELSE 3 END AS INT)
+             AS n_channels,
+           CAST(SUM(npix * blockval) AS BIGINT) AS pixel_sum
+    FROM dec
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode (round 10, second wave —
+    the r9 VERDICT kept 'progressive' on the gated list; like PNG and
+    baseline JPEG before it, the Annex G Huffman procedures turned out
+    to be implementable, so the gate narrowed again): the same
+    block-constant bit-exactness construction as
+    ``multimodal_jpeg_decode`` — different pixel lattice (5·id + 7bx +
+    13by + 19c) and dimensions so the payloads and hashes are distinct
+    — but ENCODED through ``jpeg.encode_jpeg_progressive``'s six-phase
+    scan script: an interleaved DC first pass at Al=1, per-component
+    split-band AC first passes (spectral selection [1,5] and [6,63]
+    with EOBn end-of-band runs spanning blocks), an interleaved DC
+    refinement (raw bits), and per-component AC refinements down to
+    Al=0 (the G.1.2.3 correction-bit walk). Decoding runs the full
+    progressive state machine; because progressive and sequential
+    encodings of the same blocks carry IDENTICAL coefficients, the
+    arithmetic oracle is the same YCbCr-round-trip form — a decoder
+    wrong about ANY scan-script layer (spectral bands, successive
+    approximation shifts, EOB runs, refinement bit interleaving, DC
+    prediction per scan) hash-fails. Even docs write DRI=3 restart
+    intervals (restart resets DC predictors AND EOB runs per scan).
+
+    Scale: two zero-shuffle Arrow map stages, as all codec queries."""
+    from ..operators import jpeg, multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 17 + d % 15, 15 + d % 11
+                mode = d % 3
+                bs = 16 if mode == 2 else 8
+                bx = np.arange(w) // bs
+                by = np.arange(h) // bs
+                rst = 3 if d % 2 == 0 else 0
+                if mode == 0:
+                    px = (
+                        (5 * d + 7 * bx[None, :] + 13 * by[:, None]) % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        jpeg.encode_jpeg_progressive(px, restart_interval=rst)
+                    )
+                else:
+                    c = np.arange(3)
+                    px = (
+                        (
+                            5 * d
+                            + 7 * bx[None, :, None]
+                            + 13 * by[:, None, None]
+                            + 19 * c[None, None, :]
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    sub = "4:4:4" if mode == 1 else "4:2:0"
+                    payloads.append(
+                        jpeg.encode_jpeg_progressive(
+                            px, subsampling=sub, restart_interval=rst
+                        )
+                    )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_image_features(assets)
+
+
+@register(
     "text_nfc_normalization",
     oracle=f"""
     SELECT doc_id,

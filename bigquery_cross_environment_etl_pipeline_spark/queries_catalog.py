@@ -83,6 +83,10 @@ _FORCE_WINDOW: list[str] = [
     # new this round: the AC/zigzag/run-length half of the JPEG
     # entropy layer, pinned by an integer coefficient checksum
     "multimodal_jpeg_coefficients",
+    # new this round (second wave): PROGRESSIVE JPEG — the full
+    # Annex G scan-script state machine (spectral selection,
+    # successive approximation, EOBn runs, refinement bit walk)
+    "multimodal_jpeg_progressive",
     # NOT forced: the ADVICE r9 fixes (bounded PNG inflate, WAV chunk
     # strictness, MemoryError in per-asset catches) change only
     # hostile-payload failure paths; driver-data output is

@@ -143,6 +143,110 @@ def test_lossy_roundtrip_bounded_error_random_pixels():
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2): Annex G Huffman procedures
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_coefficients_equal_input_blocks():
+    """The six-phase scan script (DC first/refine, split-band AC
+    first/refine with EOBn runs) must reconstruct the exact blocks —
+    sparse (EOB-heavy), dense large-magnitude (correction-bit-heavy),
+    and all-zero-tail (long EOBRUN) shapes, with and without
+    restarts."""
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        blocks = rng.integers(-40, 41, (nby, nbx, 8, 8)).astype(np.int64)
+        blocks[rng.random((nby, nbx, 8, 8)) < 0.85] = 0
+        p = jpeg.encode_jpeg_progressive_from_coeffs(
+            [blocks], 8 * nbx, 8 * nby, restart_interval=trial % 3
+        )
+        meta, comps = jpeg.decode_jpeg_coefficients(p)
+        assert meta["progressive"] is True
+        assert np.array_equal(comps[0], blocks)
+    dense = rng.integers(-1000, 1001, (2, 3, 8, 8)).astype(np.int64)
+    _, comps = jpeg.decode_jpeg_coefficients(
+        jpeg.encode_jpeg_progressive_from_coeffs([dense], 24, 16)
+    )
+    assert np.array_equal(comps[0], dense)
+    sparse = np.zeros((4, 8, 8, 8), dtype=np.int64)
+    sparse[3, 7, 0, 0] = 5
+    sparse[3, 7, 1, 1] = -3
+    _, comps = jpeg.decode_jpeg_coefficients(
+        jpeg.encode_jpeg_progressive_from_coeffs([sparse], 64, 32)
+    )
+    assert np.array_equal(comps[0], sparse)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_pixels_equal_sequential(sub):
+    """Progressive and sequential encodings of the same image carry
+    identical coefficients, so decoded pixels must be bit-identical —
+    across color modes, odd dimensions, and restart intervals."""
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(px, subsampling=sub))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                px, subsampling=sub, restart_interval=(trial % 2) * 2
+            )
+        )
+        assert np.array_equal(seq, prog)
+
+
+def test_progressive_block_constant_exactness():
+    """The driver-query construction through the progressive path:
+    block-constant pixels round-trip bit-exactly."""
+    px = _const_gray(6, 23, 18)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, restart_interval=3))
+    assert np.array_equal(out, px)
+    rgb = _const_rgb(7, 33, 21, 16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(rgb, subsampling="4:2:0"))
+    assert np.array_equal(out, _expected_color_roundtrip(rgb))
+
+
+def test_progressive_scan_script_violations_rejected():
+    """Scan-script structural rules: AC before DC, multi-component AC
+    scans, and inverted spectral bands are corruption."""
+    blocks = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    good = jpeg.encode_jpeg_progressive_from_coeffs([blocks], 8, 8)
+    # find the FIRST SOS (the interleaved DC scan) and relabel its
+    # band to [1, 5]: an AC scan arriving before any DC scan
+    at = good.find(b"\xff\xda")
+    mutated = bytearray(good)
+    seglen = struct.unpack_from(">H", mutated, at + 2)[0]
+    mutated[at + 2 + seglen - 3] = 1  # Ss
+    mutated[at + 2 + seglen - 2] = 5  # Se
+    with pytest.raises(ValueError, match="AC scan before|single-component"):
+        jpeg.decode_jpeg_coefficients(bytes(mutated))
+    # inverted band
+    mutated = bytearray(good)
+    mutated[at + 2 + seglen - 3] = 6
+    mutated[at + 2 + seglen - 2] = 5
+    with pytest.raises(ValueError, match="invalid spectral band|single-component"):
+        jpeg.decode_jpeg_coefficients(bytes(mutated))
+
+
+def test_progressive_missing_dc_scan_rejected():
+    """Incomplete progressive streams are never decodable-to-zeros:
+    EOI before any scan raises, and a DC REFINEMENT scan arriving
+    without a prior DC first pass raises."""
+    blocks = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    good = jpeg.encode_jpeg_progressive_from_coeffs([blocks], 8, 8)
+    at = good.find(b"\xff\xda")  # truncate before the first scan
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        jpeg.decode_jpeg_coefficients(good[:at] + b"\xff\xd9")
+    # relabel the first scan (DC first, Ah=0 Al=1) as a refinement
+    mutated = bytearray(good)
+    seglen = struct.unpack_from(">H", mutated, at + 2)[0]
+    mutated[at + 2 + seglen - 1] = 0x10  # Ah=1, Al=0
+    with pytest.raises(ValueError, match="DC refinement before"):
+        jpeg.decode_jpeg_coefficients(bytes(mutated))
+
+
+# ---------------------------------------------------------------------------
 # 2. independent naive reference
 # ---------------------------------------------------------------------------
 
@@ -255,18 +359,22 @@ def test_truncated_segment_length():
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\xff\xff" + b"\x00" * 4)
 
 
-def test_progressive_and_friends_are_gated_not_misread():
+def test_non_huffman_processes_are_gated_not_misread():
     base = _valid_gray()
-    for marker, exc in [
-        (0xC2, NotImplementedError),  # progressive
-        (0xC3, NotImplementedError),  # lossless
-        (0xC9, NotImplementedError),  # arithmetic
-    ]:
+    for marker in (0xC3, 0xC9, 0xCA, 0xCF):  # lossless/arithmetic/differential
         mutated = bytearray(base)
         idx = mutated.find(b"\xff\xc0")
         mutated[idx + 1] = marker
-        with pytest.raises(exc):
+        with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(bytes(mutated))
+    # SOF2 itself decodes since round 10 — but a SEQUENTIAL scan script
+    # relabeled progressive is structural corruption (its full-band
+    # interleaved scan is illegal under SOF2), not a silent misread
+    mutated = bytearray(base)
+    idx = mutated.find(b"\xff\xc0")
+    mutated[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(mutated))
 
 
 def test_12bit_precision_gated():

@@ -113,6 +113,25 @@ PROBE_QUERIES = [
     "corpus_sequence_packing",
     "leakage_safe_split_assignment",
     "embedding_projection_distortion",
+    # round-10 additions (VERDICT r9 item 4): the r9 codec/tokenizer
+    # newcomers get measured ratios like the dedup/ANN families —
+    # decode queries are zero-exchange Arrow maps so the ratio should
+    # track document count (~linear); BPE training is ONE corpus-sized
+    # word count + vocab-sized merge rounds, so its ratio should sit
+    # well UNDER the decode queries' (the vocab grows sublinearly);
+    # decontamination is a broadcast semi-join (corpus-scan-bound)
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    "multimodal_resize_decode",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "benchmark_decontamination",
+    "text_nfc_normalization",
+    # round-10 newcomers: the JPEG pixel and coefficient paths (same
+    # zero-exchange Arrow-map shape as the PNG/GIF decodes)
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_coefficients",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
