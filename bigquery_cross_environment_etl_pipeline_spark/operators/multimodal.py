@@ -15,12 +15,13 @@ LZW with real dictionary growth, width escalation, 12-bit cap resets,
 and the 4-pass row interlace; LZW is a dictionary coder, not a
 library-bound entropy coder), and for AUDIO via RIFF/WAVE PCM
 (``decode_wav``, 16-bit signed / 8-bit unsigned, chunk-walking the
-RIFF grammar). Since round 10, BASELINE JPEG is real too
-(``operators/jpeg.py``: Huffman entropy decode + dequantization +
-vectorized 8x8 IDCT + JFIF YCbCr->RGB, with chroma subsampling and
-restart markers). The remaining capability gate is narrow and honest:
-progressive/arithmetic JPEG, WebP, MP3/AAC audio, and all video
-codecs. ``extract_features`` keeps the deterministic
+RIFF grammar). Since round 10, JPEG is real too —
+sequential AND progressive (``operators/jpeg.py``: Huffman entropy
+decode with the full Annex G scan-script state machine, dequantization,
+vectorized 8x8 IDCT, JFIF YCbCr->RGB, chroma subsampling, restart
+markers). The remaining capability gate is narrow and honest:
+arithmetic-coded/12-bit/lossless JPEG, WebP, MP3/AAC audio, and all
+video codecs. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -635,17 +636,18 @@ def decode_image(payload: bytes) -> object:
     every spec-valid depth x color combination in both progressive
     modes via stdlib zlib + numpy unfiltering (``decode_png``) — and
     GIF 87a/89a via pure-Python LZW (``decode_gif``) — and, since
-    round 10, baseline JPEG via ``operators/jpeg.py`` (Huffman +
-    dequant + numpy IDCT + JFIF YCbCr->RGB). Only WebP and the
-    non-baseline JPEG coding processes (progressive, arithmetic,
-    12-bit, CMYK) remain the declared capability gate — wire
+    round 10, sequential AND progressive JPEG via ``operators/jpeg.py``
+    (Huffman + Annex G scan scripts + dequant + numpy IDCT + JFIF
+    YCbCr->RGB). Only WebP and the non-Huffman JPEG processes
+    (arithmetic coding, 12-bit, lossless/hierarchical, CMYK) remain
+    the declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
     designed out (see ``_ppm_header``).
 
     Round 7: previously the WHOLE function was the gate; round 9
     narrowed it to entropy-coded formats; round 10 to
-    progressive/arithmetic formats only."""
+    arithmetic-coded/esoteric processes only."""
     import numpy as np
 
     magic = bytes(payload[:2])
@@ -690,10 +692,11 @@ def decode_image(payload: bytes) -> object:
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return decode_gif(bytes(payload))
     if magic == b"\xff\xd8":
-        # baseline/extended-sequential JFIF decodes for real (round 10,
-        # operators/jpeg.py: Huffman + dequant + numpy IDCT + YCbCr);
-        # progressive/arithmetic/12-bit/CMYK raise NotImplementedError
-        # inside decode_jpeg — still per-asset, never per-batch
+        # sequential AND progressive JFIF decode for real (round 10,
+        # operators/jpeg.py: Huffman/Annex G scan scripts + dequant +
+        # numpy IDCT + YCbCr); arithmetic/12-bit/lossless/CMYK raise
+        # NotImplementedError inside decode_jpeg — still per-asset,
+        # never per-batch
         from . import jpeg
 
         return jpeg.decode_jpeg(bytes(payload))

@@ -132,6 +132,7 @@ PROBE_QUERIES = [
     # zero-exchange Arrow-map shape as the PNG/GIF decodes)
     "multimodal_jpeg_decode",
     "multimodal_jpeg_coefficients",
+    "multimodal_jpeg_progressive",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
