@@ -2439,7 +2439,16 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must never move the bytes)."""
     from ..operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2514,7 +2523,16 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are produced."""
     from ..operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2583,7 +2601,16 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode queries."""
     from ..operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2644,7 +2671,16 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     image decode queries — the contract a 100 TB audio pipeline needs."""
     from ..operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2703,7 +2739,16 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the task that synthesized them."""
     from ..operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2825,7 +2870,16 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are produced."""
     from ..operators import jpeg, multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -2910,7 +2964,16 @@ def multimodal_jpeg_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two zero-shuffle Arrow map stages, as all codec queries."""
     from ..operators import jpeg, multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np
@@ -3033,7 +3096,16 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two zero-shuffle Arrow map stages, as all codec queries."""
     from ..operators import jpeg, multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the synthetic corpus arrives as ONE parquet file, which would
+        # serialize the whole Arrow encode+decode chain onto a single
+        # task; a doc_id-only repartition (8 bytes/row of shuffle)
+        # restores the parallelism real asset ingest gets for free from
+        # many files (ingest_binary_assets: one task per file group)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import numpy as np

@@ -87,6 +87,20 @@ _FORCE_WINDOW: list[str] = [
     # Annex G scan-script state machine (spectral selection,
     # successive approximation, EOBn runs, refinement bit walk)
     "multimodal_jpeg_progressive",
+    # plan changed this round: every synthetic-asset codec query now
+    # repartitions its doc_id input before the Arrow encode stage —
+    # the one-parquet-file corpus serialized the whole codec chain
+    # onto a single task (probe-measured: jpeg_decode 11.6s -> the
+    # scan's worth at sf0.1). Output is bit-identical but the plan
+    # shape changed, so the prior greens no longer attest the code
+    # (the heavy_hitters_countmin r9 precedent). Window arithmetic:
+    # 8 forced + 23 r5-tail + 19 r6 = 50 — the r5 tail still clears
+    # entirely this round (VERDICT r9 item 3 holds).
+    "multimodal_image_decode",
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    "multimodal_resize_decode",
     # NOT forced: the ADVICE r9 fixes (bounded PNG inflate, WAV chunk
     # strictness, MemoryError in per-asset catches) change only
     # hostile-payload failure paths; driver-data output is
