@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     # round-10, second wave: progressive (SOF2) JPEG — the Annex G
     # scan-script state machine end to end
     "multimodal_jpeg_progressive",
+    # round-10, third wave: 12-bit extended precision (uint16 output,
+    # extended Huffman categories, both entropy layouts)
+    "multimodal_jpeg12_decode",
 ]
 
 

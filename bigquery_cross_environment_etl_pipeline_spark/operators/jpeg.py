@@ -169,6 +169,27 @@ AC_CHROMA_VALS = [
 UNIT_QTABLE = [1] * 64
 
 
+def _ext12_tables() -> tuple[tuple[list[int], list[int]], tuple[list[int], list[int]]]:
+    """Huffman tables for 12-bit precision. Annex K's tables stop at
+    DC category 11 / AC size 10, but 12-bit samples level-shift around
+    2048, putting DC differences up to +/-32760 (category 15) and AC
+    magnitudes up to size 14 (T.81 tables F.1/F.2). As with the
+    progressive table, a fixed canonical layout is spec-valid — the
+    decoder always reads DHT."""
+    dc_bits = [0] * 16
+    dc_bits[4] = 16  # categories 0..15 at length 5 (space 32)
+    dc_vals = list(range(16))
+    ac_vals = [0x00, 0xF0]
+    ac_vals += [r << 4 | s for r in range(16) for s in range(1, 15)]
+    ac_bits = [0] * 16
+    ac_bits[7] = 100  # 226 symbols at lengths 8/9 (100 + 126 <= space)
+    ac_bits[8] = 126
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+(DC12_BITS, DC12_VALS), (AC12_BITS, AC12_VALS) = _ext12_tables()
+
+
 # ---------------------------------------------------------------------------
 # canonical Huffman codes
 # ---------------------------------------------------------------------------
@@ -424,8 +445,10 @@ def _encode_block(
     coefficients; returns the new DC predictor."""
     diff = zz[0] - pred
     t = _category(diff)
-    if t > 11:
-        raise ValueError(f"DC difference {diff} exceeds category 11")
+    if t not in dc_codes:
+        raise ValueError(
+            f"DC difference {diff} exceeds the table's categories"
+        )
     code, ln = dc_codes[t]
     wtr.write(code, ln)
     if t:
@@ -441,8 +464,8 @@ def _encode_block(
             wtr.write(code, ln)
             run -= 16
         s = _category(v)
-        if s > 10:
-            raise ValueError(f"AC coefficient {v} exceeds category 10")
+        if (run << 4 | s) not in ac_codes:
+            raise ValueError(f"AC coefficient {v} exceeds the table's categories")
         code, ln = ac_codes[run << 4 | s]
         wtr.write(code, ln)
         wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
@@ -462,6 +485,7 @@ def _validate_and_headers(
     restart_interval,
     sof_marker,
     progressive_ac: bool = False,
+    precision: int = 8,
 ):
     """Shared frame setup for the sequential and progressive writers:
     validates grids, returns (header bytes, int64 arrays, sampling,
@@ -491,21 +515,34 @@ def _validate_and_headers(
             raise ValueError(
                 f"component {i} block grid {a.shape[:2]} != expected ({by}, {bx})"
             )
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG precision {precision} invalid (8 or 12)")
+    if precision == 12 and n != 1:
+        raise NotImplementedError(
+            "12-bit color JPEG is non-JFIF (no 12-bit color transform here)"
+        )
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid in range(min(n, 2)):
         out += _seg(0xDB, bytes([tid]) + bytes(qtables[tid]))
-    sof = struct.pack(">BHHB", 8, height, width, n)
+    sof = struct.pack(">BHHB", precision, height, width, n)
     for i, (sh, sv) in enumerate(sampling):
         sof += bytes((i + 1, sh << 4 | sv, min(i, 1)))
     out += _seg(sof_marker, sof)
-    ac_l = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
-        AC_LUMA_BITS, AC_LUMA_VALS
-    )
+    if precision == 12:
+        dc_l = (DC12_BITS, DC12_VALS)
+        ac_l = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
+            AC12_BITS, AC12_VALS
+        )
+    else:
+        dc_l = (DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
+            AC_LUMA_BITS, AC_LUMA_VALS
+        )
     ac_c = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
         AC_CHROMA_BITS, AC_CHROMA_VALS
     )
-    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(0, 0, *dc_l))
     out += _seg(0xC4, _dht_payload(1, 0, *ac_l))
     if n == 3:
         out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
@@ -531,6 +568,7 @@ def encode_jpeg_from_coeffs(
     sampling: "list[tuple[int, int]] | None" = None,
     qtables: "list[list[int]] | None" = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Write a baseline JFIF stream from CHOSEN quantized coefficients.
 
@@ -543,7 +581,8 @@ def encode_jpeg_from_coeffs(
     the low-level entry the coefficient-checksum driver query and the
     round-trip tests build on, so it validates rather than pads."""
     out, arrs, sampling, qtables = _validate_and_headers(
-        comps, width, height, sampling, qtables, restart_interval, 0xC0
+        comps, width, height, sampling, qtables, restart_interval, 0xC0,
+        precision=precision,
     )
     n = len(arrs)
     hmax = max(h for h, _ in sampling)
@@ -552,8 +591,12 @@ def encode_jpeg_from_coeffs(
         [(i + 1, min(i, 1), min(i, 1)) for i in range(n)], 0, 63, 0, 0
     )
 
-    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if precision == 12:
+        dc_codes = [_canonical_codes(DC12_BITS, DC12_VALS)]
+        ac_codes = [_canonical_codes(AC12_BITS, AC12_VALS)]
+    else:
+        dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+        ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
     if n == 3:
         dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
@@ -689,8 +732,16 @@ def _pixels_to_coeffs(
     import numpy as np
 
     a = np.asarray(arr)
-    if a.dtype != np.uint8:
-        raise ValueError("encode_jpeg takes uint8 samples")
+    if a.dtype == np.uint8:
+        precision = 8
+    elif a.dtype == np.uint16:
+        # uint16 gray encodes as 12-bit extended precision (the PNG
+        # uint16 contract's JPEG analog); values must fit 12 bits
+        precision = 12
+        if a.size and int(a.max()) > 4095:
+            raise ValueError("12-bit JPEG samples must be < 4096")
+    else:
+        raise ValueError("encode_jpeg takes uint8 (or uint16 gray) samples")
     if subsampling not in SUBSAMPLING:
         raise ValueError(f"unknown subsampling {subsampling!r}")
     qz_l = list(qtable_luma or UNIT_QTABLE)
@@ -705,9 +756,14 @@ def _pixels_to_coeffs(
         nat_c[r * 8 + c] = qz_c[i]
     if a.ndim == 2:
         h, w = a.shape
-        plane = _pad_replicate(a, 8, 8).astype(np.float64) - 128.0
+        shift = float(1 << (precision - 1))
+        plane = _pad_replicate(a, 8, 8).astype(np.float64) - shift
         blocks = _quantize_blocks(_blockify(plane), nat_l)
-        return [blocks], w, h, [(1, 1)], [qz_l]
+        return [blocks], w, h, [(1, 1)], [qz_l], precision
+    if precision == 12:
+        raise NotImplementedError(
+            "12-bit color JPEG is non-JFIF (no 12-bit color transform here)"
+        )
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg takes HxW gray or HxWx3 RGB")
     h, w = a.shape[:2]
@@ -730,7 +786,7 @@ def _pixels_to_coeffs(
         mult = 8 * (sv if i == 0 else 1), 8 * (sh if i == 0 else 1)
         padded = _pad_replicate(p, mult[0], mult[1]).astype(np.float64) - 128.0
         comps.append(_quantize_blocks(_blockify(padded), nat_l if i == 0 else nat_c))
-    return comps, w, h, [(sh, sv), (1, 1), (1, 1)], [qz_l, qz_c]
+    return comps, w, h, [(sh, sv), (1, 1), (1, 1)], [qz_l, qz_c], 8
 
 
 def encode_jpeg(
@@ -747,10 +803,12 @@ def encode_jpeg(
     even dimensions. The natural-order qtable the DCT stage needs is
     derived from the zigzag order, so the DQT bytes and the math can
     never disagree."""
-    comps, w, h, sampling, qts = _pixels_to_coeffs(
+    comps, w, h, sampling, qts, precision = _pixels_to_coeffs(
         arr, qtable_luma, qtable_chroma, subsampling
     )
-    return encode_jpeg_from_coeffs(comps, w, h, sampling, qts, restart_interval)
+    return encode_jpeg_from_coeffs(
+        comps, w, h, sampling, qts, restart_interval, precision
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -768,10 +826,11 @@ def _prog_ac_table() -> tuple[list[int], list[int]]:
     lengths 8/9 is simpler and spec-valid — the decoder reads whatever
     DHT says, so optimality is irrelevant to correctness."""
     vals = [r << 4 for r in range(16)]  # EOB0..EOB14, ZRL
-    vals += [r << 4 | s for r in range(16) for s in range(1, 11)]
+    # sizes through 14 so the same table serves 12-bit progressive
+    vals += [r << 4 | s for r in range(16) for s in range(1, 15)]
     bits = [0] * 16
-    bits[7] = 80   # 80 codes of length 8
-    bits[8] = 96   # 96 codes of length 9 (fits: (256-80)*2 = 352)
+    bits[7] = 100  # 100 codes of length 8
+    bits[8] = 140  # 140 codes of length 9 (fits: (256-100)*2 = 312)
     return bits, vals
 
 
@@ -826,8 +885,8 @@ def _emit_ac_first(wtr, ac_codes, zz, ss, se, al, st: _ProgState) -> None:
             wtr.write(code, ln)
             r -= 16
         s = _category(t)
-        if s > 10:
-            raise ValueError(f"AC coefficient {t} exceeds category 10")
+        if (r << 4 | s) not in ac_codes:
+            raise ValueError(f"AC coefficient {t} exceeds the table's categories")
         code, ln = ac_codes[r << 4 | s]
         wtr.write(code, ln)
         wtr.write(t if t >= 0 else t + (1 << s) - 1, s)
@@ -889,6 +948,7 @@ def encode_jpeg_progressive_from_coeffs(
     sampling: "list[tuple[int, int]] | None" = None,
     qtables: "list[list[int]] | None" = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Write a PROGRESSIVE (SOF2) JFIF stream from chosen quantized
     coefficients, using the canonical six-phase scan script that
@@ -906,13 +966,16 @@ def encode_jpeg_progressive_from_coeffs(
     tests and the driver query pin."""
     out, arrs, sampling, qtables = _validate_and_headers(
         comps, width, height, sampling, qtables, restart_interval, 0xC2,
-        progressive_ac=True,
+        progressive_ac=True, precision=precision,
     )
     n = len(arrs)
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
-    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if precision == 12:
+        dc_codes = [_canonical_codes(DC12_BITS, DC12_VALS)]
+    else:
+        dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_codes = [prog_ac]
     if n == 3:
         dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
@@ -980,8 +1043,10 @@ def encode_jpeg_progressive_from_coeffs(
         diff = dc_pt - preds[ci]
         preds[ci] = dc_pt
         t = _category(diff)
-        if t > 11:
-            raise ValueError(f"DC difference {diff} exceeds category 11")
+        if t not in dc_codes[min(ci, 1)]:
+            raise ValueError(
+                f"DC difference {diff} exceeds the table's categories"
+            )
         code, ln = dc_codes[min(ci, 1)][t]
         wtr.write(code, ln)
         if t:
@@ -1028,11 +1093,11 @@ def encode_jpeg_progressive(
     script. Decoded coefficients are bit-identical to the sequential
     encoding's, so every baseline exactness argument (block-constant
     DC-only round trips) carries over unchanged."""
-    comps, w, h, sampling, qts = _pixels_to_coeffs(
+    comps, w, h, sampling, qts, precision = _pixels_to_coeffs(
         arr, qtable_luma, qtable_chroma, subsampling
     )
     return encode_jpeg_progressive_from_coeffs(
-        comps, w, h, sampling, qts, restart_interval
+        comps, w, h, sampling, qts, restart_interval, precision
     )
 
 
@@ -1406,9 +1471,14 @@ def decode_jpeg_coefficients(payload: bytes):
                 raise ValueError("multiple SOF segments")
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
+            if precision not in (8, 12):
+                raise ValueError(
+                    f"JPEG precision {precision} is spec-invalid (8 or 12)"
+                )
+            if precision == 12 and ncomp != 1:
                 raise NotImplementedError(
-                    f"{precision}-bit JPEG precision requires an image library"
+                    "12-bit COLOR JPEG is non-JFIF (no standard 12-bit "
+                    "color transform); grayscale 12-bit decodes"
                 )
             if ncomp == 4:
                 raise NotImplementedError(
@@ -1425,7 +1495,7 @@ def decode_jpeg_coefficients(payload: bytes):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"sampling factors {sh}x{sv} invalid")
                 comps_meta.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            sof = {"w": w, "h": h, "comps": comps_meta}
+            sof = {"w": w, "h": h, "comps": comps_meta, "precision": precision}
             hmax = max(c["h"] for c in comps_meta)
             vmax = max(c["v"] for c in comps_meta)
             for c in comps_meta:
@@ -1479,6 +1549,7 @@ def decode_jpeg_coefficients(payload: bytes):
         "n_components": len(comps),
         "sampling": [(c["h"], c["v"]) for c in comps],
         "progressive": progressive,
+        "precision": sof["precision"],
     }
     return meta, arrs
 
@@ -1506,15 +1577,19 @@ def decode_jpeg(payload: bytes) -> "object":
     w, h = meta["width"], meta["height"]
     hmax = max(sh for sh, _ in meta["sampling"])
     vmax = max(sv for _, sv in meta["sampling"])
+    precision = meta["precision"]
+    shift = float(1 << (precision - 1))
+    vmax_sample = (1 << precision) - 1
     planes = []
     for (sh, sv), blocks in zip(meta["sampling"], coeff):
         spatial = _idct_blocks(blocks)
         by, bx = blocks.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        plane = np.clip(np.floor(plane + shift + 0.5), 0, vmax_sample)
         if (sh, sv) != (hmax, vmax):
             plane = np.repeat(np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1)
         planes.append(plane[:h, :w])
     if meta["n_components"] == 1:
-        return planes[0].astype(np.uint8)
+        # 12-bit returns uint16 — the PNG depth-16 never-downcast contract
+        return planes[0].astype(np.uint16 if precision == 12 else np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -20,8 +20,8 @@ sequential AND progressive (``operators/jpeg.py``: Huffman entropy
 decode with the full Annex G scan-script state machine, dequantization,
 vectorized 8x8 IDCT, JFIF YCbCr->RGB, chroma subsampling, restart
 markers). The remaining capability gate is narrow and honest:
-arithmetic-coded/12-bit/lossless JPEG, WebP, MP3/AAC audio, and all
-video codecs. ``extract_features`` keeps the deterministic
+arithmetic-coded/lossless JPEG (and 12-bit COLOR — 12-bit grayscale
+decodes), WebP, MP3/AAC audio, and all video codecs. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -639,8 +639,8 @@ def decode_image(payload: bytes) -> object:
     round 10, sequential AND progressive JPEG via ``operators/jpeg.py``
     (Huffman + Annex G scan scripts + dequant + numpy IDCT + JFIF
     YCbCr->RGB). Only WebP and the non-Huffman JPEG processes
-    (arithmetic coding, 12-bit, lossless/hierarchical, CMYK) remain
-    the declared capability gate — wire
+    (arithmetic coding, lossless/hierarchical, CMYK; 12-bit COLOR)
+    remain the declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
     designed out (see ``_ppm_header``).
@@ -694,7 +694,7 @@ def decode_image(payload: bytes) -> object:
     if magic == b"\xff\xd8":
         # sequential AND progressive JFIF decode for real (round 10,
         # operators/jpeg.py: Huffman/Annex G scan scripts + dequant +
-        # numpy IDCT + YCbCr); arithmetic/12-bit/lossless/CMYK raise
+        # numpy IDCT + YCbCr); arithmetic/lossless/CMYK raise
         # NotImplementedError inside decode_jpeg — still per-asset,
         # never per-batch
         from . import jpeg

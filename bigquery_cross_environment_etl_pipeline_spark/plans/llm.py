@@ -3154,6 +3154,80 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg12_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(15 + doc_id % 13 AS INT) AS width,
+           CAST(14 + doc_id % 9 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(list_sum([
+             least(8, (15 + doc_id % 13) - (i % ((15 + doc_id % 13 + 7) // 8)) * 8)
+             * least(8, (14 + doc_id % 9) - (i // ((15 + doc_id % 13 + 7) // 8)) * 8)
+             * ((17*doc_id + 5*(i % ((15 + doc_id % 13 + 7) // 8))
+                           + 11*(i // ((15 + doc_id % 13 + 7) // 8))) % 4096)
+             for i in generate_series(0,
+               ((15 + doc_id % 13 + 7) // 8) * ((14 + doc_id % 9 + 7) // 8) - 1)
+           ]) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit (extended precision) JPEG decode, driver-visible (round
+    10, third wave — the '12-bit needs a library' gate was the same
+    class of claim as PNG/JPEG/progressive before it: it is ONLY a
+    parameterization — 2048 level shift, uint16 samples, and Huffman
+    tables extended to DC category 15 / AC size 14, which Annex K's
+    8-bit tables stop short of). Block-constant grayscale at
+    pixel(x,y) = (17·id + 5·bx + 11·by) mod 4096; EVEN docs encode
+    sequentially, ODD docs through the progressive six-phase scan
+    script (so one query pins the 12-bit arithmetic through BOTH
+    entropy layouts — DC differences here reach ±32k, exercising the
+    extended categories), and every third doc adds restart markers.
+    Decoded arrays come back uint16 (the PNG depth-16 never-downcast
+    contract); the oracle recomputes the exact pixel sum over the
+    block grid — values up to 4095 make the sums large enough that a
+    decoder still clipping to 255, or shifted by 128 instead of 2048,
+    is orders of magnitude off, not subtly wrong. 12-bit COLOR stays
+    gated (non-JFIF: no standard 12-bit color transform exists).
+
+    Scale: two zero-shuffle Arrow map stages over the repartitioned
+    doc_id input, as all codec queries."""
+    from ..operators import jpeg, multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 15 + d % 13, 14 + d % 9
+                bx = np.arange(w) // 8
+                by = np.arange(h) // 8
+                px = (
+                    (17 * d + 5 * bx[None, :] + 11 * by[:, None]) % 4096
+                ).astype(np.uint16)
+                rst = 2 if d % 3 == 0 else 0
+                enc = (
+                    jpeg.encode_jpeg if d % 2 == 0 else jpeg.encode_jpeg_progressive
+                )
+                payloads.append(enc(px, restart_interval=rst))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_image_features(assets)
+
+
+@register(
     "text_nfc_normalization",
     oracle=f"""
     SELECT doc_id,

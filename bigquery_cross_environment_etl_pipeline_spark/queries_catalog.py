@@ -87,6 +87,10 @@ _FORCE_WINDOW: list[str] = [
     # Annex G scan-script state machine (spectral selection,
     # successive approximation, EOBn runs, refinement bit walk)
     "multimodal_jpeg_progressive",
+    # new this round (third wave): 12-bit extended-precision JPEG —
+    # 2048 level shift, uint16 output, extended Huffman categories,
+    # both entropy layouts in one query
+    "multimodal_jpeg12_decode",
     # plan changed this round: every synthetic-asset codec query now
     # repartitions its doc_id input before the Arrow encode stage —
     # the one-parquet-file corpus serialized the whole codec chain

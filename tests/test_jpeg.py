@@ -377,11 +377,29 @@ def test_non_huffman_processes_are_gated_not_misread():
         jpeg.decode_jpeg(bytes(mutated))
 
 
-def test_12bit_precision_gated():
+def test_12bit_grayscale_roundtrips_and_color_gated():
+    """Round 10, third wave: 12-bit grayscale (extended precision)
+    decodes for real — uint16 samples, 2048 level shift, extended
+    Huffman categories (DC through 15, AC sizes through 14). 12-bit
+    COLOR stays gated (non-JFIF: there is no standard 12-bit color
+    transform); spec-invalid precisions are corruption."""
+    bx = np.arange(21) // 8
+    by = np.arange(13) // 8
+    px = ((7 + 501 * bx[None, :] + 1103 * by[:, None]) % 4096).astype(np.uint16)
+    for enc in (jpeg.encode_jpeg, jpeg.encode_jpeg_progressive):
+        out = jpeg.decode_jpeg(enc(px, restart_interval=2))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, px)
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 4096, (16, 24), dtype=np.uint16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(noisy))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 1
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.encode_jpeg(rng.integers(0, 4096, (8, 8, 3), dtype=np.uint16))
     base = bytearray(_valid_gray())
     idx = base.find(b"\xff\xc0")
-    base[idx + 4] = 12  # precision byte of SOF0
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    base[idx + 4] = 10  # spec-invalid precision
+    with pytest.raises(ValueError, match="spec-invalid"):
         jpeg.decode_jpeg(bytes(base))
 
 
