@@ -133,6 +133,7 @@ PROBE_QUERIES = [
     "multimodal_jpeg_decode",
     "multimodal_jpeg_coefficients",
     "multimodal_jpeg_progressive",
+    "multimodal_jpeg12_decode",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
