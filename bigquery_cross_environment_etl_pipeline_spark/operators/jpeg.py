@@ -592,14 +592,14 @@ def encode_jpeg_from_coeffs(
     )
 
     if precision == 12:
-        dc_codes = [_canonical_codes(DC12_BITS, DC12_VALS)]
-        ac_codes = [_canonical_codes(AC12_BITS, AC12_VALS)]
+        dc_codes = [DC12_CODES]
+        ac_codes = [AC12_CODES]
     else:
-        dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-        ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+        dc_codes = [DC_LUMA_CODES]
+        ac_codes = [AC_LUMA_CODES]
     if n == 3:
-        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
-        ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+        dc_codes.append(DC_CHROMA_CODES)
+        ac_codes.append(AC_CHROMA_CODES)
     wtr = _BitWriter()
     preds = [0] * n
     rst = 0
@@ -664,7 +664,12 @@ def rgb_to_ycbcr(arr: "object") -> "object":
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     out = np.stack([y, cb, cr], axis=-1)
-    return np.floor(out + 0.5).astype(np.int64)
+    # clamp into the 8-bit sample range: saturated chroma rounds to
+    # 256 (pure blue: cb = floor(255.5 + 0.5)) and an out-of-range
+    # sample would break the block-constant exactness contract — the
+    # decoder clips its planes to 255, so the encoder must too
+    # (round-10 review finding)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
 
 
 def _ycbcr_to_rgb(y, cb, cr):
@@ -836,6 +841,17 @@ def _prog_ac_table() -> tuple[list[int], list[int]]:
 
 PROG_AC_BITS, PROG_AC_VALS = _prog_ac_table()
 
+#: encoder-side symbol -> (code, length) maps, built ONCE — the
+#: tables are fixed constants, and rebuilding them per encoded asset
+#: inside the Arrow stage was measurable waste (round-10 review)
+DC_LUMA_CODES = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+DC_CHROMA_CODES = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+AC_LUMA_CODES = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+AC_CHROMA_CODES = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+DC12_CODES = _canonical_codes(DC12_BITS, DC12_VALS)
+AC12_CODES = _canonical_codes(AC12_BITS, AC12_VALS)
+PROG_AC_CODES = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
 
 class _ProgState:
     """Per-scan EOB-run accumulator with the buffered correction bits
@@ -971,15 +987,11 @@ def encode_jpeg_progressive_from_coeffs(
     n = len(arrs)
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
-    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
-    if precision == 12:
-        dc_codes = [_canonical_codes(DC12_BITS, DC12_VALS)]
-    else:
-        dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-    ac_codes = [prog_ac]
+    dc_codes = [DC12_CODES if precision == 12 else DC_LUMA_CODES]
+    ac_codes = [PROG_AC_CODES]
     if n == 3:
-        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
-        ac_codes.append(prog_ac)
+        dc_codes.append(DC_CHROMA_CODES)
+        ac_codes.append(PROG_AC_CODES)
     flats = [a.reshape(a.shape[0], a.shape[1], 64) for a in arrs]
     zz_all = [f[:, :, _ZZFLAT].tolist() for f in flats]
 
@@ -1470,7 +1482,11 @@ def decode_jpeg_coefficients(payload: bytes):
             if sof is not None:
                 raise ValueError("multiple SOF segments")
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("SOF segment truncated")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("SOF component list truncated")
             if precision not in (8, 12):
                 raise ValueError(
                     f"JPEG precision {precision} is spec-invalid (8 or 12)"
@@ -1516,10 +1532,14 @@ def decode_jpeg_coefficients(payload: bytes):
                 f"{_SOF_GATES[marker]} requires an image library"
             )
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("DRI segment truncated")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("SOS header truncated")
             pos = run_scan(body, pos)
             any_scan = True
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:

@@ -419,6 +419,13 @@ def decode_png(payload: bytes) -> "object":
                 "PNG IDAT inflates beyond the size its declared "
                 f"dimensions imply ({expected} bytes)"
             )
+        if len(raw) == expected and not dec.eof:
+            # bounded decompression must still END the stream: a
+            # complete data section with the adler32 trailer cut off
+            # is corruption the unbounded path used to raise on
+            # (round-10 review finding — the bound must not weaken
+            # the integrity contract)
+            raise ValueError("PNG IDAT stream truncated (no stream end)")
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
     if depth < 8:

@@ -21,6 +21,23 @@ from ..operators.multimodal import extract_features, synthesize_assets
 from ..queries_catalog import register
 from ..sources.registry import load_table
 
+
+def _doc_ids_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id input for the synthetic-asset codec queries. The
+    synthetic corpus arrives as ONE parquet file, which would
+    serialize each query's fused Arrow encode+decode chain onto a
+    single task; a doc_id-only repartition (8 bytes/row of shuffle)
+    restores the parallelism real asset ingest gets for free from
+    many files (ingest_binary_assets: one task per file group).
+    Shared by all nine codec queries so the partitioning policy has
+    exactly one home (round-10 review finding)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB expression generators (mirrors of operators.text / .dedup /
 # .similarity arithmetic)
@@ -2439,16 +2456,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must never move the bytes)."""
     from ..operators import multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2523,16 +2531,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are produced."""
     from ..operators import multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2601,16 +2600,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode queries."""
     from ..operators import multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2671,16 +2661,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     image decode queries — the contract a 100 TB audio pipeline needs."""
     from ..operators import multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2739,16 +2720,7 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the task that synthesized them."""
     from ..operators import multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2870,16 +2842,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are produced."""
     from ..operators import jpeg, multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -2964,16 +2927,7 @@ def multimodal_jpeg_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two zero-shuffle Arrow map stages, as all codec queries."""
     from ..operators import jpeg, multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -3096,16 +3050,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two zero-shuffle Arrow map stages, as all codec queries."""
     from ..operators import jpeg, multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        # the synthetic corpus arrives as ONE parquet file, which would
-        # serialize the whole Arrow encode+decode chain onto a single
-        # task; a doc_id-only repartition (8 bytes/row of shuffle)
-        # restores the parallelism real asset ingest gets for free from
-        # many files (ingest_binary_assets: one task per file group)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np
@@ -3194,11 +3139,7 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id input, as all codec queries."""
     from ..operators import jpeg, multimodal
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids_repartitioned(spark, sf_dir)
 
     def encode(batches):
         import numpy as np

@@ -98,8 +98,9 @@ _FORCE_WINDOW: list[str] = [
     # scan's worth at sf0.1). Output is bit-identical but the plan
     # shape changed, so the prior greens no longer attest the code
     # (the heavy_hitters_countmin r9 precedent). Window arithmetic:
-    # 8 forced + 23 r5-tail + 19 r6 = 50 — the r5 tail still clears
-    # entirely this round (VERDICT r9 item 3 holds).
+    # 9 forced + 23 r5-tail + 18 r6 = 50 — the r5 tail still clears
+    # entirely this round (VERDICT r9 item 3 holds; asserted by the
+    # window check in the round log, not just this comment).
     "multimodal_image_decode",
     "multimodal_png_decode",
     "multimodal_gif_decode",

@@ -129,6 +129,39 @@ def test_palette_index_equal_to_plte_length_rejected():
             multimodal.decode_png(bytes(out))
 
 
+def test_png_truncated_adler_trailer_rejected():
+    """Round-10 review regression: a zlib stream whose DATA is
+    complete but whose adler32 trailer is cut off must still raise —
+    the bounded decompressor checks stream END (dec.eof), not just
+    overflow, preserving the integrity check the unbounded path had."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = multimodal.encode_png(px, "none")
+    idat = b""
+    pos = 8
+    while pos < len(payload):
+        (n,) = struct.unpack_from(">I", payload, pos)
+        if payload[pos + 4 : pos + 8] == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + n]
+        pos += 12 + n
+    # rebuild with the original compressed bytes minus the trailer
+    out = bytearray()
+    out += payload[:8]
+    pos = 8
+    while pos < len(payload):
+        (n,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        chunk = payload[pos : pos + 12 + n]
+        pos += 12 + n
+        if typ == b"IDAT":
+            data = idat[:-4]
+            out += struct.pack(">I", len(data)) + b"IDAT" + data
+            out += struct.pack(">I", zlib.crc32(b"IDAT" + data))
+        else:
+            out += chunk
+    with pytest.raises(ValueError, match="truncated|inflate failed"):
+        multimodal.decode_png(bytes(out))
+
+
 def test_png_inflate_beyond_declared_dimensions_rejected():
     """ADVICE r9 regression: an IDAT stream that inflates to MORE than
     the declared dimensions imply must be rejected by the bounded

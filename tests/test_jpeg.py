@@ -448,6 +448,39 @@ def test_eoi_before_sos_rejected():
         jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
+def test_truncated_segment_bodies_raise_valueerror_not_structerror():
+    """Round-10 review finding: empty/short SOF, DRI, and SOS bodies
+    must raise ValueError (the per-asset catch class), never
+    struct.error (which would kill the whole Arrow batch)."""
+    for payload in [
+        b"\xff\xd8\xff\xc0\x00\x02",              # SOF0, empty body
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",      # SOF0, short body
+        b"\xff\xd8\xff\xdd\x00\x02",              # DRI, empty body
+        b"\xff\xd8\xff\xdd\x00\x03\x01",          # DRI, 1-byte body
+        b"\xff\xd8\xff\xda\x00\x02",              # SOS, empty body (no SOF)
+    ]:
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(payload)
+    # SOF claiming 3 components but carrying bytes for only 1
+    sof = struct.pack(">BHHB", 8, 8, 8, 3) + bytes((1, 0x11, 0))
+    payload = b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(ValueError, match="component list truncated"):
+        jpeg.decode_jpeg(payload)
+
+
+def test_saturated_chroma_stays_exact():
+    """Round-10 review finding: pure-blue pixels push cb past 255
+    before clamping; the encoder now clamps YCbCr into the sample
+    range so the block-constant exactness contract holds at the
+    chroma extremes too."""
+    for rgb in [(0, 0, 255), (255, 0, 0), (255, 255, 255), (0, 0, 0)]:
+        px = np.tile(np.array(rgb, dtype=np.uint8), (8, 8, 1))
+        ycc = jpeg.rgb_to_ycbcr(px)
+        assert int(ycc.max()) <= 255 and int(ycc.min()) >= 0
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+        assert np.array_equal(out, _expected_color_roundtrip(px))
+
+
 def test_ac_overrun_rejected():
     """63 leading zeros followed by a run that walks past position 63
     must raise, not wrap."""
