@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     # round-10, third wave: 12-bit extended precision (uint16 output,
     # extended Huffman categories, both entropy layouts)
     "multimodal_jpeg12_decode",
+    # round-10, fourth wave: lossless (SOF3) prediction process —
+    # all seven Annex H predictors across the corpus
+    "multimodal_jpeg_lossless_decode",
 ]
 
 

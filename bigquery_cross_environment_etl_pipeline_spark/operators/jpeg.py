@@ -1114,6 +1114,248 @@ def encode_jpeg_progressive(
 
 
 # ---------------------------------------------------------------------------
+# lossless JPEG (T.81 Annex H, process 14: Huffman-coded prediction)
+# ---------------------------------------------------------------------------
+
+#: Annex H.1 predictors: selection value -> f(Ra=left, Rb=above,
+#: Rc=upper-left). Shifts are arithmetic per the spec.
+_LOSSLESS_PREDICTORS = {
+    1: lambda ra, rb, rc: ra,
+    2: lambda ra, rb, rc: rb,
+    3: lambda ra, rb, rc: rc,
+    4: lambda ra, rb, rc: ra + rb - rc,
+    5: lambda ra, rb, rc: ra + ((rb - rc) >> 1),
+    6: lambda ra, rb, rc: rb + ((ra - rc) >> 1),
+    7: lambda ra, rb, rc: (ra + rb) >> 1,
+}
+
+
+def _lossless_prediction(img, x: int, y: int, sel: int) -> int:
+    """H.1.2: the very first sample is predicted by 2^(P-1); the rest
+    of the first line uses Ra; the first sample of later lines uses
+    Rb; interior samples use the selected predictor."""
+    if y == 0:
+        return 128 if x == 0 else int(img[0][x - 1])
+    if x == 0:
+        return int(img[y - 1][0])
+    return _LOSSLESS_PREDICTORS[sel](
+        int(img[y][x - 1]), int(img[y - 1][x]), int(img[y - 1][x - 1])
+    )
+
+
+def encode_jpeg_lossless(
+    arr: "object", predictor: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Encode uint8 grayscale as LOSSLESS JPEG (SOF3): each sample's
+    difference from its Annex H prediction is Huffman-coded with the
+    DC category machinery — no DCT, no quantization, bit-exact by
+    construction. With 8-bit samples the worst-case difference
+    (predictor 4 at the corners) is +/-510, category 9, inside the
+    Annex K DC table — so the standard table serves. Restart
+    intervals count samples (the lossless MCU) and reset the
+    prediction context to the start-of-image state."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("encode_jpeg_lossless takes uint8 grayscale")
+    if predictor not in _LOSSLESS_PREDICTORS:
+        raise ValueError(f"lossless predictor {predictor} invalid (1-7)")
+    h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("JPEG dimensions must be positive")
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    # SOS: Ss carries the predictor selection, Se=0, Ah=0, Al=0
+    out += _sos_segment([(1, 0, 0)], predictor, 0, 0, 0)
+    wtr = _BitWriter()
+    img = a.tolist()
+    k = 0
+    rst = 0
+    # H.2.2: the prediction RESETS at each restart boundary — the
+    # first sample of an interval predicts 2^(P-1); subsequent samples
+    # use their image-position neighbors (encoder and decoder share
+    # this rule symmetrically, so the round trip is exact)
+    seg_start = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and k and k % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                seg_start = k
+            pred = (
+                128 if k == seg_start
+                else _lossless_prediction(img, x, y, predictor)
+            )
+            diff = img[y][x] - pred
+            t = _category(diff)
+            code, ln = DC_LUMA_CODES[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            k += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless(payload: bytes) -> "object":
+    """Decode a LOSSLESS (SOF3) grayscale JPEG to a uint8 array —
+    bit-exact by definition. Structural corruption raises ValueError;
+    multi-component lossless, 16-bit samples, and nonzero point
+    transforms raise NotImplementedError (each a declared gate, not a
+    parsing gap)."""
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    dc_maps: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("JPEG truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if pos + 2 > len(data):
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("JPEG segment overruns payload")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("DHT header truncated")
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                if i + 17 + nvals > len(body):
+                    raise ValueError("DHT values truncated")
+                if cls == 0:
+                    dc_maps[tid] = _decode_map(bits, list(body[i + 17 : i + 17 + nvals]))
+                i += 17 + nvals
+        elif marker == 0xC3:
+            if len(body) < 6:
+                raise ValueError("SOF segment truncated")
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit lossless JPEG not supported (8-bit only)"
+                )
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component lossless JPEG not supported"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("JPEG dimensions must be positive")
+            sof = {"w": w, "h": h}
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("DRI segment truncated")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            if len(body) < 6:
+                raise ValueError("SOS header truncated")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "multi-component lossless JPEG not supported"
+                )
+            sel, se, a = body[3], body[4], body[5]
+            if not (1 <= sel <= 7):
+                raise ValueError(f"lossless predictor {sel} invalid")
+            if a & 15:
+                raise NotImplementedError(
+                    "lossless point transform (Al > 0) not supported"
+                )
+            scan = {"dc": body[2] >> 4, "sel": sel}
+            del se
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE or marker == 0xDB:
+            continue  # metadata; DQT is legal-but-unused in lossless
+        else:
+            raise ValueError(f"unsupported JPEG marker 0xFF{marker:02X}")
+    dc_map = dc_maps.get(scan["dc"])
+    if dc_map is None:
+        raise ValueError("scan references undefined Huffman table")
+    w, h = sof["w"], sof["h"]
+    sel = scan["sel"]
+    rdr = _BitReader(data, pos)
+    img = [[0] * w for _ in range(h)]
+    k = 0
+    rst = 0
+    seg_start = 0
+    for y in range(h):
+        row = img[y]
+        for x in range(w):
+            if restart_interval and k and k % restart_interval == 0:
+                rdr.restart(rst)
+                rst += 1
+                seg_start = k
+            t = rdr.huffman(dc_map)
+            if t > 16:
+                raise ValueError("invalid lossless difference category")
+            diff = _extend(rdr.receive(t), t)
+            pred = 128 if k == seg_start else _lossless_prediction(img, x, y, sel)
+            val = pred + diff
+            if not (0 <= val <= 255):
+                raise ValueError(
+                    f"lossless reconstruction {val} outside the 8-bit range "
+                    "(corrupt differences)"
+                )
+            row[x] = val
+            k += 1
+    import numpy as np
+
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _first_sof_marker(data: bytes) -> int | None:
+    """Cheap marker walk to the first SOFn — lets decode_jpeg route
+    lossless streams to the prediction decoder before the coefficient
+    parser rejects them."""
+    pos = 2
+    sofs = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in sofs:
+            return marker
+        if marker == 0xD9 or marker == 0xDA:
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if seglen < 2:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -1123,7 +1365,10 @@ def encode_jpeg_progressive(
 #: spectral selection + successive approximation are Huffman-layer
 #: features, not library-bound entropy coding).
 _SOF_GATES = {
-    0xC3: "lossless JPEG (SOF3)",
+    # SOF3 has no coefficient layer at all — decode_jpeg routes it to
+    # decode_jpeg_lossless; reaching THIS parser with it is a caller
+    # asking for DCT coefficients that do not exist
+    0xC3: "lossless JPEG (SOF3) has no DCT coefficient layer and",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
     0xC7: "differential lossless JPEG (SOF7)",
@@ -1584,15 +1829,19 @@ def _idct_blocks(blocks):
 
 
 def decode_jpeg(payload: bytes) -> "object":
-    """Decode baseline JFIF to pixels — HxW uint8 for grayscale, HxWx3
-    RGB uint8 for YCbCr color. Per-plane: dequantized coefficients ->
-    vectorized IDCT -> +128 level shift -> floor(x+0.5) -> clip to
-    [0,255]; chroma planes upsample by sample replication; the JFIF
-    inverse color transform runs on the ROUNDED integer planes (the
-    deterministic semantics the arithmetic oracle states in SQL).
-    Error classes follow ``decode_jpeg_coefficients``."""
+    """Decode a JPEG to pixels — HxW uint8 for grayscale (uint16 for
+    12-bit), HxWx3 RGB uint8 for YCbCr color; sequential, progressive,
+    and LOSSLESS (SOF3, routed to ``decode_jpeg_lossless``) processes.
+    DCT processes per plane: dequantized coefficients -> vectorized
+    IDCT -> level shift -> floor(x+0.5) -> clip; chroma planes
+    upsample by sample replication; the JFIF inverse color transform
+    runs on the ROUNDED integer planes (the deterministic semantics
+    the arithmetic oracle states in SQL). Error classes follow
+    ``decode_jpeg_coefficients``."""
     import numpy as np
 
+    if _first_sof_marker(bytes(payload)) == 0xC3:
+        return decode_jpeg_lossless(payload)
     meta, coeff = decode_jpeg_coefficients(payload)
     w, h = meta["width"], meta["height"]
     hmax = max(sh for sh, _ in meta["sampling"])

@@ -19,9 +19,10 @@ RIFF grammar). Since round 10, JPEG is real too —
 sequential AND progressive (``operators/jpeg.py``: Huffman entropy
 decode with the full Annex G scan-script state machine, dequantization,
 vectorized 8x8 IDCT, JFIF YCbCr->RGB, chroma subsampling, restart
-markers). The remaining capability gate is narrow and honest:
-arithmetic-coded/lossless JPEG (and 12-bit COLOR — 12-bit grayscale
-decodes), WebP, MP3/AAC audio, and all video codecs. ``extract_features`` keeps the deterministic
+markers). Lossless JPEG (SOF3,
+Annex H prediction) decodes too. The remaining capability gate is
+narrow and honest: arithmetic-coded JPEG (and 12-bit COLOR — 12-bit
+grayscale decodes), WebP, MP3/AAC audio, and all video codecs. ``extract_features`` keeps the deterministic
 hash featurizer so its oracle stays engine-reproducible.
 
 Scale notes: payloads ride through ``mapInPandas`` as Arrow record
@@ -646,7 +647,7 @@ def decode_image(payload: bytes) -> object:
     round 10, sequential AND progressive JPEG via ``operators/jpeg.py``
     (Huffman + Annex G scan scripts + dequant + numpy IDCT + JFIF
     YCbCr->RGB). Only WebP and the non-Huffman JPEG processes
-    (arithmetic coding, lossless/hierarchical, CMYK; 12-bit COLOR)
+    (arithmetic coding, hierarchical, CMYK; 12-bit COLOR)
     remain the declared capability gate — wire
     ``PIL.Image.open(io.BytesIO(payload))`` there on a real cluster.
     Malformed payloads raise ValueError loudly — silent misreads are
@@ -699,11 +700,11 @@ def decode_image(payload: bytes) -> object:
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return decode_gif(bytes(payload))
     if magic == b"\xff\xd8":
-        # sequential AND progressive JFIF decode for real (round 10,
-        # operators/jpeg.py: Huffman/Annex G scan scripts + dequant +
-        # numpy IDCT + YCbCr); arithmetic/lossless/CMYK raise
-        # NotImplementedError inside decode_jpeg — still per-asset,
-        # never per-batch
+        # sequential, progressive, AND lossless JPEG decode for real
+        # (round 10, operators/jpeg.py: Huffman/Annex G scan scripts +
+        # dequant + numpy IDCT + YCbCr; Annex H prediction for SOF3);
+        # arithmetic-coded/CMYK raise NotImplementedError inside
+        # decode_jpeg — still per-asset, never per-batch
         from . import jpeg
 
         return jpeg.decode_jpeg(bytes(payload))

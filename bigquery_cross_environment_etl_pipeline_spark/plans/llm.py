@@ -3169,6 +3169,70 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_lossless_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(9 + doc_id % 14 AS INT) AS width,
+           CAST(8 + doc_id % 11 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(list_sum([
+             (doc_id + 3*(i % (9 + doc_id % 14))
+                     + 7*(i // (9 + doc_id % 14))) % 256
+             for i in generate_series(0,
+               (9 + doc_id % 14) * (8 + doc_id % 11) - 1)
+           ]) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3) decode, driver-visible (round 10, fourth
+    wave): the Annex H prediction process is Huffman-of-differences —
+    no DCT at all — so unlike every DCT query, the pixel content needs
+    NO block-constant trick: the formula (id + 3x + 7y) mod 256 varies
+    per PIXEL and the round trip is exact by the codec's definition.
+    The PREDICTOR varies by doc (1 + id mod 7 — all seven Annex H
+    predictors, including the averaging ones with arithmetic-shift
+    semantics, appear across the corpus) and odd docs insert DRI=7
+    restart intervals (prediction context resets). The oracle is the
+    simplest in the codec family — a direct per-pixel arithmetic sum —
+    precisely BECAUSE the codec is lossless; a decoder wrong about any
+    predictor formula, the category-9 corner differences predictor 4
+    produces, or the restart reset rule hash-fails.
+
+    Scale: two zero-shuffle Arrow map stages over the repartitioned
+    doc_id input, as all codec queries."""
+    from ..operators import jpeg, multimodal
+
+    docs = _doc_ids_repartitioned(spark, sf_dir)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 9 + d % 14, 8 + d % 11
+                x = np.arange(w).reshape(1, w)
+                y = np.arange(h).reshape(h, 1)
+                px = ((d + 3 * x + 7 * y) % 256).astype(np.uint8)
+                payloads.append(
+                    jpeg.encode_jpeg_lossless(
+                        px,
+                        predictor=1 + d % 7,
+                        restart_interval=7 if d % 2 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_image_features(assets)
+
+
+@register(
     "text_nfc_normalization",
     oracle=f"""
     SELECT doc_id,

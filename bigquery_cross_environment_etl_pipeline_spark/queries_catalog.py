@@ -91,6 +91,10 @@ _FORCE_WINDOW: list[str] = [
     # 2048 level shift, uint16 output, extended Huffman categories,
     # both entropy layouts in one query
     "multimodal_jpeg12_decode",
+    # new this round (fourth wave): LOSSLESS JPEG (SOF3, Annex H
+    # prediction) — all seven predictors, restart resets, per-pixel
+    # oracle (no block-constant trick needed: the codec is lossless)
+    "multimodal_jpeg_lossless_decode",
     # plan changed this round: every synthetic-asset codec query now
     # repartitions its doc_id input before the Arrow encode stage —
     # the one-parquet-file corpus serialized the whole codec chain
@@ -98,7 +102,7 @@ _FORCE_WINDOW: list[str] = [
     # scan's worth at sf0.1). Output is bit-identical but the plan
     # shape changed, so the prior greens no longer attest the code
     # (the heavy_hitters_countmin r9 precedent). Window arithmetic:
-    # 9 forced + 23 r5-tail + 18 r6 = 50 — the r5 tail still clears
+    # 11 forced + 23 r5-tail + 16 r6 = 50 — the r5 tail still clears
     # entirely this round (VERDICT r9 item 3 holds; asserted by the
     # window check in the round log, not just this comment).
     "multimodal_image_decode",

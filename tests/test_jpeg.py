@@ -247,6 +247,60 @@ def test_progressive_missing_dc_scan_rejected():
 
 
 # ---------------------------------------------------------------------------
+# lossless (SOF3): Annex H prediction process
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_roundtrip_all_predictors():
+    """Lossless means ANY content round-trips exactly — random pixels,
+    every predictor, degenerate 1x1/1xN shapes, restart resets."""
+    rng = np.random.default_rng(23)
+    for sel in range(1, 8):
+        for shape in [(1, 1), (1, 17), (13, 1), (24, 31)]:
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            p = jpeg.encode_jpeg_lossless(px, predictor=sel, restart_interval=5)
+            out = jpeg.decode_jpeg(p)
+            assert out.dtype == np.uint8
+            assert np.array_equal(out, px), (sel, shape)
+
+
+def test_lossless_extreme_gradients_hit_category_nine():
+    """Predictor 4 (Ra+Rb-Rc) on a checkerboard of 0/255 produces the
+    +/-510 corner differences — category 9, the worst case the 8-bit
+    table must carry."""
+    px = np.indices((16, 16)).sum(axis=0) % 2 * 255
+    px = px.astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(px, predictor=4))
+    assert np.array_equal(out, px)
+
+
+def test_lossless_gates_and_corruption():
+    px = np.arange(108, dtype=np.uint8).reshape(12, 9)
+    p = jpeg.encode_jpeg_lossless(px)
+    at = p.find(b"\xff\xda")
+    # invalid predictor selector (Ss = 0)
+    mut = bytearray(p)
+    mut[at + 7] = 0
+    with pytest.raises(ValueError, match="predictor 0 invalid"):
+        jpeg.decode_jpeg(bytes(mut))
+    # nonzero point transform: declared gate
+    mut = bytearray(p)
+    mut[at + 9] = 0x01
+    with pytest.raises(NotImplementedError, match="point transform"):
+        jpeg.decode_jpeg(bytes(mut))
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(p[: len(p) // 2])
+    # the coefficient parser refuses SOF3 (no DCT layer exists)
+    with pytest.raises(NotImplementedError, match="no DCT coefficient layer"):
+        jpeg.decode_jpeg_coefficients(p)
+    # decode_image dispatches lossless like every other JPEG
+    from bigquery_cross_environment_etl_pipeline_spark.operators import multimodal
+
+    assert np.array_equal(multimodal.decode_image(p), px)
+
+
+# ---------------------------------------------------------------------------
 # 2. independent naive reference
 # ---------------------------------------------------------------------------
 
@@ -361,20 +415,23 @@ def test_truncated_segment_length():
 
 def test_non_huffman_processes_are_gated_not_misread():
     base = _valid_gray()
-    for marker in (0xC3, 0xC9, 0xCA, 0xCF):  # lossless/arithmetic/differential
+    for marker in (0xC9, 0xCA, 0xCF):  # arithmetic/differential
         mutated = bytearray(base)
         idx = mutated.find(b"\xff\xc0")
         mutated[idx + 1] = marker
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(bytes(mutated))
-    # SOF2 itself decodes since round 10 — but a SEQUENTIAL scan script
-    # relabeled progressive is structural corruption (its full-band
-    # interleaved scan is illegal under SOF2), not a silent misread
-    mutated = bytearray(base)
-    idx = mutated.find(b"\xff\xc0")
-    mutated[idx + 1] = 0xC2
-    with pytest.raises(ValueError):
-        jpeg.decode_jpeg(bytes(mutated))
+    # SOF2 and SOF3 themselves decode since round 10 — but a
+    # SEQUENTIAL scan script relabeled as either is structural
+    # corruption (a full-band interleaved scan is illegal under SOF2;
+    # a DCT-style SOS under SOF3 carries predictor selector 0), not a
+    # silent misread
+    for marker in (0xC2, 0xC3):
+        mutated = bytearray(base)
+        idx = mutated.find(b"\xff\xc0")
+        mutated[idx + 1] = marker
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bytes(mutated))
 
 
 def test_12bit_grayscale_roundtrips_and_color_gated():

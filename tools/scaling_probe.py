@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "multimodal_jpeg_coefficients",
     "multimodal_jpeg_progressive",
     "multimodal_jpeg12_decode",
+    "multimodal_jpeg_lossless_decode",
 ]
 
 BEGIN = "<!-- scaling-probe:begin -->"
