@@ -3374,10 +3374,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is touched once (word count, map-side
     combinable); every round runs over the Zipf-bounded VOCABULARY
     relation and collects exactly one argmax row to the driver — the
-    shape a 100 TB SentencePiece-style training job needs."""
+    shape a 100 TB SentencePiece-style training job needs. The one
+    corpus-sized stage (the word count's map side) inherits the
+    source partitioning, so the one-file synthetic corpus gets the
+    same text-column repartition the codec queries use."""
     from ..operators import bpe
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return bpe.merge_table(spark, bpe.train_bpe(docs, _BPE_K))
 
 
@@ -3414,10 +3419,17 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer's token-budget accounting runs over 100 TB. The oracle
     retrains via the same unrolled CTEs and applies the same nested
     replaces, so training AND application must both be exact.
-    Contentless docs count 0 tokens (shared contract)."""
+    Contentless docs count 0 tokens (shared contract). The chained
+    replaces are CPU-bound string rewrites that inherit the source
+    partitioning — the one-file synthetic corpus would run them on a
+    single task (probe-measured 3.4-9.7s at sf0.1), so the input
+    repartitions like the codec queries; at 100 TB many files make
+    this a no-op."""
     from ..operators import bpe
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     merges = bpe.train_bpe(docs, _BPE_K)
     return bpe.bpe_token_counts(docs, merges)
 

@@ -102,7 +102,7 @@ _FORCE_WINDOW: list[str] = [
     # scan's worth at sf0.1). Output is bit-identical but the plan
     # shape changed, so the prior greens no longer attest the code
     # (the heavy_hitters_countmin r9 precedent). Window arithmetic:
-    # 11 forced + 23 r5-tail + 16 r6 = 50 — the r5 tail still clears
+    # 13 forced + 23 r5-tail + 14 r6 = 50 — the r5 tail still clears
     # entirely this round (VERDICT r9 item 3 holds; asserted by the
     # window check in the round log, not just this comment).
     "multimodal_image_decode",
@@ -110,6 +110,12 @@ _FORCE_WINDOW: list[str] = [
     "multimodal_gif_decode",
     "multimodal_wav_decode",
     "multimodal_resize_decode",
+    # plan changed this round (same class): the BPE pair's corpus
+    # stages (word-count map side; the chained-replace apply) also
+    # inherited the one-file source partitioning — repartitioned like
+    # the codec queries (probe-measured 3.4-9.7s -> parallel)
+    "bpe_train_merges",
+    "bpe_token_counts",
     # NOT forced: the ADVICE r9 fixes (bounded PNG inflate, WAV chunk
     # strictness, MemoryError in per-asset catches) change only
     # hostile-payload failure paths; driver-data output is
