@@ -5,6 +5,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query executes to completion through the noop sink (full plan runs,
 no driver-side result transfer skewing the numbers).
+
+Round 11: every pass also records a CPU-time channel (process-tree
+utime+stime from /proc plus per-stage executorCpuTime from the
+AppStatusStore) — co-tenant load inflates wall clock but barely moves
+CPU, so cpu_queries/cpu_sec in BENCH_DETAIL.json is the signal the
+round-over-round regression comparison trusts, judged against the
+committed BENCH_CPU_REF.json (minted with --write-cpu-ref; valid even
+from a loaded box).
 """
 
 from __future__ import annotations
@@ -198,6 +206,11 @@ BENCH_QUERIES = [
     # round-10, fourth wave: lossless (SOF3) prediction process —
     # all seven Annex H predictors across the corpus
     "multimodal_jpeg_lossless_decode",
+    # round-11 additions: ARITHMETIC-coded JPEG (SOF9 + SOF10) — the
+    # Annex D QM coder with the Annex F statistical models, pixel
+    # path and AC coefficient-checksum path
+    "multimodal_jpeg_arithmetic",
+    "multimodal_jpeg_arithmetic_coefficients",
 ]
 
 
@@ -276,6 +289,171 @@ def needs_retime(passes: list[float], quiet_ref: float | None) -> bool:
     if quiet_ref is not None and quiet_ref >= 0.1 and best > RETIME_RATIO * quiet_ref:
         return True
     return len(passes) == 2 and max(passes) > RETIME_RATIO * best
+
+
+# ---------------------------------------------------------------------------
+# CPU-time channel (VERDICT r10 item 1): two consecutive rounds the
+# committed wall-clock number was noise-dominated by co-tenant load,
+# and the quiet-window hunter proved a quiet pass may never come.
+# CPU time barely moves with co-tenant load, so it is the channel the
+# round-over-round regression comparison trusts. Two meters:
+#   - cpu_sec: utime+stime of the WHOLE PROCESS TREE rooted at this
+#     driver (JVM + pyspark daemon/workers + driver python) read from
+#     /proc — covers the Python codec stages executorCpuTime cannot
+#     see. Linux-only; degrades to absent elsewhere.
+#   - jvm_cpu_sec: per-stage executorCpuTime from the AppStatusStore,
+#     summed over the stages each pass submitted (stage-id floor per
+#     pass, so retained-stage eviction of OLD stages can never make a
+#     delta negative). JVM task CPU only — the whole-stage-codegen
+#     view of the same pass.
+# ---------------------------------------------------------------------------
+
+#: CPU ratio above which a query is flagged against the committed CPU
+#: reference. Tighter than RETIME_RATIO on purpose: CPU needs no load
+#: headroom — 1.5x the reference CPU is a real plan/code change, not
+#: a busy box (frequency scaling + SMT contention stay well under it).
+CPU_REGRESSION_RATIO = 1.5
+CPU_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_CPU_REF.json"
+)
+
+
+def proc_tree_cpu_sec() -> float | None:
+    """Total CPU seconds (utime+stime, plus reaped-children cutime+
+    cstime) of this process and every live descendant. None when /proc
+    is unavailable (non-Linux) — the channel then degrades to absent
+    rather than lying."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        stats: dict[int, int] = {}
+        children: dict[int, list[int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    # comm (field 2) may contain spaces/parens — split
+                    # on the LAST ')' per proc(5)
+                    rest = fh.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue  # raced a process exit
+            pid = int(d)
+            ppid = int(rest[1])
+            # fields 14-17 (utime stime cutime cstime), 0-indexed from
+            # field 3 => rest[11:15]
+            stats[pid] = sum(int(x) for x in rest[11:15])
+            children.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [os.getpid()]
+        seen: set[int] = set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            total += stats.get(p, 0)
+            stack.extend(children.get(p, []))
+        return total / tick
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+class JvmCpuMeter:
+    """Per-pass executor CPU from Spark's AppStatusStore, read over
+    py4j (local mode: same JVM). ``mark()`` records the current max
+    stage id; ``read()`` sums executorCpuTime over stages submitted
+    since the mark, draining the listener bus first so asynchronous
+    metric aggregation cannot undercount a just-finished pass. Any
+    py4j surface change degrades the meter to None results — the
+    bench must never die on a metrics probe."""
+
+    def __init__(self, spark) -> None:
+        try:
+            sc = spark.sparkContext
+            self._store = sc._jsc.sc().statusStore()
+            self._bus = sc._jsc.sc().listenerBus()
+            self._jvm = sc._jvm
+            self._gw = sc._gateway
+            self._stages()  # probe the 5-arg stageList signature now
+            self._ok = True
+        except Exception:  # noqa: BLE001 — probe, not control flow
+            self._ok = False
+        self._floor = -1
+
+    def _stages(self):
+        empty = self._jvm.java.util.ArrayList()
+        quantiles = self._gw.new_array(self._jvm.double, 0)
+        return self._store.stageList(
+            empty, False, False, quantiles, self._jvm.java.util.ArrayList()
+        )
+
+    def mark(self) -> None:
+        if not self._ok:
+            return
+        try:
+            self._bus.waitUntilEmpty()
+            stages = self._stages()
+            self._floor = max(
+                [stages.apply(i).stageId() for i in range(stages.size())],
+                default=-1,
+            )
+        except Exception:  # noqa: BLE001
+            self._ok = False
+
+    def read(self) -> float | None:
+        """CPU seconds of all stages with id > the last mark()."""
+        if not self._ok:
+            return None
+        try:
+            self._bus.waitUntilEmpty()
+            stages = self._stages()
+            ns = sum(
+                stages.apply(i).executorCpuTime()
+                for i in range(stages.size())
+                if stages.apply(i).stageId() > self._floor
+            )
+            return ns / 1e9
+        except Exception:  # noqa: BLE001
+            self._ok = False
+            return None
+
+
+def load_cpu_reference(path: str = CPU_REF_PATH) -> dict[str, float]:
+    """Committed per-query CPU seconds for the current sf dir; empty
+    when absent or for a different scale. Unlike the wall-clock quiet
+    reference, this CAN be minted on a loaded box (--write-cpu-ref):
+    load-robustness is the whole point of the channel."""
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        if d.get("sf_dir") != SF_DIR:
+            return {}
+        return {
+            k: float(v)
+            for k, v in d.get("cpu_queries", {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def cpu_regressions(
+    cpu_timings: dict[str, float], cpu_ref: dict[str, float]
+) -> dict[str, float]:
+    """Queries whose measured CPU exceeds CPU_REGRESSION_RATIO x the
+    committed reference — never relabeled as load (CPU barely moves
+    with load), so these are regression candidates unconditionally.
+    Sub-100ms references sit below scheduler/GC noise and don't arm."""
+    out = {}
+    for name, ref in cpu_ref.items():
+        got = cpu_timings.get(name)
+        if (
+            isinstance(got, (int, float))
+            and ref >= 0.1
+            and got > CPU_REGRESSION_RATIO * ref
+        ):
+            out[name] = round(got / ref, 2)
+    return out
 
 
 def _spin_once(n: int = 10_000_000) -> float:
@@ -377,7 +555,11 @@ def main() -> None:
     # bench signal — record its error and keep timing the rest.
     cal_before = calibrate()
     quiet_ref = load_quiet_reference()
+    cpu_ref = load_cpu_reference()
+    jvm_meter = JvmCpuMeter(spark)
     timings: dict[str, object] = {}
+    cpu_timings: dict[str, float] = {}
+    jvm_cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     retimed: dict[str, int] = {}
     loaded_queries: dict[str, float] = {}
@@ -387,10 +569,22 @@ def main() -> None:
             errors[name] = "not registered"
             continue
 
-        def run_once(fn=fn) -> float:
+        cpu_passes: list[float] = []
+        jvm_cpu_passes: list[float] = []
+
+        def run_once(fn=fn, cpu=cpu_passes, jvm_cpu=jvm_cpu_passes) -> float:
+            jvm_meter.mark()
+            c0 = proc_tree_cpu_sec()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+            wall = time.perf_counter() - t0
+            c1 = proc_tree_cpu_sec()
+            if c0 is not None and c1 is not None:
+                cpu.append(c1 - c0)
+            j = jvm_meter.read()
+            if j is not None:
+                jvm_cpu.append(j)
+            return wall
 
         try:
             passes = [run_once(), run_once()]
@@ -399,6 +593,12 @@ def main() -> None:
                 passes.append(run_once())
             best = min(passes)
             timings[name] = round(best, 4)
+            # min across passes, like wall: the first pass carries
+            # one-time codegen-compile CPU a cluster amortizes away
+            if cpu_passes:
+                cpu_timings[name] = round(min(cpu_passes), 4)
+            if jvm_cpu_passes:
+                jvm_cpu_timings[name] = round(min(jvm_cpu_passes), 4)
             if len(passes) > 2:
                 retimed[name] = len(passes)
             if ref is not None and ref >= 0.1 and best > RETIME_RATIO * ref:
@@ -436,6 +636,9 @@ def main() -> None:
         retimed=retimed,
         loaded_queries=loaded_queries,
         regression_candidates=regression_candidates,
+        cpu_timings=cpu_timings,
+        jvm_cpu_timings=jvm_cpu_timings,
+        cpu_regression_candidates=cpu_regressions(cpu_timings, cpu_ref),
     )
     try:
         with open(
@@ -445,6 +648,27 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    if "--write-cpu-ref" in sys.argv:
+        # the CPU reference may be minted on a LOADED box — that is
+        # the channel's point — but never from a pass with errors,
+        # so a broken query can't freeze a hole into the baseline
+        if errors:
+            print(
+                f"refusing --write-cpu-ref: {len(errors)} queries errored",
+                file=sys.stderr,
+            )
+        else:
+            with open(CPU_REF_PATH, "w") as fh:
+                json.dump(
+                    {
+                        "sf_dir": SF_DIR,
+                        "calibration": cal,
+                        "cpu_queries": cpu_timings,
+                        "jvm_cpu_queries": jvm_cpu_timings,
+                    },
+                    fh,
+                    indent=1,
+                )
     if "--write-quiet" in sys.argv:
         # refresh the committed quiet reference — ONLY meaningful from
         # an idle host; refuse when the pass itself measured loaded,
@@ -483,6 +707,9 @@ def compose_output(
     retimed: dict | None = None,
     loaded_queries: dict | None = None,
     regression_candidates: dict | None = None,
+    cpu_timings: dict | None = None,
+    jvm_cpu_timings: dict | None = None,
+    cpu_regression_candidates: dict | None = None,
 ) -> tuple[str, dict]:
     """(compact stdout line, full detail dict). The line carries
     totals + the 10 slowest queries (2 dp); the full per-query map
@@ -513,6 +740,17 @@ def compose_output(
         detail["loaded_queries"] = loaded_queries
     if regression_candidates:
         detail["regression_candidates"] = regression_candidates
+    if cpu_timings:
+        # the load-robust channel the round-over-round comparison
+        # trusts: whole-process-tree CPU (covers Python codec stages)
+        # and its JVM-only executorCpuTime companion
+        detail["cpu_queries"] = cpu_timings
+        detail["cpu_sec"] = round(sum(cpu_timings.values()), 2)
+    if jvm_cpu_timings:
+        detail["jvm_cpu_queries"] = jvm_cpu_timings
+        detail["jvm_cpu_sec"] = round(sum(jvm_cpu_timings.values()), 2)
+    if cpu_regression_candidates:
+        detail["cpu_regression_candidates"] = cpu_regression_candidates
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items() if isinstance(v, (int, float))),
@@ -531,6 +769,15 @@ def compose_output(
     }
     if calibration is not None:
         payload["calibration"] = calibration
+    if cpu_timings:
+        payload["cpu_sec"] = round(sum(cpu_timings.values()), 2)
+    if jvm_cpu_timings:
+        payload["jvm_cpu_sec"] = round(sum(jvm_cpu_timings.values()), 2)
+    if cpu_regression_candidates:
+        payload["cpu_regression_candidates"] = dict(
+            sorted(cpu_regression_candidates.items(), key=lambda kv: -kv[1])[:5]
+        )
+        payload["n_cpu_regression_candidates"] = len(cpu_regression_candidates)
     if loaded_queries:
         payload["loaded_queries"] = dict(
             sorted(loaded_queries.items(), key=lambda kv: -kv[1])[:5]
@@ -546,6 +793,7 @@ def compose_output(
         payload["queries"] = {}
         payload.pop("loaded_queries", None)
         payload.pop("regression_candidates", None)
+        payload.pop("cpu_regression_candidates", None)
         line = json.dumps(payload)
     return line, detail
 

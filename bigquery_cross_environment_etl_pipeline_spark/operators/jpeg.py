@@ -52,11 +52,18 @@ script (DC first -> split-band AC firsts -> DC refine -> AC refines)
 whose decoded coefficients are bit-identical to the sequential
 encoding's, so every exactness argument carries over.
 
-Declared gates that REMAIN (and why): 12-bit precision, arithmetic
-coding (SOF9+), hierarchical/lossless processes (SOF3/5-7/13-15), and
-CMYK/Adobe 4-component color — each raises ``NotImplementedError``
-loudly. WebP and all video codecs stay library-bound (VP8 is a
-genuinely different arithmetic coder).
+Beyond baseline (all implemented here or in sibling modules, rounds
+10-11): PROGRESSIVE SOF2 (Annex G scan scripts, below), 12-bit
+extended precision (SOF1), LOSSLESS SOF3 (Annex H prediction, all
+seven predictors), and ARITHMETIC coding SOF9/SOF10 (the Annex D QM
+coder + Annex F statistical models, ``operators/jpeg_arith.py``).
+
+Declared gates that REMAIN (and why): hierarchical/differential
+processes (SOF5-7/13-15 — the multi-frame pyramid protocol),
+arithmetic LOSSLESS (SOF11), 12-bit COLOR (non-JFIF: no standard
+12-bit color transform), and CMYK/Adobe 4-component color — each
+raises ``NotImplementedError`` loudly. WebP and all video codecs stay
+library-bound (VP8 is a genuinely different arithmetic coder).
 
 Reference parity note: the reference pipeline
 (pulse_billing_etl_service) moves media-free billing rows and has no
@@ -486,6 +493,7 @@ def _validate_and_headers(
     sof_marker,
     progressive_ac: bool = False,
     precision: int = 8,
+    arithmetic: bool = False,
 ):
     """Shared frame setup for the sequential and progressive writers:
     validates grids, returns (header bytes, int64 arrays, sampling,
@@ -522,13 +530,30 @@ def _validate_and_headers(
             "12-bit color JPEG is non-JFIF (no 12-bit color transform here)"
         )
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:
+        # JFIF mandates 8-bit samples (JFIF 1.02 §"JPEG interchange
+        # format requirements"), so 12-bit streams carry no APP0
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid in range(min(n, 2)):
         out += _seg(0xDB, bytes([tid]) + bytes(qtables[tid]))
     sof = struct.pack(">BHHB", precision, height, width, n)
     for i, (sh, sv) in enumerate(sampling):
         sof += bytes((i + 1, sh << 4 | sv, min(i, 1)))
     out += _seg(sof_marker, sof)
+    if arithmetic:
+        # DAC conditioning tables instead of DHT (B.2.4.3): Annex F
+        # defaults, stated explicitly so the parser path is exercised
+        from .jpeg_arith import DEFAULT_AC_KX, DEFAULT_DC_L, DEFAULT_DC_U
+
+        dac = bytes((0x00, DEFAULT_DC_U << 4 | DEFAULT_DC_L))
+        dac += bytes((0x10, DEFAULT_AC_KX))
+        if n == 3:
+            dac += bytes((0x01, DEFAULT_DC_U << 4 | DEFAULT_DC_L))
+            dac += bytes((0x11, DEFAULT_AC_KX))
+        out += _seg(0xCC, dac)
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        return out, arrs, sampling, qtables
     if precision == 12:
         dc_l = (DC12_BITS, DC12_VALS)
         ac_l = (PROG_AC_BITS, PROG_AC_VALS) if progressive_ac else (
@@ -580,8 +605,12 @@ def encode_jpeg_from_coeffs(
     grids must cover ceil over the sampled dimensions exactly — this is
     the low-level entry the coefficient-checksum driver query and the
     round-trip tests build on, so it validates rather than pads."""
+    # T.81 B.2.2 restricts baseline (SOF0) to 8-bit precision; 12-bit
+    # sequential is the EXTENDED process and must declare SOF1 (the
+    # decoder treats 0xC0/0xC1 identically, external decoders do not)
     out, arrs, sampling, qtables = _validate_and_headers(
-        comps, width, height, sampling, qtables, restart_interval, 0xC0,
+        comps, width, height, sampling, qtables, restart_interval,
+        0xC1 if precision == 12 else 0xC0,
         precision=precision,
     )
     n = len(arrs)
@@ -1130,12 +1159,17 @@ _LOSSLESS_PREDICTORS = {
 }
 
 
-def _lossless_prediction(img, x: int, y: int, sel: int) -> int:
-    """H.1.2: the very first sample is predicted by 2^(P-1); the rest
-    of the first line uses Ra; the first sample of later lines uses
-    Rb; interior samples use the selected predictor."""
-    if y == 0:
-        return 128 if x == 0 else int(img[0][x - 1])
+def _lossless_prediction(img, x: int, y: int, sel: int, seg_row: int) -> int:
+    """H.1.1 prediction with restart semantics: the first line of the
+    scan AND of each restart interval (``seg_row`` is the sample row
+    where the current interval began) uses Ra — the one-dimensional
+    horizontal predictor — regardless of the selected predictor; the
+    first sample of every other line uses Rb; interior samples use
+    the selection. The interval's very FIRST sample (predicted by
+    2^(P-1)) is handled by the caller, which knows the flat sample
+    index."""
+    if y == seg_row:
+        return int(img[y][x - 1])
     if x == 0:
         return int(img[y - 1][0])
     return _LOSSLESS_PREDICTORS[sel](
@@ -1177,20 +1211,23 @@ def encode_jpeg_lossless(
     img = a.tolist()
     k = 0
     rst = 0
-    # H.2.2: the prediction RESETS at each restart boundary — the
-    # first sample of an interval predicts 2^(P-1); subsequent samples
-    # use their image-position neighbors (encoder and decoder share
-    # this rule symmetrically, so the round trip is exact)
+    # H.1.1 restart semantics (ADVICE r10): the interval's first
+    # sample predicts 2^(P-1); the REMAINDER OF THAT SAMPLE LINE uses
+    # Ra (one-dimensional prediction), exactly like the first line of
+    # the scan; later lines in the interval resume Rb-at-line-start +
+    # the selected predictor — symmetric with decode_jpeg_lossless
     seg_start = 0
+    seg_row = 0
     for y in range(h):
         for x in range(w):
             if restart_interval and k and k % restart_interval == 0:
                 wtr.restart(rst)
                 rst += 1
                 seg_start = k
+                seg_row = y
             pred = (
                 128 if k == seg_start
-                else _lossless_prediction(img, x, y, predictor)
+                else _lossless_prediction(img, x, y, predictor, seg_row)
             )
             diff = img[y][x] - pred
             t = _category(diff)
@@ -1227,6 +1264,9 @@ def decode_jpeg_lossless(payload: bytes) -> "object":
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         pos += 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -1305,6 +1345,7 @@ def decode_jpeg_lossless(payload: bytes) -> "object":
     k = 0
     rst = 0
     seg_start = 0
+    seg_row = 0
     for y in range(h):
         row = img[y]
         for x in range(w):
@@ -1312,11 +1353,24 @@ def decode_jpeg_lossless(payload: bytes) -> "object":
                 rdr.restart(rst)
                 rst += 1
                 seg_start = k
+                seg_row = y
             t = rdr.huffman(dc_map)
             if t > 16:
                 raise ValueError("invalid lossless difference category")
+            if t == 16:
+                # Table H.2: SSSS=16 means diff=32768 with NO appended
+                # bits — only reachable at 16-bit precision, which this
+                # decoder gates; reading 16 bits here (the old bug)
+                # would silently desynchronize the stream
+                raise ValueError(
+                    "lossless difference category 16 invalid at 8-bit "
+                    "precision"
+                )
             diff = _extend(rdr.receive(t), t)
-            pred = 128 if k == seg_start else _lossless_prediction(img, x, y, sel)
+            pred = (
+                128 if k == seg_start
+                else _lossless_prediction(img, x, y, sel, seg_row)
+            )
             val = pred + diff
             if not (0 <= val <= 255):
                 raise ValueError(
@@ -1341,6 +1395,9 @@ def _first_sof_marker(data: bytes) -> int | None:
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
+        if marker == 0xFF:  # B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         if marker in sofs:
             return marker
         if marker == 0xD9 or marker == 0xDA:
@@ -1372,8 +1429,8 @@ _SOF_GATES = {
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
     0xC7: "differential lossless JPEG (SOF7)",
-    0xC9: "arithmetic-coded JPEG (SOF9)",
-    0xCA: "arithmetic progressive JPEG (SOF10)",
+    # SOF9/SOF10 (arithmetic sequential/progressive) decode for real
+    # since round 11 — operators/jpeg_arith.py
     0xCB: "arithmetic lossless JPEG (SOF11)",
     0xCD: "differential arithmetic JPEG (SOF13)",
     0xCE: "differential arithmetic progressive JPEG (SOF14)",
@@ -1426,6 +1483,10 @@ def _decode_ac_first(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
         if s == 0:
             if r == 15:  # ZRL: sixteen zeros within the band
                 k += 16
+                if k > se + 1:
+                    # match the sequential decoder's strictness: a ZRL
+                    # run that overruns [ss, se] is corrupt, not EOB
+                    raise ValueError("AC run overruns the spectral band")
                 continue
             eobrun = (1 << r) - 1
             if r:
@@ -1536,8 +1597,11 @@ def decode_jpeg_coefficients(payload: bytes):
     qtables: dict[int, list[int]] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: tid -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: tid -> Kx
     sof = None
     progressive = False
+    arith = False
     restart_interval = 0
     arrs: list = []
     dc_seen: list = []
@@ -1616,6 +1680,27 @@ def decode_jpeg_coefficients(payload: bytes):
             units = [[(ci, y, x)] for y in range(nby) for x in range(nbx)]
 
         tabs_for = {ci: (dcid, acid) for ci, dcid, acid in scomps}
+        if arith:
+            # SOF9/SOF10: the QM entropy layer (jpeg_arith) replaces
+            # the Huffman bit reader; every structural check above —
+            # grids, scan-script validation, component bookkeeping —
+            # is shared with the Huffman path
+            from . import jpeg_arith
+
+            if progressive:
+                ret = jpeg_arith.decode_progressive_scan(
+                    data, start, units, arrs, tabs_for, restart_interval,
+                    dc_cond, ac_cond, n, _ZZFLAT, ss, se, ah, al,
+                )
+            else:
+                ret = jpeg_arith.decode_sequential_scan(
+                    data, start, units, arrs, tabs_for, restart_interval,
+                    dc_cond, ac_cond, n, _ZZFLAT,
+                )
+            if ss == 0 and (ah == 0 or not progressive):
+                for ci, _, _ in scomps:
+                    dc_seen[ci] = True
+            return ret
         rst = 0
         for u, unit in enumerate(units):
             if restart_interval and u and u % restart_interval == 0:
@@ -1678,6 +1763,9 @@ def decode_jpeg_coefficients(payload: bytes):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{data[pos]:02X}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD8:
             raise ValueError("unexpected second SOI")
@@ -1723,10 +1811,34 @@ def decode_jpeg_coefficients(payload: bytes):
                 vals = list(body[i + 17 : i + 17 + nvals])
                 (dc_maps if cls == 0 else ac_maps)[tid] = _decode_map(bits, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker == 0xCC:  # DAC: arithmetic conditioning tables
+            i = 0
+            while i < len(body):
+                if i + 2 > len(body):
+                    raise ValueError("DAC segment truncated")
+                tc, tb = body[i] >> 4, body[i] & 15
+                cs = body[i + 1]
+                i += 2
+                if tb > 3:
+                    raise ValueError(f"DAC table id {tb} invalid")
+                if tc == 0:
+                    low, up = cs & 15, cs >> 4
+                    if low > up:
+                        raise ValueError(
+                            f"DAC DC conditioning L={low} > U={up}"
+                        )
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:
+                    if not (1 <= cs <= 63):
+                        raise ValueError(f"DAC AC Kx={cs} outside 1..63")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError(f"DAC table class {tc} invalid")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             if sof is not None:
                 raise ValueError("multiple SOF segments")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             if len(body) < 6:
                 raise ValueError("SOF segment truncated")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)

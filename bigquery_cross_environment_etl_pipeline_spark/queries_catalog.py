@@ -71,56 +71,29 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # round 10 (kept <=3 per the standing policy so the r5 evidence
-    # tail — 23 queries whose newest green is r5 — rotates through
-    # this round's 50 driver slots, VERDICT r9 item 3):
+    # round 11 (kept <=3 per the standing policy — VERDICT r10 item 4
+    # asks the 33-query r6 evidence tail to clear this round; window
+    # arithmetic: 2 forced + 2 never-green new arithmetic-JPEG
+    # queries + 33 r6-tail + 13 oldest-r7 = 50):
     #
-    # new this round (VERDICT r9 item 1): real baseline JPEG decode —
-    # Huffman entropy layer + dequant + numpy IDCT + JFIF YCbCr->RGB
-    # (operators/jpeg.py); block-constant construction makes the
-    # lossy codec bit-exact so the oracle states every decoded pixel
-    "multimodal_jpeg_decode",
-    # new this round: the AC/zigzag/run-length half of the JPEG
-    # entropy layer, pinned by an integer coefficient checksum
-    "multimodal_jpeg_coefficients",
-    # new this round (second wave): PROGRESSIVE JPEG — the full
-    # Annex G scan-script state machine (spectral selection,
-    # successive approximation, EOBn runs, refinement bit walk)
-    "multimodal_jpeg_progressive",
-    # new this round (third wave): 12-bit extended-precision JPEG —
-    # 2048 level shift, uint16 output, extended Huffman categories,
-    # both entropy layouts in one query
+    # codec paths changed this round (ADVICE r10): 12-bit sequential
+    # now declares SOF1 and drops the JFIF APP0 (T.81 B.2.2 / JFIF
+    # 8-bit mandate), so the encoded stream differs byte-for-byte
+    # even though decoded pixels are identical — the r10 green no
+    # longer attests the current code
     "multimodal_jpeg12_decode",
-    # new this round (fourth wave): LOSSLESS JPEG (SOF3, Annex H
-    # prediction) — all seven predictors, restart resets, per-pixel
-    # oracle (no block-constant trick needed: the codec is lossless)
+    # lossless restart prediction now follows H.1.1 exactly (the
+    # remainder of the interval's first LINE uses Ra, not the
+    # selected predictor) — encoder and decoder both changed
     "multimodal_jpeg_lossless_decode",
-    # plan changed this round: every synthetic-asset codec query now
-    # repartitions its doc_id input before the Arrow encode stage —
-    # the one-parquet-file corpus serialized the whole codec chain
-    # onto a single task (probe-measured: jpeg_decode 11.6s -> the
-    # scan's worth at sf0.1). Output is bit-identical but the plan
-    # shape changed, so the prior greens no longer attest the code
-    # (the heavy_hitters_countmin r9 precedent). Window arithmetic:
-    # 13 forced + 23 r5-tail + 14 r6 = 50 — the r5 tail still clears
-    # entirely this round (VERDICT r9 item 3 holds; asserted by the
-    # window check in the round log, not just this comment).
-    "multimodal_image_decode",
-    "multimodal_png_decode",
-    "multimodal_gif_decode",
-    "multimodal_wav_decode",
-    "multimodal_resize_decode",
-    # plan changed this round (same class): the BPE pair's corpus
-    # stages (word-count map side; the chained-replace apply) also
-    # inherited the one-file source partitioning — repartitioned like
-    # the codec queries (probe-measured 3.4-9.7s -> parallel)
-    "bpe_train_merges",
-    "bpe_token_counts",
-    # NOT forced: the ADVICE r9 fixes (bounded PNG inflate, WAV chunk
-    # strictness, MemoryError in per-asset catches) change only
-    # hostile-payload failure paths; driver-data output is
-    # bit-identical and the r9 greens attest it (the
-    # orc_roundtrip_rollup precedent).
+    # NOT forced: multimodal_jpeg_arithmetic +
+    # multimodal_jpeg_arithmetic_coefficients are NEW (never-green
+    # ranks ahead of every green automatically); the 0xFF-fill/ZRL/
+    # SSSS=16 ADVICE fixes change only hostile-payload failure paths
+    # (driver-data output bit-identical — the orc_roundtrip_rollup
+    # precedent); the contamination_overlap_counts rename is a new
+    # never-green name and benchmark_decontamination's r10 green
+    # still attests its (unchanged) per-source implementation.
 ]
 
 _STABLE_ORDER = [
@@ -313,7 +286,21 @@ def _ordered(d: dict) -> dict:
 
 
 def register(name: str, oracle: str | None = None):
+    """Register a (spark, oracle) pair under a catalog-unique name.
+
+    Duplicate names raise at import time (round-11 guard): a second
+    registration used to silently overwrite the first in the dict,
+    leaving ~27 lines of dead-but-plausible code behind (the r10
+    ``benchmark_decontamination`` shadowing) — structurally
+    impossible now."""
+
     def deco(fn):
+        if name in _SPARK:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(first: {_SPARK[name].__module__}.{_SPARK[name].__qualname__}, "
+                f"second: {fn.__module__}.{fn.__qualname__})"
+            )
         _SPARK[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle

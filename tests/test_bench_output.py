@@ -168,3 +168,79 @@ def test_quiet_pass_outliers_are_regression_candidates_not_load():
     assert d["regression_candidates"] == {"q_regressed": 4.2}
     assert d["n_regression_candidates"] == 1
     assert "loaded_queries" not in detail and "n_loaded" not in d
+
+
+# ---------------------------------------------------------------------------
+# round-11 CPU-time channel
+# ---------------------------------------------------------------------------
+
+
+def test_cpu_channel_rides_detail_and_line_within_budget():
+    timings, errors = _mk(200)
+    cpu = {k: 0.9 for k in timings}
+    jvm = {k: 0.5 for k in timings}
+    regress = {k: 2.1 for k in list(timings)[:40]}
+    line, detail = bench.compose_output(
+        timings, errors, "/root/testdata/sf0.1",
+        cpu_timings=cpu, jvm_cpu_timings=jvm,
+        cpu_regression_candidates=regress,
+    )
+    assert len(line) <= bench.LINE_BUDGET
+    payload = json.loads(line)
+    assert payload["cpu_sec"] == round(sum(cpu.values()), 2)
+    assert payload["jvm_cpu_sec"] == round(sum(jvm.values()), 2)
+    assert detail["cpu_queries"] == cpu
+    assert detail["jvm_cpu_queries"] == jvm
+    assert detail["cpu_regression_candidates"] == regress
+    # the line carries at most 5 candidates + the full count
+    if "cpu_regression_candidates" in payload:
+        assert len(payload["cpu_regression_candidates"]) <= 5
+        assert payload["n_cpu_regression_candidates"] == 40
+
+
+def test_cpu_regressions_flags_only_real_ratios():
+    ref = {"a": 2.0, "b": 1.0, "tiny": 0.05, "gone": 3.0}
+    got = {"a": 3.5, "b": 1.2, "tiny": 5.0}
+    out = bench.cpu_regressions(got, ref)
+    # a: 1.75x > 1.5 -> flagged; b: 1.2x -> clean; tiny: below the
+    # 100ms noise floor -> never arms; gone: unmeasured -> skipped
+    assert out == {"a": 1.75}
+
+
+def test_proc_tree_cpu_monotonic_and_positive():
+    c0 = bench.proc_tree_cpu_sec()
+    if c0 is None:  # non-Linux degrade path
+        return
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i & 1023
+    _ = acc
+    c1 = bench.proc_tree_cpu_sec()
+    assert c1 >= c0 > 0
+
+
+def test_cpu_reference_ignores_other_scale(tmp_path):
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps({"sf_dir": "/root/testdata/sf0.1",
+                             "cpu_queries": {"a": 1.0}}))
+    import importlib
+    assert bench.load_cpu_reference(str(p)) == (
+        {"a": 1.0} if bench.SF_DIR == "/root/testdata/sf0.1" else {}
+    )
+    del importlib
+
+
+def test_jvm_cpu_meter_measures_real_stages(spark):
+    """The AppStatusStore probe must survive this Spark version's py4j
+    surface and attribute nonzero CPU to a real job (or degrade to
+    None cleanly, never raise)."""
+    meter = bench.JvmCpuMeter(spark)
+    meter.mark()
+    spark.range(2_000_000).selectExpr("sum(id % 97) as s").collect()
+    got = meter.read()
+    assert got is None or got > 0
+    # a mark() directly followed by read() sees (approximately) no new
+    # stages — the floor logic isolates per-pass attribution
+    meter.mark()
+    idle = meter.read()
+    assert idle is None or idle == 0.0

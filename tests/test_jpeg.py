@@ -415,7 +415,10 @@ def test_truncated_segment_length():
 
 def test_non_huffman_processes_are_gated_not_misread():
     base = _valid_gray()
-    for marker in (0xC9, 0xCA, 0xCF):  # arithmetic/differential
+    # SOF9/SOF10 (arithmetic) decode for real since round 11
+    # (tests/test_jpeg_arith.py); the remaining genuinely-different
+    # coding processes stay loudly gated
+    for marker in (0xCB, 0xCD, 0xCE, 0xCF):  # arith-lossless/differential
         mutated = bytearray(base)
         idx = mutated.find(b"\xff\xc0")
         mutated[idx + 1] = marker
@@ -597,3 +600,150 @@ def test_decode_image_features_null_facts_on_progressive(spark):
     rows = {r["asset_id"]: r for r in multimodal.decode_image_features(df).collect()}
     assert rows[1]["pixel_sum"] == int(_const_gray(3, 16, 16).sum())
     assert rows[2]["pixel_sum"] is None and rows[2]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-11 conformance fixes (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_declares_sof1_and_carries_no_jfif():
+    """T.81 B.2.2: baseline (SOF0) is 8-bit only — 12-bit sequential
+    must be SOF1 (extended); and JFIF mandates 8-bit samples, so
+    12-bit streams must not carry the APP0 segment."""
+    blocks = (np.arange(64, dtype=np.int64) - 32).reshape(1, 1, 8, 8)
+    p12 = jpeg.encode_jpeg_from_coeffs([blocks], 8, 8, precision=12)
+    assert b"\xff\xc1" in p12 and b"\xff\xc0" not in p12
+    assert b"JFIF" not in p12 and b"\xff\xe0" not in p12
+    meta, comps = jpeg.decode_jpeg_coefficients(p12)
+    assert meta["precision"] == 12
+    assert np.array_equal(comps[0], blocks)
+    # 8-bit streams keep SOF0 + JFIF
+    p8 = jpeg.encode_jpeg_from_coeffs([blocks], 8, 8)
+    assert b"\xff\xc0" in p8 and b"JFIF" in p8
+
+
+def _ref_lossless_diffs(px, sel, dri):
+    """Independent H.1.1 reference, transcribed from the spec text in
+    this test (NOT imported from the module): 2^(P-1) at the start of
+    the scan and of each restart interval; Ra for the remainder of the
+    interval's first line; Rb at the start of other lines; the
+    selected predictor elsewhere."""
+    h, w = px.shape
+    diffs = []
+    seg_start = seg_row = k = 0
+    for y in range(h):
+        for x in range(w):
+            if dri and k and k % dri == 0:
+                seg_start, seg_row = k, y
+            if k == seg_start:
+                pred = 128
+            elif y == seg_row:
+                pred = int(px[y, x - 1])
+            elif x == 0:
+                pred = int(px[y - 1, 0])
+            else:
+                ra, rb, rc = int(px[y, x - 1]), int(px[y - 1, x]), int(px[y - 1, x - 1])
+                pred = {
+                    1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[sel]
+            diffs.append(int(px[y, x]) - pred)
+            k += 1
+    return diffs
+
+
+def _entropy_diffs(payload, n, dri):
+    """Extract the Huffman-coded differences from a lossless stream
+    using the module's reader primitives (decode-side plumbing only —
+    the prediction logic under test is not involved)."""
+    at = payload.find(b"\xff\xda")
+    seglen = struct.unpack_from(">H", payload, at + 2)[0]
+    rdr = jpeg._BitReader(payload, at + 2 + seglen)
+    table = jpeg._decode_map(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    diffs, rst = [], 0
+    for k in range(n):
+        if dri and k and k % dri == 0:
+            rdr.restart(rst)
+            rst += 1
+        t = rdr.huffman(table)
+        diffs.append(jpeg._extend(rdr.receive(t), t))
+    return diffs
+
+
+def test_lossless_restart_first_line_uses_ra():
+    """ADVICE r10: after an RSTn the REMAINDER OF THAT SAMPLE LINE
+    must use one-dimensional (Ra) prediction per H.1.1 — not the
+    selected predictor. The encoder's emitted differences are pinned
+    against an in-test spec transcription, for every predictor and a
+    restart interval that lands mid-line."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    for sel in range(1, 8):
+        for dri in (3, 5, 7, 10):
+            p = jpeg.encode_jpeg_lossless(px, predictor=sel, restart_interval=dri)
+            got = _entropy_diffs(p, px.size, dri)
+            assert got == _ref_lossless_diffs(px, sel, dri), (sel, dri)
+            assert np.array_equal(jpeg.decode_jpeg(p), px), (sel, dri)
+
+
+def test_lossless_category16_rejected_not_misread():
+    """Table H.2: SSSS=16 carries NO appended bits (diff=32768); at
+    8-bit precision it is unreachable and must be rejected loudly —
+    the old code read 16 bits and desynchronized."""
+    # DHT with a single 1-bit code '0' -> value 16
+    dht = jpeg._seg(0xC4, jpeg._dht_payload(0, 0, [1] + [0] * 15, [16]))
+    sof = jpeg._seg(0xC3, struct.pack(">BHHB", 8, 1, 1, 1) + bytes((1, 0x11, 0)))
+    sos = jpeg._sos_segment([(1, 0, 0)], 1, 0, 0, 0)
+    payload = b"\xff\xd8" + sof + dht + sos + b"\x7f" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="category 16"):
+        jpeg.decode_jpeg(payload)
+
+
+def test_progressive_zrl_band_overrun_rejected():
+    """A ZRL in a progressive AC-first scan whose 16-zero run overruns
+    [Ss, Se] is structural corruption and must raise, matching the
+    sequential decoder's strictness (it used to be silently
+    tolerated)."""
+    dqt = jpeg._seg(0xDB, bytes([0]) + bytes(jpeg.UNIT_QTABLE))
+    sof = jpeg._seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+    # DC table: code '0' -> 0 (diff category 0); AC table: '0' -> 0xF0 (ZRL)
+    dht_dc = jpeg._seg(0xC4, jpeg._dht_payload(0, 0, [1] + [0] * 15, [0]))
+    dht_ac = jpeg._seg(0xC4, jpeg._dht_payload(1, 0, [1] + [0] * 15, [0xF0]))
+    sos_dc = jpeg._sos_segment([(1, 0, 0)], 0, 0, 0, 0) + b"\x7f"
+    # AC first scan over band [1, 10]: a single ZRL puts k at 17 > 11
+    sos_ac = jpeg._sos_segment([(1, 0, 0)], 1, 10, 0, 0) + b"\x7f"
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos_dc + sos_ac + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="overruns the spectral band"):
+        jpeg.decode_jpeg_coefficients(payload)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Streams padded this way must decode to identical pixels in the
+    sequential, progressive, and lossless paths."""
+
+    def pad_markers(p):
+        out = bytearray(p[:2])  # SOI itself is the magic; never padded
+        i = 2
+        # insert one fill byte before every marker OUTSIDE entropy data
+        # (safe here: pad only the head, before the first SOS)
+        first_sos = p.find(b"\xff\xda")
+        while i < first_sos:
+            if p[i] == 0xFF and p[i + 1] not in (0x00, 0xFF):
+                out += b"\xff"
+            out.append(p[i])
+            i += 1
+        return bytes(out) + p[first_sos:]
+
+    px = _const_gray(7, 24, 16)
+    for enc in (
+        jpeg.encode_jpeg,
+        jpeg.encode_jpeg_progressive,
+        jpeg.encode_jpeg_lossless,
+    ):
+        p = pad_markers(enc(px))
+        assert np.array_equal(jpeg.decode_jpeg(p), px)

@@ -120,3 +120,32 @@ def test_ledger_keys_are_live_catalog_names():
         names
     )
     assert not dead, f"ledger keys absent from the catalog: {sorted(dead)}"
+
+
+def test_register_rejects_duplicate_names():
+    """VERDICT r10 item 2: a second @register under an existing name
+    used to silently overwrite the first, leaving dead-but-plausible
+    code behind (the r10 benchmark_decontamination shadowing).  The
+    registry must refuse outright."""
+    import pytest
+
+    qc._load_all()
+    existing = next(iter(qc._SPARK))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @qc.register(existing)
+        def shadow(spark, sf_dir):  # pragma: no cover - never called
+            raise AssertionError
+
+    # and the original registration is untouched
+    assert qc._SPARK[existing].__name__ != "shadow"
+
+
+def test_catalog_names_unique_and_oracle_subset():
+    """225 unique names (r11: the shadowed mod-97 decontamination
+    variant re-registered as contamination_overlap_counts), every
+    oracle name backed by a spark callable."""
+    qc._load_all()
+    assert "contamination_overlap_counts" in qc._SPARK
+    assert "benchmark_decontamination" in qc._SPARK
+    assert set(qc._ORACLE) <= set(qc._SPARK)
