@@ -1441,12 +1441,20 @@ _SOF_GATES = {
 _ZZFLAT = [r * 8 + c for r, c in ZIGZAG]
 
 
-def _decode_block_sequential(rdr, dc_map, ac_map, block, pred: int) -> int:
+def _decode_block_sequential(
+    rdr, dc_map, ac_map, block, pred: int, max_dc: int = 15, max_ac: int = 14
+) -> int:
     """One full sequential block (Ss=0..63, no approximation), writing
-    QUANTIZED coefficients; returns the new DC predictor."""
+    QUANTIZED coefficients; returns the new DC predictor. ``max_dc``/
+    ``max_ac`` are the Table F.1 category/size bounds for the frame's
+    precision (11/10 at 8-bit, 15/14 at 12-bit) — a stream whose DHT
+    maps to larger sizes is corrupt for that precision, and reading
+    the oversized field would desynchronize the scan."""
     t = rdr.huffman(dc_map)
-    if t > 15:
-        raise ValueError("invalid DC category")
+    if t > max_dc:
+        raise ValueError(
+            f"DC category {t} exceeds the precision's bound {max_dc}"
+        )
     pred += _extend(rdr.receive(t), t)
     block.flat[0] = pred
     k = 1
@@ -1462,6 +1470,10 @@ def _decode_block_sequential(rdr, dc_map, ac_map, block, pred: int) -> int:
                     raise ValueError("AC run overruns the block")
                 continue
             raise ValueError(f"invalid AC symbol 0x{rs:02X}")
+        if s > max_ac:
+            raise ValueError(
+                f"AC size {s} exceeds the precision's bound {max_ac}"
+            )
         k += r
         if k > 63:
             raise ValueError("AC run overruns the block")
@@ -1470,10 +1482,13 @@ def _decode_block_sequential(rdr, dc_map, ac_map, block, pred: int) -> int:
     return pred
 
 
-def _decode_ac_first(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
+def _decode_ac_first(
+    rdr, ac_map, block, ss, se, al, eobrun: int, max_ac: int = 14
+) -> int:
     """Progressive AC first pass (T.81 G.1.2.2): run-length decode of
     the spectral band [ss, se] at precision ``al``, with EOBn
-    end-of-band runs spanning blocks. Returns the remaining eobrun."""
+    end-of-band runs spanning blocks. Returns the remaining eobrun.
+    ``max_ac`` is the Table F.1 size bound for the frame precision."""
     if eobrun > 0:
         return eobrun - 1
     k = ss
@@ -1492,6 +1507,10 @@ def _decode_ac_first(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
             if r:
                 eobrun += rdr.receive(r)
             return eobrun
+        if s > max_ac:
+            raise ValueError(
+                f"AC size {s} exceeds the precision's bound {max_ac}"
+            )
         k += r
         if k > se:
             raise ValueError("AC run overruns the spectral band")
@@ -1605,6 +1624,7 @@ def decode_jpeg_coefficients(payload: bytes):
     restart_interval = 0
     arrs: list = []
     dc_seen: list = []
+    approx: list = []  # per component: zigzag index -> current Al
     any_scan = False
 
     def run_scan(body: bytes, start: int) -> int:
@@ -1627,6 +1647,10 @@ def decode_jpeg_coefficients(payload: bytes):
             scomps.append((by_id[cs], tabs >> 4, tabs & 15))
         ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
         ah, al = a >> 4, a & 15
+        # Table F.1 entropy bounds for the frame precision: DC
+        # category <= 11 / AC size <= 10 at 8-bit, 15/14 at 12-bit
+        max_dc = 11 if sof["precision"] == 8 else 15
+        max_ac = 10 if sof["precision"] == 8 else 14
         if progressive:
             if ss > se or se > 63 or (ss == 0 and se != 0):
                 raise ValueError(f"invalid spectral band [{ss}, {se}]")
@@ -1640,6 +1664,42 @@ def decode_jpeg_coefficients(payload: bytes):
                 raise ValueError(
                     "DC refinement before the component's first DC scan"
                 )
+            # successive-approximation bookkeeping (G.1.1.1.2, round
+            # 11): a first scan may not revisit a coefficient; a
+            # refinement must pick up at the previous scan's Al and
+            # reduce the point transform by exactly one bit — a scan
+            # script that skips a bit plane or double-first-scans a
+            # band would otherwise decode to silently wrong magnitudes
+            band = (0,) if ss == 0 else range(ss, se + 1)
+            for ci, _, _ in scomps:
+                for k in band:
+                    cur = approx[ci][k]
+                    if ah == 0:
+                        if cur is not None:
+                            raise ValueError(
+                                f"coefficient {k} of component "
+                                f"{comps[ci]['id']} first-scanned twice "
+                                "(overlapping spectral bands)"
+                            )
+                    else:
+                        if cur is None:
+                            raise ValueError(
+                                f"refinement of never-first-scanned "
+                                f"coefficient {k} (component "
+                                f"{comps[ci]['id']})"
+                            )
+                        if ah != cur:
+                            raise ValueError(
+                                f"successive approximation skips a bit "
+                                f"plane: scan has Ah={ah}, coefficient "
+                                f"{k} is at Al={cur}"
+                            )
+                        if al != ah - 1:
+                            raise ValueError(
+                                f"refinement must reduce the point "
+                                f"transform by one bit (Ah={ah}, Al={al})"
+                            )
+                    approx[ci][k] = al
         else:
             if (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError(
@@ -1719,7 +1779,8 @@ def decode_jpeg_coefficients(payload: bytes):
                             "scan references undefined Huffman table"
                         )
                     preds[ci] = _decode_block_sequential(
-                        rdr, dc_map, ac_map, block, preds[ci]
+                        rdr, dc_map, ac_map, block, preds[ci],
+                        max_dc, max_ac,
                     )
                 elif ss == 0:  # progressive DC scan
                     if ah == 0:  # first pass
@@ -1729,8 +1790,11 @@ def decode_jpeg_coefficients(payload: bytes):
                                 "scan references undefined Huffman table"
                             )
                         t = rdr.huffman(dc_map)
-                        if t > 15:
-                            raise ValueError("invalid DC category")
+                        if t > max_dc:
+                            raise ValueError(
+                                f"DC category {t} exceeds the "
+                                f"precision's bound {max_dc}"
+                            )
                         preds[ci] += _extend(rdr.receive(t), t)
                         block.flat[0] = preds[ci] << al
                     else:  # refinement: one raw bit per block
@@ -1744,7 +1808,7 @@ def decode_jpeg_coefficients(payload: bytes):
                         )
                     if ah == 0:
                         eobrun = _decode_ac_first(
-                            rdr, ac_map, block, ss, se, al, eobrun
+                            rdr, ac_map, block, ss, se, al, eobrun, max_ac
                         )
                     else:
                         eobrun = _decode_ac_refine(
@@ -1884,6 +1948,7 @@ def decode_jpeg_coefficients(payload: bytes):
                     bx, by = -(-w // 8), -(-h // 8)
                 arrs.append(np.zeros((by, bx, 8, 8), dtype=np.int64))
                 dc_seen.append(False)
+                approx.append([None] * 64)
         elif marker in _SOF_GATES:
             raise NotImplementedError(
                 f"{_SOF_GATES[marker]} requires an image library"
