@@ -1367,6 +1367,8 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
     Embarrassingly parallel: payloads never shuffle."""
     import pandas as pd
 
+    from . import flac
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rate, nch, nfr, amp = [], [], [], []
@@ -1374,7 +1376,15 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
                 parsed = None
                 if b is not None:
                     try:
-                        parsed = decode_wav(bytes(b))
+                        raw = bytes(b)
+                        # container dispatch on the stream magic:
+                        # RIFF/WAVE -> PCM chunk walker, fLaC -> the
+                        # rice/LPC decoder (operators/flac.py, round 11)
+                        parsed = (
+                            flac.decode_flac(raw)
+                            if raw[:4] == b"fLaC"
+                            else decode_wav(raw)
+                        )
                     except (ValueError, NotImplementedError, IndexError, MemoryError):
                         # MemoryError: a hostile payload whose DECLARED
                         # dimensions are a memory bomb (e.g. a GIF header

@@ -2692,6 +2692,86 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_flac_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8000 + doc_id % 90 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(60 + doc_id % 50 AS BIGINT) AS n_frames,
+           CAST(list_sum([
+             (11*doc_id + 5*(j // (1 + doc_id % 2))
+                        + 7*(j % (1 + doc_id % 2))
+                        + ((j // (1 + doc_id % 2))
+                           * (j // (1 + doc_id % 2))) % 13) % 65536 - 32768
+             for j in generate_series(0,
+               (60 + doc_id % 50) * (1 + doc_id % 2) - 1)
+           ]) AS BIGINT) AS amp_sum
+    FROM documents
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode (round 11 — the gate the WAV query
+    declared, "non-PCM encodings remain", closes for FLAC): a
+    deterministic PCM16 clip per document — sample(i,c) = (11·id + 5i
+    + 7c + i² mod 13) mod 65536 − 32768, the quadratic term keeping
+    rice residuals nonzero so the entropy layer really codes — is
+    FLAC-encoded engine-side by ``operators/flac.encode_flac`` (fixed
+    predictors chosen per frame by residual cost, fitted rice
+    parameters, REAL MD5 signature in STREAMINFO) and decoded by
+    ``flac.decode_flac`` through ``decode_audio_features``'s magic
+    dispatch. Coverage varies per doc: stereo docs rotate through all
+    four decorrelation choices (auto/independent/left-side/right-side
+    — the cost-picked auto frequently lands mid/side), blocksize
+    rotates 16/32/48/64 so every clip spans multiple frames and the
+    coded frame number grows, and both CRCs plus the MD5 verify on
+    every asset. FLAC is lossless, so the oracle states the exact
+    amplitude sum arithmetically — a decoder wrong about rice
+    zigzags, fixed-predictor reconstruction, stereo decorrelation,
+    frame-header code points, or the bit-unaligned subframe layout
+    hash-fails.
+
+    Scale: the shared zero-shuffle decode-where-produced Arrow shape
+    of every codec query."""
+    from ..operators import flac, multimodal
+
+    docs = _doc_ids_repartitioned(spark, sf_dir)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, ch = 60 + d % 50, 1 + d % 2
+                i = np.arange(n).reshape(n, 1)
+                c = np.arange(ch).reshape(1, ch)
+                samples = (
+                    (11 * d + 5 * i + 7 * c + (i * i) % 13) % 65536
+                ) - 32768
+                mode = (
+                    ("auto", "indep", "left", "right")[d % 4]
+                    if ch == 2
+                    else "auto"
+                )
+                payloads.append(
+                    flac.encode_flac(
+                        samples,
+                        8000 + d % 90,
+                        blocksize=16 + (d % 4) * 16,
+                        stereo_mode=mode,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_audio_features(assets)
+
+
+@register(
     "multimodal_resize_decode",
     oracle="""
     SELECT doc_id AS asset_id,
