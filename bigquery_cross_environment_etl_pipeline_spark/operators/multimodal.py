@@ -972,7 +972,9 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
     WAV convention). Chunk walking follows the RIFF grammar (chunks
     are (id, size, data) with word alignment padding), so metadata
     chunks (LIST/fact/cue) before or after ``data`` are skipped, not
-    misread. Compressed codecs (ADPCM, MP3-in-WAV, float formats)
+    misread. G.711 mu-law/A-law (format tags 7/6, round 11) expand to
+    13/14-bit linear PCM via the published table-free CCITT formulas.
+    Other compressed codecs (ADPCM, MP3-in-WAV, float formats)
     raise NotImplementedError; structural corruption (bad magic,
     missing fmt/data, truncated data, zero channels) raises ValueError
     loudly — the same contract as ``decode_png``."""
@@ -1015,13 +1017,40 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
     audio_format, n_ch, rate, _byte_rate, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_format != 1:
+    if audio_format not in (1, 6, 7):
         raise NotImplementedError(
-            f"WAV audio format {audio_format} (non-PCM: ADPCM/float/"
-            "MP3-in-WAV) requires an audio library"
+            f"WAV audio format {audio_format} (ADPCM/float/MP3-in-WAV) "
+            "requires an audio library"
         )
     if n_ch == 0 or rate == 0:
         raise ValueError("WAV with zero channels or zero sample rate")
+    if audio_format in (6, 7):
+        # G.711 A-law (6) / mu-law (7): one byte per sample, expanded
+        # by the published table-free formulas to 13/14-bit linear
+        # PCM (the CCITT reference alaw2linear/ulaw2linear) — round 11
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, declares {bits}")
+        if len(data) % n_ch:
+            raise ValueError("G.711 data not a whole number of frames")
+        if block_align not in (0, n_ch):
+            raise ValueError(
+                "WAV block alignment inconsistent with channels/depth"
+            )
+        codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        if audio_format == 7:  # mu-law
+            u = 0xFF - codes  # one's complement
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+            arr = np.where(u & 0x80, 0x84 - t, t - 0x84)
+        else:  # A-law
+            a = codes ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a >> 4) & 7
+            t = np.where(
+                seg == 0, t + 8,
+                np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+            )
+            arr = np.where(a & 0x80, t, -t)
+        return int(rate), arr.reshape(-1, n_ch)
     if bits == 16:
         if len(data) % (2 * n_ch):
             raise ValueError("WAV 16-bit data not a whole number of frames")
@@ -1036,6 +1065,40 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
     if block_align not in (0, n_ch * bits // 8):
         raise ValueError("WAV block alignment inconsistent with channels/depth")
     return int(rate), arr.reshape(-1, n_ch)
+
+
+def encode_wav_g711(codes: "object", sample_rate: int, law: str) -> bytes:
+    """Write G.711 companded bytes (uint8 codes shaped (n_frames,
+    n_channels) or (n_frames,)) as a RIFF/WAVE stream with format tag
+    7 (``law='mu'``) or 6 (``law='a'``), 8 bits per sample — the
+    engine-side generator the driver oracle pairs with
+    ``decode_wav``'s expansion formulas."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(codes)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError("codes must be (n_frames,) or (n_frames, n_channels)")
+    if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+        raise ValueError("G.711 codes must be bytes (0..255)")
+    tag = {"mu": 7, "a": 6}.get(law)
+    if tag is None:
+        raise ValueError(f"unknown G.711 law {law!r} ('mu' or 'a')")
+    n_ch = a.shape[1]
+    data = a.astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: "object", sample_rate: int) -> bytes:

@@ -2772,6 +2772,110 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_g711_decode",
+    oracle="""
+    WITH expanded AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             [CASE WHEN doc_id % 2 = 0 THEN
+                -- mu-law expansion (CCITT ulaw2linear, table-free)
+                CASE WHEN (255 - ((doc_id + 3*(j // (1 + doc_id % 2))
+                                  + 5*(j % (1 + doc_id % 2))) % 256)) >= 128
+                  THEN 132 - ((((255 - ((doc_id + 3*(j // (1 + doc_id % 2))
+                                        + 5*(j % (1 + doc_id % 2))) % 256)) % 16)
+                               * 8 + 132)
+                              << (((255 - ((doc_id + 3*(j // (1 + doc_id % 2))
+                                           + 5*(j % (1 + doc_id % 2))) % 256))
+                                   // 16) % 8))
+                  ELSE ((((255 - ((doc_id + 3*(j // (1 + doc_id % 2))
+                                  + 5*(j % (1 + doc_id % 2))) % 256)) % 16)
+                         * 8 + 132)
+                        << (((255 - ((doc_id + 3*(j // (1 + doc_id % 2))
+                                     + 5*(j % (1 + doc_id % 2))) % 256))
+                             // 16) % 8)) - 132
+                END
+              ELSE
+                -- A-law expansion (CCITT alaw2linear: sign-bit-set is
+                -- POSITIVE after the 0x55 toggle)
+                CASE WHEN xor((doc_id + 3*(j // (1 + doc_id % 2))
+                               + 5*(j % (1 + doc_id % 2))) % 256, 85) >= 128
+                     THEN 1 ELSE -1 END
+                * (CASE (xor((doc_id + 3*(j // (1 + doc_id % 2))
+                              + 5*(j % (1 + doc_id % 2))) % 256, 85) // 16) % 8
+                   WHEN 0 THEN (xor((doc_id + 3*(j // (1 + doc_id % 2))
+                                    + 5*(j % (1 + doc_id % 2))) % 256, 85) % 16)
+                               * 16 + 8
+                   WHEN 1 THEN (xor((doc_id + 3*(j // (1 + doc_id % 2))
+                                    + 5*(j % (1 + doc_id % 2))) % 256, 85) % 16)
+                               * 16 + 264
+                   ELSE ((xor((doc_id + 3*(j // (1 + doc_id % 2))
+                              + 5*(j % (1 + doc_id % 2))) % 256, 85) % 16)
+                         * 16 + 264)
+                        << (((xor((doc_id + 3*(j // (1 + doc_id % 2))
+                                  + 5*(j % (1 + doc_id % 2))) % 256, 85) // 16)
+                             % 8) - 1)
+                   END)
+              END
+              for j in generate_series(0,
+                (80 + doc_id % 60) * (1 + doc_id % 2) - 1)
+             ] AS samples
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(80 + doc_id % 60 AS BIGINT) AS n_frames,
+           CAST(list_sum(samples) AS BIGINT) AS amp_sum
+    FROM expanded
+    """,
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio decode (round 11, with FLAC the second
+    half of the compressed-audio gate): a deterministic companded
+    byte lattice per document — code(i,c) = (id + 3i + 5c) mod 256,
+    sweeping all 256 code points across the corpus — is wrapped as a
+    format-tag-7 (mu-law, even docs) or format-tag-6 (A-law, odd
+    docs) RIFF/WAVE by ``multimodal.encode_wav_g711`` and expanded by
+    ``decode_wav``'s table-free CCITT formulas to 13/14-bit linear
+    PCM. G.711 expansion is an exact integer formula, so the oracle
+    restates it per byte in SQL (the mu-law one's-complement/bias-132
+    form; the A-law 0x55-toggle segmented form with its sign-bit-set-
+    is-positive convention) — a decoder wrong about either law's
+    segment layout, bias, or sign convention hash-fails on some of
+    the 256 code points.
+
+    Scale: the shared zero-shuffle decode-where-produced Arrow shape
+    of every codec query."""
+    from ..operators import multimodal
+
+    docs = _doc_ids_repartitioned(spark, sf_dir)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, ch = 80 + d % 60, 1 + d % 2
+                i = np.arange(n).reshape(n, 1)
+                c = np.arange(ch).reshape(1, ch)
+                codes = (d + 3 * i + 5 * c) % 256
+                payloads.append(
+                    multimodal.encode_wav_g711(
+                        codes, 8000, "mu" if d % 2 == 0 else "a"
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(encode, "asset_id bigint, payload binary")
+    return multimodal.decode_audio_features(assets)
+
+
+@register(
     "multimodal_resize_decode",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -320,3 +320,63 @@ def test_wav_zero_rate_and_block_align_lies_rejected():
     struct.pack_into("<H", payload, at + 8 + 12, 7)  # block align lie
     with pytest.raises(ValueError, match="alignment"):
         multimodal.decode_wav(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_reference_points():
+    """Pinned against the published G.711 extreme/zero code points:
+    mu-law 0xFF/0x7F are the two zeros, 0x00/0x80 the +/-32124
+    extremes; A-law 0x55/0xD5 are -/+8 (the quietest), 0x2A/0xAA the
+    -/+32256 extremes."""
+
+    def one(code, law):
+        p = multimodal.encode_wav_g711(np.array([code]), 8000, law)
+        _, s = multimodal.decode_wav(p)
+        return int(s[0, 0])
+
+    assert one(0xFF, "mu") == 0 and one(0x7F, "mu") == 0
+    assert one(0x00, "mu") == -32124 and one(0x80, "mu") == 32124
+    assert one(0x55, "a") == -8 and one(0xD5, "a") == 8
+    assert one(0x2A, "a") == -32256 and one(0xAA, "a") == 32256
+
+
+def test_g711_full_code_sweep_symmetry():
+    """All 256 code points decode; each law's positive and negative
+    halves mirror exactly (both laws are sign-magnitude codes)."""
+    for law, sign_set_positive in (("mu", False), ("a", True)):
+        p = multimodal.encode_wav_g711(np.arange(256).reshape(-1, 1), 8000, law)
+        _, s = multimodal.decode_wav(p)
+        vals = s[:, 0]
+        if law == "mu":
+            # mu-law: codes 0x00-0x7F negative half, 0x80-0xFF positive
+            assert np.array_equal(-vals[:128], vals[128:])
+        else:
+            # A-law: toggling the sign bit (0x80) flips the sign
+            flipped = np.arange(256) ^ 0x80
+            assert np.array_equal(-vals, vals[flipped])
+
+
+def test_g711_structural_lies_rejected():
+    p = bytearray(multimodal.encode_wav_g711(np.zeros(10, dtype=int), 8000, "mu"))
+    # declared bit depth must be 8 for G.711
+    at = p.find(b"fmt ")
+    mut = bytearray(p)
+    mut[at + 8 + 14] = 16
+    with pytest.raises(ValueError, match="must be 8-bit"):
+        multimodal.decode_wav(bytes(mut))
+    # other compressed formats stay gated
+    mut = bytearray(p)
+    mut[at + 8] = 2  # MS ADPCM
+    with pytest.raises(NotImplementedError, match="ADPCM"):
+        multimodal.decode_wav(bytes(mut))
+
+
+def test_g711_encoder_validation():
+    with pytest.raises(ValueError, match="bytes"):
+        multimodal.encode_wav_g711(np.array([300]), 8000, "mu")
+    with pytest.raises(ValueError, match="unknown G.711 law"):
+        multimodal.encode_wav_g711(np.array([1]), 8000, "ulaw")
