@@ -593,8 +593,10 @@ def decode_sequential_scan(
     for u, unit in enumerate(units):
         if restart_interval and u and u % restart_interval == 0:
             p = find_marker(data, dec.bp)
-            while data[p + 1] == 0xFF:  # B.1.1.2 fill bytes
-                p += 1
+            while p + 2 < len(data) and data[p + 1] == 0xFF:
+                p += 1  # B.1.1.2 fill bytes before the marker
+            if p + 2 > len(data):
+                raise ValueError("JPEG restart marker truncated")
             marker = data[p + 1]
             if marker != 0xD0 + (rst & 7):
                 raise ValueError(
@@ -817,8 +819,10 @@ def decode_progressive_scan(
     for u, unit in enumerate(units):
         if restart_interval and u and u % restart_interval == 0:
             p = find_marker(data, dec.bp)
-            while data[p + 1] == 0xFF:
-                p += 1
+            while p + 2 < len(data) and data[p + 1] == 0xFF:
+                p += 1  # B.1.1.2 fill bytes before the marker
+            if p + 2 > len(data):
+                raise ValueError("JPEG restart marker truncated")
             marker = data[p + 1]
             if marker != 0xD0 + (rst & 7):
                 raise ValueError(
