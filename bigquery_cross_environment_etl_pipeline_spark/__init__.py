@@ -26,6 +26,14 @@ Layout
 
 __version__ = "0.1.0"
 
+# Applied at import so every Spark Python worker that unpickles one of
+# this package's UDFs gets the mtime-checked zipimport invalidation
+# (kills the measured ~0.17 s/task importlib.invalidate_caches() cost —
+# see workerenv.py and OPTIMIZATION_r11.md).
+from . import workerenv as _workerenv
+
+_workerenv.ensure_fast_zip_invalidation()
+
 TABLES = (
     "region",
     "nation",

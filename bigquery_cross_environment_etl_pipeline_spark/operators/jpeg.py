@@ -79,6 +79,7 @@ PNG/GIF).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 # ---------------------------------------------------------------------------
@@ -242,8 +243,19 @@ class _DecodeTable:
 
 
 def _decode_map(bits: list[int], vals: list[int]) -> _DecodeTable:
-    """Build the decode table the bit-reader consumes."""
-    return _DecodeTable(bits, vals)
+    """Build the decode table the bit-reader consumes.
+
+    Memoized on the raw (BITS, HUFFVAL) bytes: decoders in a corpus
+    query rebuild the identical Annex-K tables for every asset (the
+    DHT segments are read from each stream, but their content repeats),
+    and table construction measured ~30 % of small-image decode CPU.
+    The table is immutable after construction, so sharing is safe."""
+    return _decode_map_cached(bytes(bits), bytes(vals))
+
+
+@functools.lru_cache(maxsize=256)
+def _decode_map_cached(bits: bytes, vals: bytes) -> _DecodeTable:
+    return _DecodeTable(list(bits), list(vals))
 
 
 # ---------------------------------------------------------------------------
@@ -414,17 +426,20 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
 def _dct_matrix():
     """M[u, x] = c_u/2 * cos((2x+1) u pi / 16) with c_0 = 1/sqrt(2):
     forward DCT of a block f is M @ f @ M.T, inverse is M.T @ F @ M.
     For a DC-only block the inverse multiplies an integer by exact
-    powers of two — the bit-exactness the driver oracle leans on."""
+    powers of two — the bit-exactness the driver oracle leans on.
+    Cached (it was rebuilt per image); callers never mutate it."""
     import numpy as np
 
     x = np.arange(8)
     u = np.arange(8).reshape(8, 1)
     m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
     m[0, :] = 0.5 / np.sqrt(2.0)
+    m.setflags(write=False)
     return m
 
 

@@ -50,6 +50,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # preload numpy/pandas/pyarrow (and this package's worker-side
+        # fixes) in the daemon so forked workers inherit them via COW
+        # instead of paying ~4.7 s CPU of imports each (guide §4.5;
+        # measured in OPTIMIZATION_r11.md). Module ships with the repo;
+        # if it were unimportable workers would fail loudly, and the
+        # stock daemon path can be restored via extra_conf.
+        .config(
+            "spark.python.daemon.module",
+            "bigquery_cross_environment_etl_pipeline_spark.daemonprefork",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # default INT96 timestamps carry NO row-group min/max statistics
         # — INT64 micros restore timestamp range skipping at the scan
