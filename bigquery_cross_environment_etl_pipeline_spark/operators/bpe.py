@@ -144,7 +144,10 @@ def train_bpe(
 def merge_table(spark: SparkSession, merges) -> DataFrame:
     """The trained merge table as a DataFrame (bounded: n_merges
     rows)."""
-    return spark.createDataFrame(
+    from ..localrel import local_df
+
+    return local_df(
+        spark,
         merges,
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count bigint",

@@ -134,7 +134,9 @@ def connected_components(
                 StructField("comp", node_type, nullable=False),
             ]
         )
-        return spark.createDataFrame(list(mapping.items()), schema)
+        from ..localrel import local_df
+
+        return local_df(spark, list(mapping.items()), schema)
     sym = (
         pair_df.union(
             pair_df.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -77,7 +77,9 @@ class ConfigStore:
                 f"NULL key column ({', '.join(self.key_cols)}); refusing to "
                 "rewrite — repair the store instead"
             )
-        out = self.spark.createDataFrame(rows, self.schema)
+        from ..localrel import local_df
+
+        out = local_df(self.spark, rows, self.schema)
         out.coalesce(1).write.mode("overwrite").parquet(self.path)
 
     # -- S3 ------------------------------------------------------------

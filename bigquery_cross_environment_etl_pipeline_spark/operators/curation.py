@@ -129,7 +129,9 @@ def global_running_sum(
         offsets.append((pid, acc))
         acc += subtotals[pid]
     spark = df.sparkSession
-    offset_df = spark.createDataFrame(offsets, "_pid int, _offset bigint")
+    from ..localrel import local_df
+
+    offset_df = local_df(spark, offsets, "_pid int, _offset bigint")
     return (
         local.join(F.broadcast(offset_df), "_pid")
         .withColumn(out_col, (F.col("_offset") + F.col("_local_sum")).cast("bigint"))

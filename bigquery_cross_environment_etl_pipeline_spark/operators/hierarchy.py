@@ -92,7 +92,9 @@ def ancestor_closure(
         schema = StructType(
             [StructField("node", t, False), StructField("anc", t, False)]
         )
-        return spark.createDataFrame(sorted(pairs), schema)
+        from ..localrel import local_df
+
+        return local_df(spark, sorted(pairs), schema)
     cl = base
     for _ in range(rounds):
         extended = (

@@ -227,8 +227,10 @@ def bm25_topk_from_index(
     tree (the same one the inline ``bm25_topk_retrieval`` builds on),
     so the served result is hash-identical to scoring from raw text
     by construction."""
+    from ..localrel import local_df
+
     bucket_rows = (
-        spark.createDataFrame([(t,) for t in terms], "token string")
+        local_df(spark, [(t,) for t in terms], "token string")
         .select(_token_bucket(F.col("token")).alias("_tb"))
         .distinct()
         .collect()

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .upsert import merge_upsert
+from ..localrel import local_df
 
 ROLLUP_KEYS = ["bucket", "event_type"]
 
@@ -78,7 +79,7 @@ class RollupTable:
         merged = merge_rollup(self.read(), aggregate_batch(batch, ts_col))
         # rollup is small (one row per bucket x dim); stage then rewrite
         rows = merged.collect()
-        out = self.spark.createDataFrame(rows, merged.schema)
+        out = local_df(self.spark, rows, merged.schema)
         out.coalesce(1).write.mode("overwrite").parquet(self.path)
 
     def serve(self) -> DataFrame:

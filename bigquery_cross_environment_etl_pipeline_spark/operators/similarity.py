@@ -632,8 +632,10 @@ def ann_batch_topk_ivf_probe(
     index = spark.read.parquet(index_path + "/assigned").filter(
         F.col("_cid").isin(all_cids)
     )
-    pairs_df = spark.createDataFrame(probe_pairs, "qid long, _cid long")
-    qdf = spark.createDataFrame(qrows, "qid long, _qvec array<double>, _qnrm double")
+    from ..localrel import local_df
+
+    pairs_df = local_df(spark, probe_pairs, "qid long, _cid long")
+    qdf = local_df(spark, qrows, "qid long, _qvec array<double>, _qnrm double")
     cand = index.join(F.broadcast(pairs_df), "_cid").join(F.broadcast(qdf), "qid")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col("qid"))

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from ..functions.scalar import epoch_seconds, finite_metric
 from ..queries_catalog import TS_FMT_DUCK, TS_FMT_SPARK, register
 from ..sources.registry import load_table
+from ..localrel import local_df
 
 
 def _dec(col: str) -> F.Column:
@@ -1697,7 +1698,8 @@ def compaction_file_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .first()
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(n_before), int(n_after), bool(disjoint),
           int(row["n_rows"]), row["total_price"])],
         "files_before bigint, files_after bigint, ranges_disjoint boolean,"

@@ -21,6 +21,7 @@ from ..queries_catalog import (
     register,
 )
 from ..sources.registry import load_table
+from ..localrel import local_df
 
 _WINDOW_PRED = (
     f"ts >= TIMESTAMP '{WINDOW_START}' AND ts < TIMESTAMP '{WINDOW_END}'"
@@ -550,7 +551,8 @@ def verdict_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("manifest_rows", F.lit(manifest_rows).cast("bigint"))
             .collect()
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "o_orderstatus string, n_orders bigint, sum_total double,"
         " manifest_rows bigint",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.scalar import epoch_seconds, finite_metric
+from ..localrel import local_df
 from ..operators.joins import asof_join, range_join
 from ..operators.similarity import eligible_embeddings
 from ..operators.text import tokens
@@ -675,7 +676,7 @@ def rollup_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # because the TemporaryDirectory the store lives in vanishes
         # at the `with` exit (harness-imposed, not a driver-side loop)
         rows = out.collect()
-    materialized = spark.createDataFrame(rows, out.schema)
+    materialized = local_df(spark, rows, out.schema)
     return materialized.select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
         "event_type",
@@ -2243,7 +2244,7 @@ def _outer_join_nulls_replay(
     name = f"{how[0]}ojoin_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory(prefix=f"stream_{how[0]}ojoin_") as tmp:
         for tag, df in sides.items():
-            sentinel = lambda ts: spark.createDataFrame(
+            sentinel = lambda ts: local_df(spark, 
                 [(-1, ts, -1)], "user_id long, ts string, event_id long"
             ).withColumn("ts", F.col("ts").cast("timestamp"))
             write_microbatches(
@@ -2527,7 +2528,7 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="provision_") as tmp:
         config = ConfigStore(spark, f"{tmp}/config")
         config.write(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(org, "proj-1", "src_ds", "src_tbl", None, None, "svc-acct")],
                 CONFIG_SCHEMA,
             )
@@ -2568,7 +2569,7 @@ def etl_provision_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             cat.drop_database_cascade(spark, dataset)
         rows.append(("dropped_cascade", not cat.database_exists(spark, dataset)))
-    return spark.createDataFrame(rows, "step string, ok boolean")
+    return local_df(spark, rows, "step string, ok boolean")
 
 
 # --- streaming dedup (now oracle-checked) ---------------------------------------------------
@@ -2722,7 +2723,7 @@ def etl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(ends),
         ),
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "org_id long, step string, status string, n long"
     )
 
@@ -2858,7 +2859,7 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["o_orderstatus"], r["n_orders"], r["total_price"], n_parts, pushed)
         for r in rollup
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "o_orderstatus string, n_orders bigint, total_price double,"
         " n_read_partitions bigint, filter_pushed boolean",
@@ -2940,7 +2941,7 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["o_orderstatus"], r["n_orders"], r["total_price"], n_files, pushed)
         for r in rollup
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "o_orderstatus string, n_orders bigint, total_price double,"
         " n_orc_files bigint, filter_pushed boolean",
@@ -3076,7 +3077,7 @@ def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
         # foreign-writer corruption: NULL org_id straight into the files
         from ..schemas import CHECKPOINT_SCHEMA
 
-        corrupt = spark.createDataFrame(
+        corrupt = local_df(spark, 
             [(None, "p", STATUS_SUCCESS, dt.datetime(2024, 3, 1), jan10)],
             _nullable(CHECKPOINT_SCHEMA),
         )
@@ -3091,7 +3092,7 @@ def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         config = ConfigStore(spark, f"{tmp}/config")
         config.write(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(7, "p7", "ds", "tbl", None, None, "svc")], CONFIG_SCHEMA
             )
         )
@@ -3100,7 +3101,7 @@ def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = config.update_values(7, "p7", {"pulsebillingdataset": "written"})
         rows.append(("update_matches_only_real_key", n == 1))
         # now the foreign-writer corruption
-        corrupt_cfg = spark.createDataFrame(
+        corrupt_cfg = local_df(spark, 
             [(None, "p-null", None, None, None, None, None)],
             _nullable(CONFIG_SCHEMA),
         )
@@ -3133,7 +3134,7 @@ def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
                 and len(after) == 2,
             )
         )
-        messages = spark.createDataFrame(
+        messages = local_df(spark, 
             [(7, "job-a"), (None, "job-null")], "org_id long, job string"
         )
         cfg_df = spark.read.schema(_nullable(CONFIG_SCHEMA)).parquet(config.path)
@@ -3147,12 +3148,12 @@ def etl_protocol_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         steps = StepStatusStore(spark, f"{tmp}/steps")
         steps.write(
-            spark.createDataFrame([(1, 7, False)], STEP_STATUS_SCHEMA)
+            local_df(spark, [(1, 7, False)], STEP_STATUS_SCHEMA)
         )
         rows.append(
             ("step_missing_returns_zero", steps.set_step_completed(99, 7, True) == 0)
         )
-    return spark.createDataFrame(rows, "check_name string, ok boolean")
+    return local_df(spark, rows, "check_name string, ok boolean")
 
 
 # --- CDC apply-changes ------------------------------------------------------
@@ -3499,7 +3500,7 @@ def streaming_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
         # INVARIANT: O(result) only — one row per user in the demo
         # slice, the query's final output, not an intermediate
         rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 # --- mergeable histogram quantile sketch ------------------------------------
@@ -3798,7 +3799,7 @@ def etl_retry_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             backoff=lambda a: 0.0,
         )
         n_log = ckpt.read().count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(res.attempts, res.status, res.rows_loaded, n_log)],
         "attempts long, status string, rows_loaded long, n_status_rows long",
     )
@@ -3831,7 +3832,7 @@ def step_status_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="steps_") as tmp:
         store = StepStatusStore(spark, f"{tmp}/steps")
         store.write(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(7, 1, False), (7, 2, False), (8, 1, False), (9, 1, False)],
                 STEP_STATUS_SCHEMA,
             )
@@ -3842,7 +3843,7 @@ def step_status_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
         # INVARIANT: O(result) only — the step-status store is
         # tenants x steps sized (config-scale, not data-scale)
         rows = store.read().collect()
-    return spark.createDataFrame(rows, STEP_STATUS_SCHEMA)
+    return local_df(spark, rows, STEP_STATUS_SCHEMA)
 
 
 # --- observe() accounting (A5), driver-visible ------------------------------
@@ -3880,7 +3881,7 @@ def load_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             validate=F.col("value") >= 1.0,
             reject_path=f"{tmp}/rejects",
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 res.total_rows,
@@ -3919,7 +3920,7 @@ def config_update_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="cfg_upd_") as tmp:
         store = ConfigStore(spark, f"{tmp}/config")
         store.write(
-            spark.createDataFrame(
+            local_df(spark, 
                 [
                     (1, "proj-1", "ds1", "t1", "pulse_a", "ptab_a", "sa-1"),
                     (2, "proj-2", "ds2", "t2", "pulse_b", "ptab_b", "sa-2"),
@@ -3944,7 +3945,7 @@ def config_update_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         # INVARIANT: O(result) only — the config store is one row per
         # tenant (config-scale, not data-scale)
         rows = store.read().collect()
-    return spark.createDataFrame(rows, store.schema)
+    return local_df(spark, rows, store.schema)
 
 
 # --- batch-partition time travel --------------------------------------------
@@ -3990,7 +3991,7 @@ def load_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_of_1 = full.filter(F.col("_batch_id") <= "b0001").count()
         as_of_2 = full.filter(F.col("_batch_id") <= "b0002").count()
         only_2 = full.filter(F.col("_batch_id") == "b0002").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             ("as_of_batch1", as_of_1),
             ("as_of_batch2", as_of_2),
@@ -4049,7 +4050,7 @@ def retention_purge_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         leaked = clean.join(F.broadcast(tombstones), "user_id", "left_semi").count()
         assert leaked == 0, "purged users survived the rewrite"
         purged_users = tombstones.count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(before, after, before - after, purged_users)],
         "rows_before long, rows_after long, rows_purged long, users_purged long",
     )
@@ -4095,7 +4096,7 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = merged.count()
         with_src = merged.filter(F.col("source_system").isNotNull()).count()
         null_src = merged.filter(F.col("source_system").isNull()).count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(total, with_src, null_src)],
         "total_rows long, rows_with_source long, rows_null_source long",
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import epoch_seconds
 from ..queries_catalog import register
 from ..sources.registry import load_table
+from ..localrel import local_df
 
 
 def _billing_rows(events: DataFrame) -> DataFrame:
@@ -258,8 +259,8 @@ def window_partition_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = count_in_window(events, "ts", "2024-01-15", "2024-02-01")
     fn = count_in_window(events, "ts", "2024-01-01", "2024-02-01")
     assert ln + rn == fn, "half-open windows must partition the stream"
-    return spark.createDataFrame(
-        [(ln, rn, fn)], "left_n long, right_n long, full_n long"
+    return local_df(
+        spark, [(ln, rn, fn)], "left_n long, right_n long, full_n long"
     )
 
 
