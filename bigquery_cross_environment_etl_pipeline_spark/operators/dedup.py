@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .iterative import iter_checkpoint
 from .text import hash48, tokens
 
 N_MINHASH = 8
@@ -644,7 +645,10 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id", max_hamm
     """
     lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("b_lo")
     hi = (F.shiftright(F.col("simhash"), 8)).alias("b_hi")
-    fp = fingerprints.select(id_col, "simhash", lo, hi)
+    # materialize ONCE (one 4-int row per doc): the lo/hi blocking
+    # joins reference this subtree FOUR times (two self-joins), and
+    # each re-derivation is a full fingerprint pass over the corpus
+    fp = iter_checkpoint(fingerprints.select(id_col, "simhash", lo, hi))
     a, b = fp.alias("a"), fp.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -38,6 +38,24 @@ def _doc_ids_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (with text) spread across defaultParallelism
+    partitions — the ``_doc_ids_repartitioned`` lesson applied to the
+    HASHING-heavy dedup/quality queries (round 11): the one-file
+    synthetic corpus serializes each CPU-dense shingle/minhash/simhash
+    map stage onto the single scan task, and a self-join or multi-arm
+    query holds several such stages. The corpus is a few MB at sf0.1,
+    so the round-robin repartition costs one tiny shuffle and restores
+    the 32-way parallelism a many-file corpus would give for free (at
+    100 TB ingest is many files and this repartition coalesces into
+    the scan — a no-op). Measured on dedup_recall_precision's arms:
+    wall 7.7 s -> 3.5 s at identical results. Only the hashing-heavy
+    queries route through this; cheap scans keep the plain load."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB expression generators (mirrors of operators.text / .dedup /
 # .similarity arithmetic)
@@ -179,7 +197,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity. One md5 per shingle + per-seed affine rehash (exact
     int64), grouped MIN map-side partial; only (doc_id, 8 mins) and
     then (band_idx, band_key) shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
     return dedup.lsh_candidate_pairs(sigs)
 
@@ -499,7 +517,7 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count here scales with true near-duplicates, not with
     block sizes — this is the composition that stays feasible at
     100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
     cands = dedup.lsh_candidate_pairs(sigs)
     return dedup.verified_jaccard_pairs(docs, cands, threshold=0.3)
@@ -592,7 +610,7 @@ def dedup_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-execute the whole LSH subtree, Spark reuses no exchange
     across the two sinks), then a 3-literal stack fans out the
     threshold rows — no re-scan per threshold."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
     cand = dedup.lsh_candidate_pairs(sigs).select(
         "doc_a", "doc_b", F.lit(True).alias("_cand")
@@ -756,7 +774,7 @@ def simhash_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth arm is the quality-canary price, run over a sampled stratum
     at 100 TB; the production dedup path stays the banded/blocked
     candidate generators."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     fps = dedup.simhash_fingerprints(docs)
     cand = dedup.simhash_near_pairs(fps, max_hamming=max(_SH_RADII))
     truth = dedup.exact_jaccard_pairs_inverted(docs, min_jaccard=_SH_TRUTH)
@@ -927,7 +945,7 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall queries). The per-config flags add zero shuffles — both
     signatures are already in the joined row."""
     k = dedup.N_MINHASH
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
     cand = dedup.lsh_candidate_pairs(sigs, n_bands=k).select("doc_a", "doc_b")
     sa = sigs.select(
@@ -4021,7 +4039,7 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency -> position mask -> index-aware filter rebuild); no pair
     join anywhere, so it scales where suffix-array approaches need
     specialized infrastructure."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     return dedup.duplicated_span_mask(docs, n=3, min_docs=2)
 
 
@@ -5013,7 +5031,7 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition contract as dedup_lsh_jaccard_verified: candidates
     from bands (shuffle O(docs × bands × 16 B)), the text column
     joined in only for surviving candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_repartitioned(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs)
     cand = dedup.lsh_candidate_pairs(sigs).select("doc_a", "doc_b")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
