@@ -475,6 +475,13 @@ def _encode_block(
     wtr.write(code, ln)
     if t:
         wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    if not any(zz[1:]):
+        # all-zero AC: the run-length loop below would count 63 zeros
+        # and emit exactly one EOB — emit it directly (bit-identical;
+        # C-speed any() instead of 63 interpreted iterations)
+        code, ln = ac_codes[0x00]
+        wtr.write(code, ln)
+        return zz[0]
     run = 0
     for k in range(1, 64):
         v = zz[k]
@@ -925,9 +932,15 @@ def _emit_ac_first(wtr, ac_codes, zz, ss, se, al, st: _ProgState) -> None:
     """AC first pass over the band [ss, se]: point transform toward
     zero by ``al``, run-length code the survivors, fold all-zero bands
     into the scan-wide EOB run."""
-    vals = [
-        (v >> al) if v >= 0 else -((-v) >> al) for v in zz[ss : se + 1]
-    ]
+    band = zz[ss : se + 1]
+    if not any(band):
+        # all-zero band: every point-transformed value is zero too —
+        # same EOB-run accounting, skipping the 63-shift list build
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+        return
+    vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
     if not any(vals):
         st.eobrun += 1
         if st.eobrun == 0x7FFF:
@@ -964,6 +977,14 @@ def _emit_ac_refine(wtr, ac_codes, zz, ss, se, al, st: _ProgState) -> None:
     (run, 1) + sign; ZRLs fold into the EOB run when nothing new
     follows them."""
     band = zz[ss : se + 1]
+    if not any(band):
+        # all-zero band: the walk below would find no history and no
+        # newly-nonzero coefficients — one EOB-run increment, no
+        # buffered correction bits (bit-identical fast path)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF or len(st.be_bits) > 930:
+            _flush_eobrun(wtr, ac_codes, st)
+        return
     absv = [abs(v) >> al for v in band]
     eob_last = -1
     for i, t in enumerate(absv):

@@ -204,7 +204,19 @@ class ArithEncoder:
 
     # -- decisions --------------------------------------------------------
 
-    def encode(self, st: bytearray, i: int, bit: int) -> None:
+    def encode(
+        self,
+        st: bytearray,
+        i: int,
+        bit: int,
+        # bound as defaults: these four module lookups sit on the
+        # per-decision hot path (hundreds of thousands of calls per
+        # corpus batch) — locals are one dict probe cheaper each
+        _QE=_QE,
+        _NMPS=_NMPS,
+        _NLPS=_NLPS,
+        _SWITCH=_SWITCH,
+    ) -> None:
         sv = st[i]
         idx = sv & 0x7F
         mps = sv >> 7
@@ -323,7 +335,16 @@ class ArithDecoder:
             if self.a >= 0x8000:
                 break
 
-    def decode(self, st: bytearray, i: int) -> int:
+    def decode(
+        self,
+        st: bytearray,
+        i: int,
+        # default-bound for the same hot-path reason as encode()
+        _QE=_QE,
+        _NMPS=_NMPS,
+        _NLPS=_NLPS,
+        _SWITCH=_SWITCH,
+    ) -> int:
         sv = st[i]
         idx = sv & 0x7F
         mps = sv >> 7
