@@ -560,9 +560,26 @@ def _rice_cost(resid: list[int], param: int) -> int:
 
 
 def _best_rice(resid: list[int]) -> tuple[int, int]:
-    best_p, best_c = 0, _rice_cost(resid, 0)
+    """Cheapest 4-bit rice parameter for ``resid`` with its bit cost.
+
+    Vectorized cost sweep (round 11): the scalar form re-walked the
+    residual list 15 times per subframe plan and was the encoder's
+    hottest path. The zigzag map and the per-parameter sums are exact
+    int64 arithmetic (|residual| < 2^34 even for 32-bit audio, block
+    sums < 2^50), and the ascending scan with a strict ``<`` keeps the
+    identical lowest-parameter tie-break — parameter choice, cost, and
+    therefore the emitted stream are unchanged (`_rice_cost` remains
+    the scalar reference; equality asserted in tests/test_flac.py)."""
+    import numpy as np
+
+    if not len(resid):
+        return 0, 0
+    z = np.asarray(resid, dtype=np.int64)
+    zz = (z << 1) ^ (z >> 63)
+    n = int(zz.shape[0])
+    best_p, best_c = 0, int(zz.sum()) + n
     for p in range(1, 15):
-        c = _rice_cost(resid, p)
+        c = int((zz >> p).sum()) + n * (1 + p)
         if c < best_c:
             best_p, best_c = p, c
     return best_p, best_c

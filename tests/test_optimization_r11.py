@@ -149,3 +149,30 @@ def test_mixed_zero_and_nonzero_ac_blocks_coefficient_exact():
     prog = jpeg.encode_jpeg_progressive_from_coeffs([blocks], 24, 16)
     _, comps_p = jpeg.decode_jpeg_coefficients(prog)
     assert np.array_equal(comps_p[0], blocks)
+
+
+# --- FLAC vectorized rice sweep -----------------------------------------------
+
+
+def test_best_rice_matches_scalar_reference():
+    from bigquery_cross_environment_etl_pipeline_spark.operators import flac
+
+    rng = np.random.RandomState(5)
+    cases = [
+        [],
+        [0],
+        [0] * 40,
+        list(rng.randint(-5, 5, size=17)),
+        list(rng.randint(-(2**15), 2**15, size=64)),
+        list(rng.randint(-(2**30), 2**30, size=33)),  # 32-bit-depth scale
+    ]
+    for resid in cases:
+        resid = [int(v) for v in resid]
+        want = (0, flac._rice_cost(resid, 0))
+        for p in range(1, 15):
+            c = flac._rice_cost(resid, p)
+            if c < want[1]:
+                want = (p, c)
+        if not resid:
+            want = (0, 0)
+        assert flac._best_rice(resid) == want, resid
