@@ -675,10 +675,19 @@ def excess_shippers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     qdec = F.col("l_quantity").cast("decimal(18,2)")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qdec).alias("q"))
-    part_total = shipped.groupBy("l_partkey").agg(F.sum("q").alias("total_q"))
+    # qualify parts BEFORE the totals aggregation (round 11, guide
+    # §2.3): the broadcast part filter only restricts PARTKEYS, so
+    # per-part totals over the qualifying subset are identical to
+    # filtering after — but the second exchange now carries only
+    # qualifying parts' rows instead of the whole shipped relation
+    qualifying = shipped.join(
+        F.broadcast(part), shipped.l_partkey == part.p_partkey
+    ).select("l_partkey", "l_suppkey", "q")
+    part_total = qualifying.groupBy("l_partkey").agg(
+        F.sum("q").alias("total_q")
+    )
     heavy = (
-        shipped.join(part_total, "l_partkey")
-        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        qualifying.join(part_total, "l_partkey")
         .filter(F.col("q") * 8 > F.col("total_q"))
         .select("l_suppkey")
         .distinct()
