@@ -30,9 +30,19 @@ from pyspark.sql.types import StructType
 
 
 def _has_timestamp(schema) -> bool:
-    if isinstance(schema, StructType):
-        return "timestamp" in schema.simpleString().lower()
-    return "timestamp" in str(schema).lower()
+    """True when any field's TYPE involves a timestamp. Inspects parsed
+    dataTypes, never the rendered string — a COLUMN NAMED
+    'event_timestamp bigint' must not defeat the optimization."""
+    if not isinstance(schema, StructType):
+        try:
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(str(schema))
+        except Exception:  # unparseable: be conservative
+            return "timestamp" in str(schema).lower()
+    return any(
+        "timestamp" in f.dataType.simpleString().lower() for f in schema.fields
+    )
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:

@@ -53,12 +53,22 @@ def get_spark(
         # preload numpy/pandas/pyarrow (and this package's worker-side
         # fixes) in the daemon so forked workers inherit them via COW
         # instead of paying ~4.7 s CPU of imports each (guide §4.5;
-        # measured in OPTIMIZATION_r11.md). Module ships with the repo;
-        # if it were unimportable workers would fail loudly, and the
-        # stock daemon path can be restored via extra_conf.
+        # measured in OPTIMIZATION_r11.md). The daemon process must be
+        # able to import this (not-pip-installed) package no matter
+        # what the DRIVER's cwd is, so the package root is propagated
+        # through the worker env explicitly — `python -m …daemonprefork`
+        # otherwise only works by the accident of an inherited repo-root
+        # cwd. The stock daemon path can be restored via extra_conf.
         .config(
             "spark.python.daemon.module",
             "bigquery_cross_environment_etl_pipeline_spark.daemonprefork",
+        )
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+                + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+            ),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         # default INT96 timestamps carry NO row-group min/max statistics

@@ -46,13 +46,16 @@ def ensure_fast_zip_invalidation() -> None:
         return
 
     def invalidate_if_changed(self) -> None:
+        # nanosecond mtime + size: a rewrite within coarse-mtime
+        # granularity (or a same-second replace) still invalidates
         try:
-            mtime = os.stat(self.archive).st_mtime
+            st = os.stat(self.archive)
+            stamp = (st.st_mtime_ns, st.st_size)
         except OSError:
-            mtime = None
-        if getattr(self, "_bqxe_seen_mtime", None) == mtime and mtime is not None:
+            stamp = None
+        if getattr(self, "_bqxe_seen_stamp", None) == stamp and stamp is not None:
             return
-        self._bqxe_seen_mtime = mtime
+        self._bqxe_seen_stamp = stamp
         orig(self)
 
     try:

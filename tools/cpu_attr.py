@@ -18,7 +18,12 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def tree_cpu_by_class() -> dict[str, float]:
-    """utime+stime per process class for this pid's descendant tree."""
+    """utime+stime (+reaped-children cutime/cstime) per process class
+    for this pid's descendant tree. Matches bench.py's meter on
+    purpose. Caveat: a worker that EXITS between two snapshots has its
+    CPU reappear in the parent's cutime — so during worker churn the
+    jvm/worker split is approximate (totals stay correct); compare
+    steady-state passes."""
     tick = os.sysconf("SC_CLK_TCK")
     stats: dict[int, tuple[int, str]] = {}
     children: dict[int, list[int]] = {}
@@ -62,14 +67,17 @@ def tree_cpu_by_class() -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = SF_DIR
     passes = 2
-    for i, a in enumerate(sys.argv):
+    args: list[str] = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--sf":
-            sf = sys.argv[i + 1]
-        if a == "--passes":
-            passes = int(sys.argv[i + 1])
+            sf = next(it)
+        elif a == "--passes":
+            passes = int(next(it))
+        elif not a.startswith("--"):
+            args.append(a)
 
     from bigquery_cross_environment_etl_pipeline_spark import queries_catalog
     from bigquery_cross_environment_etl_pipeline_spark.session import get_spark
