@@ -318,14 +318,19 @@ CPU_REF_PATH = os.path.join(
 )
 
 
-def proc_tree_cpu_sec() -> float | None:
-    """Total CPU seconds (utime+stime, plus reaped-children cutime+
-    cstime) of this process and every live descendant. None when /proc
-    is unavailable (non-Linux) — the channel then degrades to absent
-    rather than lying."""
+def proc_tree_cpu_by_class() -> tuple[float, float] | None:
+    """(total, worker_python) CPU seconds of this process and every
+    live descendant — utime+stime plus reaped-children cutime/cstime
+    for the total. ``worker_python`` is the live CPU of python
+    processes UNDER the JVM (pyspark daemons + workers): the share the
+    executorCpuTime meter cannot see, measured directly so the
+    regression detector's Python channel is actual Python work, never
+    the JVM's own GC/JIT remainder (round-11 refinement). None when
+    /proc is unavailable (non-Linux) — the channel then degrades to
+    absent rather than lying."""
     try:
         tick = os.sysconf("SC_CLK_TCK")
-        stats: dict[int, int] = {}
+        stats: dict[int, tuple[int, int, str]] = {}
         children: dict[int, list[int]] = {}
         for d in os.listdir("/proc"):
             if not d.isdigit():
@@ -334,28 +339,44 @@ def proc_tree_cpu_sec() -> float | None:
                 with open(f"/proc/{d}/stat") as fh:
                     # comm (field 2) may contain spaces/parens — split
                     # on the LAST ')' per proc(5)
-                    rest = fh.read().rsplit(")", 1)[1].split()
+                    raw = fh.read()
+                comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+                rest = raw.rsplit(")", 1)[1].split()
             except (OSError, IndexError):
                 continue  # raced a process exit
             pid = int(d)
             ppid = int(rest[1])
             # fields 14-17 (utime stime cutime cstime), 0-indexed from
-            # field 3 => rest[11:15]
-            stats[pid] = sum(int(x) for x in rest[11:15])
+            # field 3 => rest[11:15]; own = utime+stime only (live)
+            own = int(rest[11]) + int(rest[12])
+            full = own + int(rest[13]) + int(rest[14])
+            stats[pid] = (full, own, comm)
             children.setdefault(ppid, []).append(pid)
         total = 0
-        stack = [os.getpid()]
+        worker_py = 0
+        stack: list[tuple[int, bool]] = [(os.getpid(), False)]
         seen: set[int] = set()
         while stack:
-            p = stack.pop()
+            p, under_jvm = stack.pop()
             if p in seen:
                 continue
             seen.add(p)
-            total += stats.get(p, 0)
-            stack.extend(children.get(p, []))
-        return total / tick
+            full, own, comm = stats.get(p, (0, 0, "?"))
+            total += full
+            is_jvm = comm == "java"
+            if under_jvm and not is_jvm:
+                worker_py += own
+            for c in children.get(p, []):
+                stack.append((c, under_jvm or is_jvm))
+        return total / tick, worker_py / tick
     except (OSError, ValueError, AttributeError):
         return None
+
+
+def proc_tree_cpu_sec() -> float | None:
+    """Back-compat scalar view of ``proc_tree_cpu_by_class``."""
+    both = proc_tree_cpu_by_class()
+    return None if both is None else both[0]
 
 
 class JvmCpuMeter:
@@ -418,41 +439,105 @@ class JvmCpuMeter:
             return None
 
 
-def load_cpu_reference(path: str = CPU_REF_PATH) -> dict[str, float]:
-    """Committed per-query CPU seconds for the current sf dir; empty
-    when absent or for a different scale. Unlike the wall-clock quiet
-    reference, this CAN be minted on a loaded box (--write-cpu-ref):
-    load-robustness is the whole point of the channel."""
+#: per-channel floors for arming the regression detector. Below them a
+#: channel is scheduler/GC-noise-dominated — measured round 11: between
+#: two back-to-back clean passes, sub-0.5s executorCpuTime references
+#: moved ~1.5x and the WHOLE-TREE CPU of sub-2s pure-JVM queries moved
+#: +/-1.5s (non-task GC/JIT attribution depends on what ran before),
+#: while worker-python CPU and >=0.5s executor CPU stayed flat.
+CPU_JVM_REF_FLOOR = 0.5
+CPU_WORKER_REF_FLOOR = 0.5
+CPU_TREE_REF_FLOOR = 2.0  # legacy-ref fallback only
+
+
+def load_cpu_reference(path: str = CPU_REF_PATH) -> tuple[
+    dict[str, float], dict[str, float], dict[str, float]
+]:
+    """Committed per-query (process-tree CPU, JVM executor CPU,
+    worker-python CPU) for the current sf dir; empty when absent or for
+    a different scale. Unlike the wall-clock quiet reference, this CAN
+    be minted on a loaded box (--write-cpu-ref): load-robustness is the
+    whole point of the channel."""
     try:
         with open(path) as fh:
             d = json.load(fh)
         if d.get("sf_dir") != SF_DIR:
-            return {}
-        return {
-            k: float(v)
-            for k, v in d.get("cpu_queries", {}).items()
-            if isinstance(v, (int, float)) and v > 0
-        }
+            return {}, {}, {}
+
+        def clean(key: str) -> dict[str, float]:
+            return {
+                k: float(v)
+                for k, v in d.get(key, {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+
+        return (
+            clean("cpu_queries"),
+            clean("jvm_cpu_queries"),
+            clean("py_cpu_queries"),
+        )
     except (OSError, ValueError):
-        return {}
+        return {}, {}, {}
 
 
 def cpu_regressions(
-    cpu_timings: dict[str, float], cpu_ref: dict[str, float]
+    cpu_timings: dict[str, float],
+    cpu_ref: dict[str, float],
+    jvm_cpu_timings: dict[str, float] | None = None,
+    jvm_cpu_ref: dict[str, float] | None = None,
+    py_cpu_timings: dict[str, float] | None = None,
+    py_cpu_ref: dict[str, float] | None = None,
 ) -> dict[str, float]:
     """Queries whose measured CPU exceeds CPU_REGRESSION_RATIO x the
-    committed reference — never relabeled as load (CPU barely moves
-    with load), so these are regression candidates unconditionally.
-    Sub-100ms references sit below scheduler/GC noise and don't arm."""
+    committed reference on a channel that is STABLE for that query —
+    never relabeled as load (task/worker CPU barely moves with load),
+    so these are regression candidates unconditionally.
+
+    Two direct channels (round-11 refinement — the original single
+    process-tree ratio false-flagged small queries whose non-task
+    GC/JIT share wobbled between clean passes):
+      - JVM channel: per-stage executorCpuTime (task work only);
+      - Python channel: worker-python CPU measured directly from the
+        process tree (pyspark daemons/workers under the JVM) — actual
+        Python work, never the JVM's own remainder.
+    Each arms above its noise floor. When the committed reference
+    predates the per-class split (no py_cpu_queries), the detector
+    falls back to the whole-tree ratio with a conservative 2 s floor."""
+    jvm_cpu_timings = jvm_cpu_timings or {}
+    jvm_cpu_ref = jvm_cpu_ref or {}
+    py_cpu_timings = py_cpu_timings or {}
+    py_cpu_ref = py_cpu_ref or {}
     out = {}
-    for name, ref in cpu_ref.items():
-        got = cpu_timings.get(name)
+    names = set(cpu_ref) | set(jvm_cpu_ref) | set(py_cpu_ref)
+    for name in names:
+        ratios = []
+        jvm_got, jvm_ref = jvm_cpu_timings.get(name), jvm_cpu_ref.get(name)
         if (
-            isinstance(got, (int, float))
-            and ref >= 0.1
-            and got > CPU_REGRESSION_RATIO * ref
+            isinstance(jvm_got, (int, float))
+            and isinstance(jvm_ref, (int, float))
+            and jvm_ref >= CPU_JVM_REF_FLOOR
+            and jvm_got > CPU_REGRESSION_RATIO * jvm_ref
         ):
-            out[name] = round(got / ref, 2)
+            ratios.append(jvm_got / jvm_ref)
+        py_got, py_ref = py_cpu_timings.get(name), py_cpu_ref.get(name)
+        if (
+            isinstance(py_got, (int, float))
+            and isinstance(py_ref, (int, float))
+            and py_ref >= CPU_WORKER_REF_FLOOR
+            and py_got > CPU_REGRESSION_RATIO * py_ref
+        ):
+            ratios.append(py_got / py_ref)
+        if not py_cpu_ref and not jvm_cpu_ref:
+            got, ref = cpu_timings.get(name), cpu_ref.get(name)
+            if (
+                isinstance(got, (int, float))
+                and isinstance(ref, (int, float))
+                and ref >= CPU_TREE_REF_FLOOR
+                and got > CPU_REGRESSION_RATIO * ref
+            ):
+                ratios.append(got / ref)
+        if ratios:
+            out[name] = round(max(ratios), 2)
     return out
 
 
@@ -555,11 +640,12 @@ def main() -> None:
     # bench signal — record its error and keep timing the rest.
     cal_before = calibrate()
     quiet_ref = load_quiet_reference()
-    cpu_ref = load_cpu_reference()
+    cpu_ref, jvm_cpu_ref, py_cpu_ref = load_cpu_reference()
     jvm_meter = JvmCpuMeter(spark)
     timings: dict[str, object] = {}
     cpu_timings: dict[str, float] = {}
     jvm_cpu_timings: dict[str, float] = {}
+    py_cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     retimed: dict[str, int] = {}
     loaded_queries: dict[str, float] = {}
@@ -571,16 +657,20 @@ def main() -> None:
 
         cpu_passes: list[float] = []
         jvm_cpu_passes: list[float] = []
+        py_cpu_passes: list[float] = []
 
-        def run_once(fn=fn, cpu=cpu_passes, jvm_cpu=jvm_cpu_passes) -> float:
+        def run_once(
+            fn=fn, cpu=cpu_passes, jvm_cpu=jvm_cpu_passes, py_cpu=py_cpu_passes
+        ) -> float:
             jvm_meter.mark()
-            c0 = proc_tree_cpu_sec()
+            c0 = proc_tree_cpu_by_class()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
-            c1 = proc_tree_cpu_sec()
+            c1 = proc_tree_cpu_by_class()
             if c0 is not None and c1 is not None:
-                cpu.append(c1 - c0)
+                cpu.append(c1[0] - c0[0])
+                py_cpu.append(c1[1] - c0[1])
             j = jvm_meter.read()
             if j is not None:
                 jvm_cpu.append(j)
@@ -599,6 +689,8 @@ def main() -> None:
                 cpu_timings[name] = round(min(cpu_passes), 4)
             if jvm_cpu_passes:
                 jvm_cpu_timings[name] = round(min(jvm_cpu_passes), 4)
+            if py_cpu_passes:
+                py_cpu_timings[name] = round(min(py_cpu_passes), 4)
             if len(passes) > 2:
                 retimed[name] = len(passes)
             if ref is not None and ref >= 0.1 and best > RETIME_RATIO * ref:
@@ -638,7 +730,15 @@ def main() -> None:
         regression_candidates=regression_candidates,
         cpu_timings=cpu_timings,
         jvm_cpu_timings=jvm_cpu_timings,
-        cpu_regression_candidates=cpu_regressions(cpu_timings, cpu_ref),
+        py_cpu_timings=py_cpu_timings,
+        cpu_regression_candidates=cpu_regressions(
+            cpu_timings,
+            cpu_ref,
+            jvm_cpu_timings,
+            jvm_cpu_ref,
+            py_cpu_timings,
+            py_cpu_ref,
+        ),
     )
     try:
         with open(
@@ -665,6 +765,7 @@ def main() -> None:
                         "calibration": cal,
                         "cpu_queries": cpu_timings,
                         "jvm_cpu_queries": jvm_cpu_timings,
+                        "py_cpu_queries": py_cpu_timings,
                     },
                     fh,
                     indent=1,
@@ -709,6 +810,7 @@ def compose_output(
     regression_candidates: dict | None = None,
     cpu_timings: dict | None = None,
     jvm_cpu_timings: dict | None = None,
+    py_cpu_timings: dict | None = None,
     cpu_regression_candidates: dict | None = None,
 ) -> tuple[str, dict]:
     """(compact stdout line, full detail dict). The line carries
@@ -749,6 +851,11 @@ def compose_output(
     if jvm_cpu_timings:
         detail["jvm_cpu_queries"] = jvm_cpu_timings
         detail["jvm_cpu_sec"] = round(sum(jvm_cpu_timings.values()), 2)
+    if py_cpu_timings:
+        # worker-python CPU measured per process class — the detector's
+        # Python channel (actual Python work, never JVM GC/JIT noise)
+        detail["py_cpu_queries"] = py_cpu_timings
+        detail["py_cpu_sec"] = round(sum(py_cpu_timings.values()), 2)
     if cpu_regression_candidates:
         detail["cpu_regression_candidates"] = cpu_regression_candidates
     slowest = dict(

@@ -222,12 +222,36 @@ def test_proc_tree_cpu_monotonic_and_positive():
 def test_cpu_reference_ignores_other_scale(tmp_path):
     p = tmp_path / "ref.json"
     p.write_text(json.dumps({"sf_dir": "/root/testdata/sf0.1",
-                             "cpu_queries": {"a": 1.0}}))
-    import importlib
-    assert bench.load_cpu_reference(str(p)) == (
-        {"a": 1.0} if bench.SF_DIR == "/root/testdata/sf0.1" else {}
+                             "cpu_queries": {"a": 1.0},
+                             "jvm_cpu_queries": {"a": 0.4},
+                             "py_cpu_queries": {"a": 0.5}}))
+    want = (
+        ({"a": 1.0}, {"a": 0.4}, {"a": 0.5})
+        if bench.SF_DIR == "/root/testdata/sf0.1"
+        else ({}, {}, {})
     )
-    del importlib
+    assert bench.load_cpu_reference(str(p)) == want
+
+
+def test_cpu_regressions_two_channel_detector():
+    # JVM channel: armed at >=0.5s ref; Python channel: worker CPU
+    # measured directly; whole-tree never arms when class refs exist
+    jvm_ref = {"jq": 2.0, "tiny_jvm": 0.2, "both": 1.0}
+    jvm_got = {"jq": 3.5, "tiny_jvm": 2.0, "both": 1.1}
+    py_ref = {"pq": 4.0, "tiny_py": 0.3, "both": 3.0}
+    py_got = {"pq": 7.0, "tiny_py": 3.0, "both": 5.1}
+    tree_ref = {"jq": 9.0, "pq": 9.0, "both": 9.0, "tree_only": 9.0}
+    tree_got = {"jq": 1.0, "pq": 1.0, "both": 1.0, "tree_only": 90.0}
+    out = bench.cpu_regressions(
+        tree_got, tree_ref, jvm_got, jvm_ref, py_got, py_ref
+    )
+    # jq: jvm 1.75x flags; pq: py 1.75x flags; both: py 1.7x flags;
+    # tiny_*: below channel floors never arm; tree_only: the tree
+    # fallback is OFF when per-class references exist
+    assert out == {"jq": 1.75, "pq": 1.75, "both": 1.7}
+    # legacy reference (no per-class maps): tree fallback with 2s floor
+    legacy = bench.cpu_regressions({"a": 3.5, "b": 5.0}, {"a": 2.0, "b": 1.0})
+    assert legacy == {"a": 1.75}
 
 
 def test_jvm_cpu_meter_measures_real_stages(spark):
