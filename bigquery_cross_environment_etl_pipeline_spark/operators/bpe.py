@@ -30,11 +30,15 @@ bitwise:
   match across — merges stay word-internal without a per-word
   explode.
 
-Character splitting uses ``([\s\S])``, not ``(.)``: Java's dot
-excludes Unicode line terminators (U+0085/U+2028/U+2029 — which
-``\s+`` tokenization does NOT strip) while RE2's dot excludes only
-newline, so a dot-based splitter builds different symbol sequences in
-the two engines (round-9 review finding, confirmed on ``'a\\x85b'``).
+Character splitting: the DuckDB oracles use ``([\s\S])``, not
+``(.)`` — Java's dot excludes Unicode line terminators
+(U+0085/U+2028/U+2029, which ``\s+`` tokenization does NOT strip)
+while RE2's dot excludes only newline, so a dot-based splitter builds
+different symbol sequences in the two engines (round-9 review
+finding, confirmed on ``'a\\x85b'``). The Spark side splits via the
+empty-pattern ``split`` + ``array_join`` since round 12 —
+value-identical per ``char_spaced``'s docstring, ~3x cheaper than the
+per-char capture-group rewrite.
 
 Scale (100 TB corpus): training never touches the corpus after the
 initial word count (map-side combinable, the only corpus-sized
@@ -67,12 +71,25 @@ N_MERGES = 8
 
 
 def char_spaced(word: Column) -> Column:
-    """``'abc'`` -> ``'  a  b  c  '`` (double boundaries everywhere;
-    the regexp leaves a trailing double space per char). ``[\\s\\S]``
-    matches EVERY code point in both Java and RE2 — see the module
-    docstring for why dot does not — and both engines are code-point
-    aware, so multibyte text splits the same."""
-    return F.concat(F.lit("  "), F.regexp_replace(word, r"([\s\S])", "$1  "))
+    """``'abc'`` -> ``'  a  b  c  '`` (double boundaries everywhere).
+
+    Implemented as ``split(word, '') -> array_join('  ') + '  '``
+    rather than the round-9 per-char capture regex
+    ``regexp_replace(word, '([\\s\\S])', '$1  ')``: the two forms are
+    value-identical for every NON-EMPTY word (verified over the whole
+    corpus plus unicode/astral edge strings — Java's empty-pattern
+    split is code-point aware like ``[\\s\\S]``, and the explicit
+    trailing ``'  '`` replaces the trailing element the regex's
+    per-char suffix produced), but the split/join form skips the
+    per-character Matcher/rewrite machinery that measured ~4 s of the
+    5 s ``bpe_token_counts`` apply stage at sf0.1 (round 12). Callers
+    filter empty words before spacing — the one input where the forms
+    differ ('' vs '  ') — and ``word_vocab``/``doc_symbols`` both
+    keep that filter. The DuckDB oracles keep the regexp form: only
+    equal VALUES are contracted, not equal plans."""
+    return F.concat(
+        F.lit("  "), F.array_join(F.split(word, ""), "  "), F.lit("  ")
+    )
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -161,8 +178,11 @@ def doc_symbols(docs: DataFrame, text_col: str = "text") -> Column:
     space merge pattern can never match across — merges stay
     word-internal. NULL for contentless docs."""
     words = F.filter(tokens(text_col), lambda w: w != F.lit(""))
+    # split/join spacing — value-identical to the per-char capture
+    # regex for non-empty words; see char_spaced for the evidence
     spaced = F.transform(
-        words, lambda w: F.regexp_replace(w, r"([\s\S])", "$1  ")
+        words,
+        lambda w: F.concat(F.array_join(F.split(w, ""), "  "), F.lit("  ")),
     )
     return F.when(
         F.size(words) > 0,
@@ -190,7 +210,21 @@ def bpe_token_counts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document BPE token count after applying ``merges``:
-    (id, n_bpe_tokens). Contentless docs count 0."""
+    (id, n_bpe_tokens). Contentless docs count 0.
+
+    Shape note (round 12): a vocabulary-keyed variant (run the
+    spacing+merge chain over distinct words only, join counts back
+    per doc — merges are word-internal, so counts are additive over
+    words) was implemented and MEASURED SLOWER at sf0.1: explode +
+    distinct + join + re-aggregate machinery cost ~7.5 s executor CPU
+    and ~0.94 s wall against the doc-level chain's ~4.5 s / ~0.33 s,
+    because the real hot spot was never the 8 replaces (~0.4 s CPU) —
+    it was the per-char spacing REGEX (~4 s), which the split/join
+    ``char_spaced``/``doc_symbols`` forms now avoid. The zero-shuffle
+    scan-riding doc-level shape stays (it is also the 100 TB shape:
+    9 embarrassingly parallel string passes beat a corpus-sized
+    token-metadata shuffle); the vocab variant survives as the
+    equivalence reference in tests/test_optimization_r12.py."""
     applied = apply_merges(doc_symbols(docs, text_col), merges)
     # explicit NULL branch, not coalesce(size(...)): size(NULL) is
     # configuration-dependent (-1 under legacy sizeOfNull), and -1

@@ -71,29 +71,18 @@ _ORACLE: dict[str, str] = {}
 #: the never-green section); membership is optional — unlisted
 #: queries follow in registration order.
 _FORCE_WINDOW: list[str] = [
-    # round 11 (kept <=3 per the standing policy — VERDICT r10 item 4
-    # asks the 33-query r6 evidence tail to clear this round; window
-    # arithmetic: 2 forced + 2 never-green new arithmetic-JPEG
-    # queries + 33 r6-tail + 13 oldest-r7 = 50):
-    #
-    # codec paths changed this round (ADVICE r10): 12-bit sequential
-    # now declares SOF1 and drops the JFIF APP0 (T.81 B.2.2 / JFIF
-    # 8-bit mandate), so the encoded stream differs byte-for-byte
-    # even though decoded pixels are identical — the r10 green no
-    # longer attests the current code
-    "multimodal_jpeg12_decode",
-    # lossless restart prediction now follows H.1.1 exactly (the
-    # remainder of the interval's first LINE uses Ra, not the
-    # selected predictor) — encoder and decoder both changed
-    "multimodal_jpeg_lossless_decode",
-    # NOT forced: multimodal_jpeg_arithmetic +
-    # multimodal_jpeg_arithmetic_coefficients are NEW (never-green
-    # ranks ahead of every green automatically); the 0xFF-fill/ZRL/
-    # SSSS=16 ADVICE fixes change only hostile-payload failure paths
-    # (driver-data output bit-identical — the orc_roundtrip_rollup
-    # precedent); the contamination_overlap_counts rename is a new
-    # never-green name and benchmark_decontamination's r10 green
-    # still attests its (unchanged) per-source implementation.
+    # round 12 — VERDICT r11 item 4: the three queries round 11
+    # touched semantically but externally attested only through the
+    # sf0.001 pytest parity replay, now rotated into the driver's
+    # sf0.01 hash window:
+    "excess_shippers_q20",  # r11 aggregation-order rewrite (phase 5)
+    "dedup_recall_precision",  # r11 repartition composition
+    "simhash_recall_precision",  # r11 checkpoint+repartition composition
+    # touched THIS round (VERDICT r11 item 5): the symbol-spacing
+    # expression moved from a per-char capture regex to split/join
+    # (value-identical; tests pin it) — the driver hash re-attests
+    # training AND application on the new expression
+    "bpe_token_counts",
 ]
 
 _STABLE_ORDER = [
