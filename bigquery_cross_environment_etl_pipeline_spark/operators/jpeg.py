@@ -421,6 +421,26 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+class _Cat1024:
+    """Lazy int64 lookup of ``_category`` for |v| <= 1023 (the 8-bit
+    lossless worst case is ±510), built on first index so module
+    import stays numpy-free."""
+
+    _table = None
+
+    def __getitem__(self, idx):
+        if _Cat1024._table is None:
+            import numpy as np
+
+            _Cat1024._table = np.array(
+                [v.bit_length() for v in range(1024)], dtype=np.int64
+            )
+        return _Cat1024._table[idx]
+
+
+_CAT1024 = _Cat1024()
+
+
 # ---------------------------------------------------------------------------
 # DCT (orthonormal, vectorized over blocks)
 # ---------------------------------------------------------------------------
@@ -1244,34 +1264,84 @@ def encode_jpeg_lossless(
     # SOS: Ss carries the predictor selection, Se=0, Ah=0, Al=0
     out += _sos_segment([(1, 0, 0)], predictor, 0, 0, 0)
     wtr = _BitWriter()
-    img = a.tolist()
-    k = 0
-    rst = 0
     # H.1.1 restart semantics (ADVICE r10): the interval's first
     # sample predicts 2^(P-1); the REMAINDER OF THAT SAMPLE LINE uses
     # Ra (one-dimensional prediction), exactly like the first line of
     # the scan; later lines in the interval resume Rb-at-line-start +
-    # the selected predictor — symmetric with decode_jpeg_lossless
-    seg_start = 0
-    seg_row = 0
-    for y in range(h):
-        for x in range(w):
+    # the selected predictor — symmetric with decode_jpeg_lossless.
+    #
+    # Round 12 (VERDICT r11 item 6): predictions are pure functions of
+    # the SOURCE samples (lossless encode has no reconstruction
+    # feedback), so the whole prediction/difference/category layer
+    # vectorizes; byte-equality with the per-sample reference loop is
+    # pinned across every predictor x restart combination in
+    # tests/test_optimization_r12.py. Only the Huffman bit emission
+    # stays sequential. Gated on sample count: numpy's fixed setup
+    # (~0.1 ms) loses to the scalar loop below ~256 samples (measured
+    # crossover), wins ~1.17x above it — thumbnails take the loop,
+    # real frames take the vector path.
+    n = h * w
+    if n >= 256:
+        ai = a.astype(np.int64)
+        ra = np.zeros_like(ai)
+        ra[:, 1:] = ai[:, :-1]
+        rb = np.zeros_like(ai)
+        rb[1:, :] = ai[:-1, :]
+        rc = np.zeros_like(ai)
+        rc[1:, 1:] = ai[:-1, :-1]
+        pred = _LOSSLESS_PREDICTORS[predictor](ra, rb, rc)
+        if h > 1:
+            pred[1:, 0] = ai[:-1, 0]  # line starts predict Rb
+        pred[0, :] = ra[0, :]  # the scan's first line predicts Ra
+        pred_flat = pred.reshape(-1)
+        a_flat = ai.reshape(-1)
+        step = restart_interval if restart_interval else n
+        for k0 in range(0, n, step):
+            # each interval's first sample predicts 128; the rest of
+            # that sample LINE (bounded by the interval end) predicts
+            # Ra
+            pred_flat[k0] = 128
+            end = min((k0 // w + 1) * w, k0 + step)
+            if end > k0 + 1:
+                pred_flat[k0 + 1 : end] = a_flat[k0 : end - 1]
+        diffs = (a_flat - pred_flat).tolist()
+        cats = _CAT1024[np.abs(a_flat - pred_flat)].tolist()
+        rst = 0
+        write = wtr.write
+        for k in range(n):
             if restart_interval and k and k % restart_interval == 0:
                 wtr.restart(rst)
                 rst += 1
-                seg_start = k
-                seg_row = y
-            pred = (
-                128 if k == seg_start
-                else _lossless_prediction(img, x, y, predictor, seg_row)
-            )
-            diff = img[y][x] - pred
-            t = _category(diff)
+            t = cats[k]
             code, ln = DC_LUMA_CODES[t]
-            wtr.write(code, ln)
+            write(code, ln)
             if t:
-                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            k += 1
+                diff = diffs[k]
+                write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    else:
+        img = a.tolist()
+        k = 0
+        rst = 0
+        seg_start = 0
+        seg_row = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and k and k % restart_interval == 0:
+                    wtr.restart(rst)
+                    rst += 1
+                    seg_start = k
+                    seg_row = y
+                pred = (
+                    128 if k == seg_start
+                    else _lossless_prediction(img, x, y, predictor, seg_row)
+                )
+                diff = img[y][x] - pred
+                t = _category(diff)
+                code, ln = DC_LUMA_CODES[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                k += 1
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"
@@ -1492,7 +1562,7 @@ def _decode_block_sequential(
             f"DC category {t} exceeds the precision's bound {max_dc}"
         )
     pred += _extend(rdr.receive(t), t)
-    block.flat[0] = pred
+    block[0] = pred
     k = 1
     while k < 64:
         rs = rdr.huffman(ac_map)
@@ -1513,7 +1583,7 @@ def _decode_block_sequential(
         k += r
         if k > 63:
             raise ValueError("AC run overruns the block")
-        block.flat[_ZZFLAT[k]] = _extend(rdr.receive(s), s)
+        block[_ZZFLAT[k]] = _extend(rdr.receive(s), s)
         k += 1
     return pred
 
@@ -1550,7 +1620,7 @@ def _decode_ac_first(
         k += r
         if k > se:
             raise ValueError("AC run overruns the spectral band")
-        block.flat[_ZZFLAT[k]] = _extend(rdr.receive(s), s) << al
+        block[_ZZFLAT[k]] = _extend(rdr.receive(s), s) << al
         k += 1
     return 0
 
@@ -1565,9 +1635,9 @@ def _decode_ac_refine(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
     m1 = -1 << al
 
     def correct(idx: int) -> None:
-        cur = int(block.flat[idx])
+        cur = block[idx]
         if rdr.read_bit() and (cur & p1) == 0:
-            block.flat[idx] = cur + (p1 if cur >= 0 else m1)
+            block[idx] = cur + (p1 if cur >= 0 else m1)
 
     k = ss
     if eobrun == 0:
@@ -1591,12 +1661,12 @@ def _decode_ac_refine(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
                 val = p1 if rdr.read_bit() else m1
             while k <= se:
                 idx = _ZZFLAT[k]
-                if block.flat[idx] != 0:
+                if block[idx] != 0:
                     correct(idx)
                 else:
                     if r == 0:
                         if val:
-                            block.flat[idx] = val
+                            block[idx] = val
                         k += 1
                         break
                     r -= 1
@@ -1609,7 +1679,7 @@ def _decode_ac_refine(rdr, ac_map, block, ss, se, al, eobrun: int) -> int:
     if eobrun > 0:
         while k <= se:
             idx = _ZZFLAT[k]
-            if block.flat[idx] != 0:
+            if block[idx] != 0:
                 correct(idx)
             k += 1
         eobrun -= 1
@@ -1662,6 +1732,7 @@ def decode_jpeg_coefficients(payload: bytes):
     dc_seen: list = []
     approx: list = []  # per component: zigzag index -> current Al
     any_scan = False
+    _units_cache: dict = {}  # per-payload: scan component tuple -> units
 
     def run_scan(body: bytes, start: int) -> int:
         """Decode one scan's entropy data; returns the stream position
@@ -1748,32 +1819,43 @@ def decode_jpeg_coefficients(payload: bytes):
         interleaved = ns > 1
 
         # per-scan decode units: (component, block_y, block_x) triples
-        # grouped into MCUs (restart intervals count MCUs)
-        if interleaved:
-            mx = -(-w // (8 * hmax))
-            my = -(-h // (8 * vmax))
-            units = [
-                [
-                    (ci, y * comps[ci]["v"] + v, x * comps[ci]["h"] + hh)
-                    for ci, _, _ in scomps
-                    for v in range(comps[ci]["v"])
-                    for hh in range(comps[ci]["h"])
+        # grouped into MCUs (restart intervals count MCUs). The list
+        # depends only on which components the scan covers (the frame
+        # grid is fixed after SOF), and a progressive scan script
+        # re-covers the same component sets many times — cached per
+        # component tuple (round 12: the rebuild was ~10% of
+        # progressive decode)
+        units_key = tuple(ci for ci, _, _ in scomps)
+        units = _units_cache.get(units_key)
+        if units is None:
+            if interleaved:
+                mx = -(-w // (8 * hmax))
+                my = -(-h // (8 * vmax))
+                units = [
+                    [
+                        (ci, y * comps[ci]["v"] + v, x * comps[ci]["h"] + hh)
+                        for ci, _, _ in scomps
+                        for v in range(comps[ci]["v"])
+                        for hh in range(comps[ci]["h"])
+                    ]
+                    for y in range(my)
+                    for x in range(mx)
                 ]
-                for y in range(my)
-                for x in range(mx)
-            ]
-        else:
-            ci = scomps[0][0]
-            c = comps[ci]
-            if n == 1:
-                nbx, nby = -(-w // 8), -(-h // 8)
             else:
-                # non-interleaved grid covers the component's SAMPLED
-                # dimensions, NOT the MCU-padded grid
-                cw = -(-w * c["h"] // hmax)
-                chh = -(-h * c["v"] // vmax)
-                nbx, nby = -(-cw // 8), -(-chh // 8)
-            units = [[(ci, y, x)] for y in range(nby) for x in range(nbx)]
+                ci = scomps[0][0]
+                c = comps[ci]
+                if n == 1:
+                    nbx, nby = -(-w // 8), -(-h // 8)
+                else:
+                    # non-interleaved grid covers the component's
+                    # SAMPLED dimensions, NOT the MCU-padded grid
+                    cw = -(-w * c["h"] // hmax)
+                    chh = -(-h * c["v"] // vmax)
+                    nbx, nby = -(-cw // 8), -(-chh // 8)
+                units = [
+                    [(ci, y, x)] for y in range(nby) for x in range(nbx)
+                ]
+            _units_cache[units_key] = units
 
         tabs_for = {ci: (dcid, acid) for ci, dcid, acid in scomps}
         if arith:
@@ -1806,7 +1888,7 @@ def decode_jpeg_coefficients(payload: bytes):
                 eobrun = 0
             for ci, by_, bx_ in unit:
                 dcid, acid = tabs_for[ci]
-                block = arrs[ci][by_, bx_]
+                block = arrs[ci][by_][bx_]
                 if not progressive:
                     dc_map = dc_maps.get(dcid)
                     ac_map = ac_maps.get(acid)
@@ -1832,10 +1914,10 @@ def decode_jpeg_coefficients(payload: bytes):
                                 f"precision's bound {max_dc}"
                             )
                         preds[ci] += _extend(rdr.receive(t), t)
-                        block.flat[0] = preds[ci] << al
+                        block[0] = preds[ci] << al
                     else:  # refinement: one raw bit per block
                         if rdr.read_bit():
-                            block.flat[0] = int(block.flat[0]) | (1 << al)
+                            block[0] = block[0] | (1 << al)
                 else:  # progressive AC scan
                     ac_map = ac_maps.get(acid)
                     if ac_map is None:
@@ -1982,7 +2064,15 @@ def decode_jpeg_coefficients(payload: bytes):
                     by = -(-h // (8 * vmax)) * c["v"]
                 else:
                     bx, by = -(-w // 8), -(-h // 8)
-                arrs.append(np.zeros((by, bx, 8, 8), dtype=np.int64))
+                # blocks live as flat Python list[64] (natural order)
+                # during entropy decoding — per-coefficient list access
+                # is ~5x cheaper than numpy scalar .flat indexing on
+                # the per-symbol hot loops (round 12); one bulk
+                # np.asarray after the last scan restores the
+                # (by, bx, 8, 8) int64 contract bit-for-bit
+                arrs.append(
+                    [[[0] * 64 for _ in range(bx)] for _ in range(by)]
+                )
                 dc_seen.append(False)
                 approx.append([None] * 64)
         elif marker in _SOF_GATES:
@@ -2014,9 +2104,12 @@ def decode_jpeg_coefficients(payload: bytes):
                 f"component {c['id']} never received a DC scan — the "
                 "stream is incomplete, not decodable-to-zeros"
             )
-    # dequantize once, after all scans: DQT entries are zigzag-ordered,
-    # so scatter them to natural order first
+    # materialize the scan-time list-of-lists store into the numpy
+    # contract, then dequantize once, after all scans: DQT entries
+    # are zigzag-ordered, so scatter them to natural order first
     for ci, c in enumerate(comps):
+        a = np.asarray(arrs[ci], dtype=np.int64)
+        arrs[ci] = a.reshape(a.shape[0], a.shape[1], 8, 8)
         qnat = np.ones((8, 8), dtype=np.int64)
         for i, flat in enumerate(_ZZFLAT):
             qnat.flat[flat] = qtables[c["tq"]][i]
@@ -2033,11 +2126,32 @@ def decode_jpeg_coefficients(payload: bytes):
 
 
 def _idct_blocks(blocks):
-    """Inverse DCT over an (by, bx, 8, 8) coefficient stack in one
-    einsum; returns float64 spatial blocks (pre level-shift)."""
+    """Inverse DCT over an (by, bx, 8, 8) coefficient stack; returns
+    float64 spatial blocks (pre level-shift).
+
+    DC-only stacks (every nonzero sits at zigzag 0 — the common case
+    for flat content, and ~all blocks of the block-constant bench
+    corpus) take a vectorized outer-product path that is BIT-IDENTICAL
+    to the einsum, not merely close (round 12): c_einsum accumulates
+    the 64 per-element terms ``(m[u,x]*B[u,t])*m[t,w]`` in (u,t)
+    C-order, every zero coefficient contributes an exact ±0.0 whose
+    addition preserves the accumulator bit pattern, and (0,0) is the
+    FIRST term — so the whole sum collapses to the single product
+    chain ``(m[0,x]*dc)*m[0,w]``, which the broadcasted elementwise
+    form reproduces multiplication-for-multiplication (IEEE ``a*b``
+    is commutative bitwise; no re-association happens). Asserted
+    exhaustively against the einsum in tests/test_optimization_r12.py
+    over random DC values including every sign/magnitude class.
+    Mixed stacks keep the einsum."""
     import numpy as np
 
     m = _dct_matrix()
+    # all nonzeros are DCs <=> total nonzero count equals the nonzero
+    # count of the DC plane alone
+    if np.count_nonzero(blocks) == np.count_nonzero(blocks[..., 0, 0]):
+        dc = blocks[..., 0, 0].astype(np.float64)
+        a = m[0] * dc[..., None]  # (by, bx, 8): m[0,x]*dc
+        return a[..., :, None] * m[0]  # (by, bx, 8, 8): (m[0,x]*dc)*m[0,w]
     return np.einsum("ux,yvut,tw->yvxw", m, blocks.astype(np.float64), m)
 
 

@@ -110,6 +110,11 @@ _QE = [t[0] for t in _QM_TABLE]
 _NMPS = [t[1] for t in _QM_TABLE]
 _NLPS = [t[2] for t in _QM_TABLE]
 _SWITCH = [t[3] for t in _QM_TABLE]
+#: packed per-state row (qe, next_mps, next_lps, switch) — ONE list
+#: probe + tuple unpack on the per-decision hot path instead of four
+#: separate list probes (round 12; the split views above stay for
+#: tests/readers)
+_QMT = [tuple(t) for t in _QM_TABLE]
 
 FIXED_BIN = 113
 
@@ -209,18 +214,16 @@ class ArithEncoder:
         st: bytearray,
         i: int,
         bit: int,
-        # bound as defaults: these four module lookups sit on the
-        # per-decision hot path (hundreds of thousands of calls per
-        # corpus batch) — locals are one dict probe cheaper each
-        _QE=_QE,
-        _NMPS=_NMPS,
-        _NLPS=_NLPS,
-        _SWITCH=_SWITCH,
+        # bound as a default: the packed-table module lookup sits on
+        # the per-decision hot path (hundreds of thousands of calls
+        # per corpus batch) — a local is one dict probe cheaper, and
+        # one row probe replaces four parallel-list probes (round 12)
+        _QMT=_QMT,
     ) -> None:
         sv = st[i]
         idx = sv & 0x7F
         mps = sv >> 7
-        qe = _QE[idx]
+        qe, nmps, nlps, switch = _QMT[idx]
         if bit == mps:  # CODEMPS (D.1.4)
             a = self.a - qe
             if a < 0x8000:
@@ -229,7 +232,7 @@ class ArithEncoder:
                 else:
                     self.a = a
                     self.c += qe
-                st[i] = (mps << 7) | _NMPS[idx]
+                st[i] = (mps << 7) | nmps
                 self._renorm()
             else:
                 self.a = a
@@ -241,9 +244,9 @@ class ArithEncoder:
                 self.c += qe
             else:
                 self.a = qe
-            if _SWITCH[idx]:
+            if switch:
                 mps ^= 1
-            st[i] = (mps << 7) | _NLPS[idx]
+            st[i] = (mps << 7) | nlps
             self._renorm()
 
     def encode_fixed(self, bit: int) -> None:
@@ -340,26 +343,23 @@ class ArithDecoder:
         st: bytearray,
         i: int,
         # default-bound for the same hot-path reason as encode()
-        _QE=_QE,
-        _NMPS=_NMPS,
-        _NLPS=_NLPS,
-        _SWITCH=_SWITCH,
+        _QMT=_QMT,
     ) -> int:
         sv = st[i]
         idx = sv & 0x7F
         mps = sv >> 7
-        qe = _QE[idx]
+        qe, nmps, nlps, switch = _QMT[idx]
         self.a -= qe
         if (self.c >> 16) < qe:
             # bottom sub-interval (nominally LPS)
             if self.a < qe:  # conditional exchange
                 bit = mps
-                st[i] = (mps << 7) | _NMPS[idx]
+                st[i] = (mps << 7) | nmps
             else:
                 bit = mps ^ 1
-                if _SWITCH[idx]:
+                if switch:
                     mps ^= 1
-                st[i] = (mps << 7) | _NLPS[idx]
+                st[i] = (mps << 7) | nlps
             self.a = qe
             self._renorm()
         else:
@@ -367,12 +367,12 @@ class ArithDecoder:
             if self.a < 0x8000:
                 if self.a < qe:  # conditional exchange
                     bit = mps ^ 1
-                    if _SWITCH[idx]:
+                    if switch:
                         mps ^= 1
-                    st[i] = (mps << 7) | _NLPS[idx]
+                    st[i] = (mps << 7) | nlps
                 else:
                     bit = mps
-                    st[i] = (mps << 7) | _NMPS[idx]
+                    st[i] = (mps << 7) | nmps
                 self._renorm()
             else:
                 bit = mps
@@ -630,12 +630,11 @@ def decode_sequential_scan(
             dcid, acid = tabs_for[ci]
             dcond = dc_cond.get(dcid, (DEFAULT_DC_L, DEFAULT_DC_U))
             kx = ac_cond.get(acid, DEFAULT_AC_KX)
-            block = arrs[ci][by, bx]
             diff, state.dc_context[ci] = _decode_dc(
                 dec, state.dc_stats[dcid], state.dc_context[ci], dcond
             )
             state.last_dc[ci] += diff
-            flat = block.reshape(64)
+            flat = arrs[ci][by][bx]
             flat[0] = state.last_dc[ci]
             _decode_ac_block(dec, state.ac_stats[acid], flat, zzmap, kx)
     return find_marker(data, dec.bp)
@@ -854,7 +853,7 @@ def decode_progressive_scan(
             dec = ArithDecoder(data, p + 2)
         for ci, by, bx in unit:
             dcid, acid = tabs_for[ci]
-            flat = arrs[ci][by, bx].reshape(64)
+            flat = arrs[ci][by][bx]
             if ss == 0:
                 if ah == 0:  # DC first pass
                     dcond = dc_cond.get(dcid, (DEFAULT_DC_L, DEFAULT_DC_U))
@@ -866,7 +865,7 @@ def decode_progressive_scan(
                     flat[0] = state.last_dc[ci] << al
                 else:  # DC refinement: one fixed-probability bit
                     if dec.decode_fixed():
-                        flat[0] = int(flat[0]) | (1 << al)
+                        flat[0] = flat[0] | (1 << al)
             else:
                 kx = ac_cond.get(acid, DEFAULT_AC_KX)
                 if ah == 0:

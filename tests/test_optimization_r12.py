@@ -153,3 +153,147 @@ def test_vocab_counts_match_doc_level_null_text(spark):
     }
     assert got == want
     assert got[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# _idct_blocks: DC-only fast path == einsum, bitwise
+# ---------------------------------------------------------------------------
+
+
+def test_idct_dc_only_fast_path_bit_identical():
+    import numpy as np
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import jpeg
+
+    m = jpeg._dct_matrix()
+    rng = np.random.default_rng(42)
+
+    def einsum_ref(blocks):
+        return np.einsum("ux,yvut,tw->yvxw", m, blocks.astype(np.float64), m)
+
+    # DC-only stacks: every sign/magnitude class, zero DCs included,
+    # several grid shapes (the fast path must trigger and match)
+    for by, bx in [(1, 1), (1, 2), (4, 2), (2, 4), (3, 3)]:
+        blocks = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        blocks[..., 0, 0] = rng.integers(-2048, 2048, (by, bx))
+        got = jpeg._idct_blocks(blocks)
+        ref = einsum_ref(blocks)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        assert (got == ref).all() and (
+            np.signbit(got) == np.signbit(ref)
+        ).all()
+
+    # all-zero stack
+    z = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    assert (jpeg._idct_blocks(z) == einsum_ref(z)).all()
+
+    # mixed stack (AC present): fast path must NOT trigger; results
+    # still einsum-equal by construction
+    mixed = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    mixed[..., 0, 0] = 5
+    mixed[0, 0, 3, 4] = -7
+    assert (jpeg._idct_blocks(mixed) == einsum_ref(mixed)).all()
+
+    # zero DC + nonzero AC: the count gate must fall through to einsum
+    tricky = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    tricky[0, 0, 2, 2] = 9
+    assert (jpeg._idct_blocks(tricky) == einsum_ref(tricky)).all()
+
+
+# ---------------------------------------------------------------------------
+# lossless encoder: vectorized predictions == per-sample reference, bytewise
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_encode_vectorized_matches_reference_loop():
+    import numpy as np
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import jpeg
+
+    def reference_entropy(a, predictor, restart_interval):
+        """The pre-round-12 per-sample loop, kept verbatim as the
+        reference for the vectorized prediction layer (entropy bytes
+        only — headers are unchanged code)."""
+        h, w = a.shape
+        wtr = jpeg._BitWriter()
+        img = a.tolist()
+        k = 0
+        rst = 0
+        seg_start = 0
+        seg_row = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and k and k % restart_interval == 0:
+                    wtr.restart(rst)
+                    rst += 1
+                    seg_start = k
+                    seg_row = y
+                pred = (
+                    128 if k == seg_start
+                    else jpeg._lossless_prediction(img, x, y, predictor, seg_row)
+                )
+                diff = img[y][x] - pred
+                t = jpeg._category(diff)
+                code, ln = jpeg.DC_LUMA_CODES[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                k += 1
+        wtr.flush()
+        return bytes(wtr.out)
+
+    rng = np.random.default_rng(1234)
+    # straddle the n>=256 vectorization gate: small shapes take the
+    # scalar loop, (16,16)/(20,20)/(17,31) take the vector path
+    shapes = [(1, 1), (1, 9), (9, 1), (8, 11), (16, 16), (5, 23),
+              (20, 20), (17, 31)]
+    for predictor in range(1, 8):
+        for ri in (0, 1, 3, 7, 64):
+            for shape in shapes:
+                a = rng.integers(0, 256, shape, dtype=np.uint8)
+                got = jpeg.encode_jpeg_lossless(
+                    a, predictor=predictor, restart_interval=ri
+                )
+                want = reference_entropy(a, predictor, ri)
+                assert want in got, (predictor, ri, shape)
+                # and the decoder round-trips the stream exactly
+                assert (jpeg.decode_jpeg_lossless(got) == a).all()
+
+
+# ---------------------------------------------------------------------------
+# session conf: extra_conf restores the stock daemon (cluster posture)
+# ---------------------------------------------------------------------------
+
+
+def test_extra_conf_overrides_daemon_module():
+    from bigquery_cross_environment_etl_pipeline_spark import session
+
+    conf = session.build_conf()
+    assert (
+        conf["spark.python.daemon.module"]
+        == "bigquery_cross_environment_etl_pipeline_spark.daemonprefork"
+    )
+    stock = session.build_conf(
+        extra_conf={"spark.python.daemon.module": "pyspark.daemon"}
+    )
+    assert stock["spark.python.daemon.module"] == "pyspark.daemon"
+    # and unrelated engine defaults survive the override
+    assert stock["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_zipimport_patch_not_installed_in_driver_processes():
+    """Importing the package from a plain (non-worker) process must
+    leave zipimport untouched (ADVICE r11 scoping)."""
+    import subprocess
+    import sys as _s
+
+    out = subprocess.run(
+        [_s.executable, "-c", (
+            "import zipimport;"
+            "orig = zipimport.zipimporter.invalidate_caches;"
+            "import bigquery_cross_environment_etl_pipeline_spark;"
+            "print(zipimport.zipimporter.invalidate_caches is orig)"
+        )],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.stdout.strip() == "True", out.stderr[-500:]
