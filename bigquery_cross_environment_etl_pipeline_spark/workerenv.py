@@ -19,11 +19,12 @@ preserved: a zip shipped or replaced mid-session has a different mtime
 invalidates; the static Spark distribution archives stop being
 re-parsed thousands of times per session.
 
-The patch is applied at package import, so it reaches every worker
-process that unpickles one of this package's UDFs (module-referencing
-UDFs import the package in the worker), and — via the daemon preload
-module (``daemonprefork``) — every worker forked after the daemon
-imported us.  Idempotent and process-local.
+The patch is applied from the package import ONLY in worker/daemon
+processes (``pyspark.worker``/``pyspark.daemon`` already imported —
+the round-12 ADVICE scoping: driver, tests, and embedding hosts keep
+stock zipimport semantics), and unconditionally from the daemon
+preload module (``daemonprefork``), so every worker forked after the
+daemon imported us carries it.  Idempotent and process-local.
 """
 
 from __future__ import annotations

@@ -56,7 +56,12 @@ def tree_cpu_by_class() -> dict[str, float]:
             cls = "driver_py"
         elif is_jvm:
             cls = "jvm"
-        elif under_jvm and comm.startswith("py"):
+        elif under_jvm:
+            # ANY non-java descendant of the JVM — the same rule
+            # bench.py's meter uses (ADVICE r11: the two walks used
+            # different comm filters, so the triage tool could
+            # disagree with the channel it triages). Shell helpers
+            # forked by the JVM land here in BOTH meters now.
             cls = "worker_py"
         else:
             cls = "other"
