@@ -141,26 +141,35 @@ def minhash_signatures(
 
     Docs with no shingles (< n words) get the sentinel signature.
     """
-    sentinel = F.lit(MINHASH_MOD)
+    # expression construction note (round 12): the per-seed affine
+    # columns, grouped mins, and sentinel coalesces are built as SQL
+    # strings through ONE selectExpr/expr parse each instead of
+    # dozens of nested Column calls — every Column operator is a py4j
+    # round trip (~0.15 ms), and this builder was a measurable slice
+    # of the dedup family's ~0.5-1.0 s per-query construction time.
+    # The parsed expressions resolve to the same analyzed plan; the
+    # md5-exact oracles pin value equality.
     sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("_s"))
-    base = F.conv(F.substring(F.md5(F.col("_s")), 1, 12), 16, 10).cast("bigint")
-    hashed = sh.select(
-        F.col(id_col),
-        base.alias("_h0"),
-    ).select(
-        F.col(id_col),
+    hashed = sh.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(_s), 1, 12), 16, 10) AS BIGINT) AS _h0",
+    ).selectExpr(
+        id_col,
         *[
-            ((F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"h{j}")
+            f"(({a}L * _h0) + {b}L) % {MINHASH_MOD}L AS h{j}"
             for j, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
         ],
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
+        *[F.expr(f"min(h{j}) AS h{j}") for j in range(n_hashes)]
     )
     # re-attach empty-shingle docs with the sentinel signature
-    return df.select(id_col).join(sig, id_col, "left").select(
-        F.col(id_col),
-        *[F.coalesce(F.col(f"h{j}"), sentinel).alias(f"h{j}") for j in range(n_hashes)],
+    return df.select(id_col).join(sig, id_col, "left").selectExpr(
+        id_col,
+        *[
+            f"coalesce(h{j}, {MINHASH_MOD}L) AS h{j}"
+            for j in range(n_hashes)
+        ],
     )
 
 
@@ -184,17 +193,24 @@ def lsh_candidate_pairs(
     """
     signatures = signatures.filter(F.col("h0") < MINHASH_MOD)
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                *[
-                    F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+    # single-parse SQL forms of the band array and the match counter
+    # (round 12): the struct-per-band array and the 16-term when-chain
+    # were ~100 py4j round trips per construction
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            "struct("
+            + ", ".join(
+                [f"{b} AS band_idx"]
+                + [
+                    f"h{b * rows_per_band + r} AS k{r}"
                     for r in range(rows_per_band)
-                ],
+                ]
             )
+            + ")"
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     sig_cols = [f"h{j}" for j in range(n_hashes)]
     exploded = signatures.select(
@@ -207,9 +223,11 @@ def lsh_candidate_pairs(
     join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in band_keys] + [
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     ]
-    matches = sum(
-        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
-        for j in range(n_hashes)
+    matches = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+            for j in range(n_hashes)
+        )
     )
     return (
         a.join(b, join_cond)
@@ -620,19 +638,25 @@ def simhash_fingerprints(
     Explode -> one grouped aggregation with ``bits`` conditional sums ->
     bit-pack. Integer-only arithmetic (oracle-exact).
     """
+    # single-parse SQL forms of the vote sums and the bit-pack
+    # (round 12): ~130 Column-op py4j round trips -> bits+1 expr
+    # parses; same analyzed expressions, md5-exact oracles pin values
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("w")
     ).withColumn("h", hash48("w"))
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS v{i}"
+        )
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    packed = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
+    packed = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
     )
     return agg.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
 

@@ -144,7 +144,25 @@ def jl_project(vec_col: str | Column, dim_out: int = JL_OUT) -> Column:
     ``t1 + t2 + ...`` chain the DuckDB oracle executes (the dot_expr
     discipline). dim_out folds of DIM terms stay far under the codegen
     limit; the projection is a pure column expression riding the scan."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    # single-parse SQL form (round 12): the Column version built
+    # dim_out x DIM literal sign cells through individual py4j calls
+    # (~1,024 round trips at 16x64, ~0.3 s per construction); the SQL
+    # text parses once and resolves to the same strict-left-fold
+    # expressions (0.0D seed, CAST(x AS DOUBLE) * sign products,
+    # acc + v accumulation)
+    if isinstance(vec_col, str):
+        comps_sql = ", ".join(
+            "aggregate(zip_with({c}, array({signs}), (x, s) ->"
+            " CAST(x AS DOUBLE) * s), 0.0D, (acc, v) -> acc + v)".format(
+                c=vec_col,
+                signs=", ".join(
+                    "1.0D" if s > 0 else "-1.0D" for s in row
+                ),
+            )
+            for row in jl_signs(dim_out)
+        )
+        return F.expr(f"array({comps_sql})")
+    c = vec_col
     comps = []
     for row in jl_signs(dim_out):
         sarr = F.array(*[F.lit(s) for s in row])
@@ -678,14 +696,27 @@ def lsh_bucket_expr(
     deterministic family, so banded callers get independent hash
     functions per band without a second seed dimension.
     """
-    bucket = None
-    for j in range(n_planes):
-        plane = F.array(
-            *[F.lit(p) for p in _hyperplane(seed, plane_offset + j, dim)]
+    # single-parse SQL form (round 12): the Column version shipped
+    # n_planes x dim hyperplane literals through individual py4j calls
+    # (512 round trips at 8x64). repr(float) is the shortest
+    # round-trip form, and SQL double literals parse to the identical
+    # IEEE value, so the folds are bitwise-unchanged.
+    def _plane_sql(j: int) -> str:
+        comps = ", ".join(
+            repr(p) + "D" for p in _hyperplane(seed, plane_offset + j, dim)
         )
-        dot = dot_expr(F.col(vec_col), plane, dim)
-        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+        return (
+            f"aggregate(zip_with({vec_col}, array({comps}), (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+            " (acc, v) -> acc + v)"
+        )
+
+    bucket = F.expr(
+        " + ".join(
+            f"(CASE WHEN ({_plane_sql(j)}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+    )
     return bucket.cast("int")
 
 

@@ -11,6 +11,8 @@ checked rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -19,17 +21,77 @@ from ..operators import bpe as bpe_ops
 from ..operators import dedup, similarity, sketches, text
 from ..operators.multimodal import extract_features, synthesize_assets
 from ..queries_catalog import register
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_path
 
 
-def _gate_repartition(df: DataFrame, parallelism: int) -> DataFrame:
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
+    """How many partitions Spark's file-source packing would give a
+    parquet scan of ``path`` — computed from os.stat with the SAME
+    split math as ``FilePartition.maxSplitBytes`` (bytes-per-core
+    floor, open-cost charge, maxPartitionBytes cap), so the gate below
+    costs nothing. (The exact check — ``df.rdd.getNumPartitions()`` —
+    measured ~0.25 s PER DATAFRAME of physical-planning machinery,
+    which across the ~20 gated queries cost more than the repartition
+    decision it served.) Falls back to 1 on any stat error: 'assume
+    narrow' only ever re-adds the tiny local re-spread, never loses
+    scale parallelism."""
+    try:
+        if os.path.isdir(path):
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        else:
+            sizes = [os.stat(path).st_size]
+        if not sizes:
+            return 1
+        total = sum(sizes)
+        open_cost = int(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        parallelism = spark.sparkContext.defaultParallelism
+        bytes_per_core = (total + open_cost * len(sizes)) // max(
+            1, parallelism
+        )
+        split = max(1, min(max_bytes, max(open_cost, bytes_per_core)))
+        # replicate FilePartition.getFilePartitions: files sorted by
+        # length desc, split into <=split chunks, packed sequentially
+        # (openCost charged into the running size, not the closing
+        # check's addend)
+        chunks: list[int] = []
+        for sz in sorted(sizes, reverse=True):
+            while sz > split:
+                chunks.append(split)
+                sz -= split
+            chunks.append(sz)
+        parts, cur = 0, 0
+        for c in chunks:
+            if cur + c > split and cur > 0:
+                parts += 1
+                cur = 0
+            cur += c + open_cost
+        if cur > 0:
+            parts += 1
+        return max(1, parts)
+    except (OSError, ValueError):
+        return 1
+
+
+def _gate_repartition(
+    df: DataFrame, parallelism: int, n_partitions: int
+) -> DataFrame:
     """Round-robin ``repartition(parallelism)`` ONLY when the input
     has fewer partitions — an explicit-N repartition is a real
     exchange AQE never elides, so a source that already carries the
-    parallelism (many-file ingest at scale) must not pay it. Returns
-    the input object unchanged in that case (identity asserted by
+    parallelism (many-file ingest at scale, ``n_partitions`` from
+    ``_estimated_scan_partitions``) must not pay it. Returns the
+    input object unchanged in that case (identity asserted by
     tests/test_optimization_r12.py)."""
-    if df.rdd.getNumPartitions() >= parallelism:
+    if n_partitions >= parallelism:
         return df
     return df.repartition(parallelism)
 
@@ -46,7 +108,11 @@ def _doc_ids_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual partition count like ``_docs_repartitioned`` (round 12):
     a many-file ingest already >= parallelism takes no exchange."""
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return _gate_repartition(ids, spark.sparkContext.defaultParallelism)
+    return _gate_repartition(
+        ids,
+        spark.sparkContext.defaultParallelism,
+        _estimated_scan_partitions(spark, table_path(sf_dir, "documents")),
+    )
 
 
 def _docs_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +134,11 @@ def _docs_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only the two columns every caller hashes (doc_id, text),
     never the full row."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _gate_repartition(docs, spark.sparkContext.defaultParallelism)
+    return _gate_repartition(
+        docs,
+        spark.sparkContext.defaultParallelism,
+        _estimated_scan_partitions(spark, table_path(sf_dir, "documents")),
+    )
 
 
 # ---------------------------------------------------------------------------

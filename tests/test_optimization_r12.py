@@ -34,9 +34,9 @@ from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
 
 def test_gate_repartition_is_identity_when_input_wide_enough(spark):
     df = spark.range(100).repartition(4)
-    out = _gate_repartition(df, 4)
+    out = _gate_repartition(df, 4, 4)
     assert out is df  # no new plan node at all
-    out2 = _gate_repartition(df, 2)
+    out2 = _gate_repartition(df, 2, 4)
     assert out2 is df
     # and the physical plan gains no exchange beyond the one df holds
     assert out2._jdf.queryExecution().executedPlan().toString().count(
@@ -46,10 +46,37 @@ def test_gate_repartition_is_identity_when_input_wide_enough(spark):
 
 def test_gate_repartition_respreads_narrow_input(spark):
     df = spark.range(100).coalesce(1)
-    out = _gate_repartition(df, 4)
+    out = _gate_repartition(df, 4, 1)
     assert out is not df
     assert out.rdd.getNumPartitions() == 4
     assert sorted(r[0] for r in out.collect()) == list(range(100))
+
+
+def test_estimated_scan_partitions_matches_spark(spark, tmp_path):
+    """The os-stat estimate must agree with the partition count
+    Spark's file-source packing actually produces — checked on the
+    narrow local artifact (1) and on a many-file layout wide enough
+    to clear the gate."""
+    import os
+
+    from bigquery_cross_environment_etl_pipeline_spark.plans.llm import (
+        _estimated_scan_partitions,
+    )
+
+    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf, "documents.parquet")
+    est = _estimated_scan_partitions(spark, path)
+    real = spark.read.parquet(path).rdd.getNumPartitions()
+    assert est == real == 1
+
+    # many-file directory: estimate must be >= the session parallelism
+    # gate whenever Spark's own scan is (both sides of the gate agree)
+    out = str(tmp_path / "wide")
+    spark.range(100000).repartition(40).write.parquet(out)
+    est_wide = _estimated_scan_partitions(spark, out)
+    real_wide = spark.read.parquet(out).rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    assert (est_wide >= par) == (real_wide >= par)
 
 
 # ---------------------------------------------------------------------------
