@@ -243,40 +243,55 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "object":
             f"PNG inflated stream is {len(raw)} bytes, expected "
             f"{h * (1 + stride)} (IDAT truncated or dims lie)"
         )
-    out = np.empty((h, stride), dtype=np.uint8)
-    zeros = np.zeros(ch, dtype=np.int64)
+    # pure-Python int rows (round 12): the Average/Paeth filters carry
+    # a strict left-to-right dependence, and the old per-PIXEL numpy
+    # slicing paid ~8 tiny array ops per pixel — small-int list
+    # arithmetic is ~5x faster at scanline widths and the math is
+    # EXACT integer mod-256 either way (byte-equality with the numpy
+    # reference is pinned in tests/test_optimization_r12.py). Filters
+    # are applied to the RECONSTRUCTED (reduced mod 256) bytes per the
+    # spec, so every intermediate here stays in 0..255.
+    out_rows: list[list[int]] = []
+    prev = [0] * stride
     for y in range(h):
-        ft = raw[y * (1 + stride)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-        ).astype(np.int64)
-        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        base = y * (1 + stride)
+        ft = raw[base]
+        row = list(raw[base + 1 : base + 1 + stride])
         if ft == 0:
             rec = row
         elif ft == 1:
-            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+            rec = row
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
         elif ft == 2:
-            rec = row + prev
-        elif ft in (3, 4):
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(w):
-                sl = slice(x * ch, (x + 1) * ch)
-                a = rec[(x - 1) * ch : x * ch] % 256 if x else zeros
-                b = prev[sl]
-                if ft == 3:
-                    rec[sl] = row[sl] + (a + b) // 2
+            rec = [(r + p) & 0xFF for r, p in zip(row, prev)]
+        elif ft == 3:
+            rec = row
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            rec = row
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
                 else:
-                    c = prev[(x - 1) * ch : x * ch] if x else zeros
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    rec[sl] = row[sl] + pred
+                    pred = c
+                rec[i] = (rec[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter byte {ft} on scanline {y}")
-        out[y] = (rec % 256).astype(np.uint8)
-    return out
+        out_rows.append(rec)
+        prev = rec
+    return np.array(out_rows, dtype=np.uint8).reshape(h, stride)
 
 
 def _adam7_scatter(raw: bytes, h: int, w: int, out: "object", decode_pass):

@@ -1031,6 +1031,12 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are already in the joined row."""
     k = dedup.N_MINHASH
     docs = _docs_repartitioned(spark, sf_dir)
+    # NOT checkpointed despite 4 references to the sigs subtree (both
+    # sides of the banding self-join plus sa/sb): measured round 12,
+    # interleaved A/B — eager materialization was ~15% SLOWER wall
+    # (2.2 s -> 2.6 s) and +55% executor CPU than recomputation here,
+    # unlike simhash_near_pairs' 4-reuse win; the sig pipeline fuses
+    # into the join stages and the checkpoint serializes it.
     sigs = dedup.minhash_signatures(docs)
     cand = dedup.lsh_candidate_pairs(sigs, n_bands=k).select("doc_a", "doc_b")
     sa = sigs.select(

@@ -324,3 +324,76 @@ def test_zipimport_patch_not_installed_in_driver_processes():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.stdout.strip() == "True", out.stderr[-500:]
+
+
+# ---------------------------------------------------------------------------
+# _png_unfilter: python-int rows == the numpy reference, bytewise
+# ---------------------------------------------------------------------------
+
+
+def test_png_unfilter_matches_numpy_reference():
+    import numpy as np
+
+    from bigquery_cross_environment_etl_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+
+    def reference(raw, h, w, ch):
+        """The pre-round-12 numpy form, kept verbatim."""
+        stride = w * ch
+        out = np.empty((h, stride), dtype=np.uint8)
+        zeros = np.zeros(ch, dtype=np.int64)
+        for y in range(h):
+            ft = raw[y * (1 + stride)]
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+            ).astype(np.int64)
+            prev = (
+                out[y - 1].astype(np.int64)
+                if y
+                else np.zeros(stride, dtype=np.int64)
+            )
+            if ft == 0:
+                rec = row
+            elif ft == 1:
+                rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+            elif ft == 2:
+                rec = row + prev
+            elif ft in (3, 4):
+                rec = np.empty(stride, dtype=np.int64)
+                for x in range(w):
+                    sl = slice(x * ch, (x + 1) * ch)
+                    a = rec[(x - 1) * ch : x * ch] % 256 if x else zeros
+                    b = prev[sl]
+                    if ft == 3:
+                        rec[sl] = row[sl] + (a + b) // 2
+                    else:
+                        c = prev[(x - 1) * ch : x * ch] if x else zeros
+                        p = a + b - c
+                        pa, pb, pc = (
+                            np.abs(p - a), np.abs(p - b), np.abs(p - c),
+                        )
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            a,
+                            np.where(pb <= pc, b, c),
+                        )
+                        rec[sl] = row[sl] + pred
+            else:
+                raise ValueError(f"bad PNG filter byte {ft}")
+            out[y] = (rec % 256).astype(np.uint8)
+        return out
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        for h, w in [(1, 1), (1, 7), (5, 1), (9, 13), (16, 16)]:
+            stride = w * ch
+            body = bytearray()
+            for y in range(h):
+                body.append(int(rng.integers(0, 5)))  # every filter type
+                body.extend(rng.integers(0, 256, stride, dtype=np.uint8)
+                            .tobytes())
+            got = mm._png_unfilter(bytes(body), h, w, ch)
+            want = reference(bytes(body), h, w, ch)
+            assert got.dtype == want.dtype and got.shape == want.shape
+            assert (got == want).all(), (ch, h, w)
